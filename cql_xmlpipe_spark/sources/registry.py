@@ -1,0 +1,84 @@
+"""Source registry: table name → DataFrame.
+
+The reference's only source is a paged CQL scan (``Query.java:31,151-157``,
+fetch size 1000 ≙ constant-memory pipelined extraction). In Spark the
+equivalent is a partition-parallel columnar scan; paging falls out of the
+source's partitioning. The registry abstracts the physical source so the
+same engine code runs over the parquet testdata today and a
+``spark-cassandra-connector`` catalog later (the connector jar is not baked
+into this environment, so that path is declared but gated).
+
+Scale note: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; at 100 TB the same scans are driven by partition pruning
+on the table layout — nothing here materializes or collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: tables the driver provides at /root/testdata/sf*/ (TESTDATA.md)
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one named table as a DataFrame (lazy — just a scan node)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long (see
+    # session conf nanosAsLong); convert to a microsecond timestamp, which
+    # is exactly what DuckDB's ns->us truncation yields for the oracle.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view so ``spark.sql`` serves
+    the reference's delegated query surface (SURVEY §2B) directly."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
+    """Cassandra source (the reference's actual input, ``Query.java:146-153``).
+
+    Requires the spark-cassandra-connector jar on the classpath; not baked
+    into this environment, so this raises with guidance instead of failing
+    deep inside the JVM.
+    """
+    try:
+        return (
+            spark.read.format("org.apache.spark.sql.cassandra")
+            .options(keyspace=keyspace, table=table)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - connector not in test env
+        raise RuntimeError(
+            "spark-cassandra-connector is not on the classpath; add "
+            "`--packages com.datastax.spark:spark-cassandra-connector_2.13:...` "
+            "to spark-submit to read live Cassandra tables"
+        ) from exc
