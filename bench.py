@@ -1,0 +1,85 @@
+"""BENCH harness: run the headline declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The headline set covers every execution shape the engine claims: scan+agg
+(q1), multi-join (q3/q5), window (top3/running), set/distinct, the xmlpipe2
+kernel (sdbm ids + document assembly — the reference's entire workload),
+and the §2D extensions (dedup exact/minhash/jaccard, cosine top-k, text
+analysis). Each query is forced with a cheap count() so the timing is the
+full plan execution, not driver-side collection bandwidth.
+
+BASELINE.md context: the reference is a single-threaded row-at-a-time
+exporter; its measured proxy here is `xmlpipe_orders_export` /
+`xmlpipe_lineitem_export` throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: name -> queries() key (headline subset; full surface runs in the
+#: driver's correctness gate, which is row-for-row, not timed)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_orders",
+    "outer_join_order_distribution",
+    "window_top3_orders_per_customer",
+    "window_running_revenue",
+    "distinct_counts",
+    "events_sessionize",
+    "doc_id_sdbm_customer",
+    "xmlpipe_orders_export",
+    "xmlpipe_lineitem_export",
+    "dedup_exact_hash_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "text_quality_scores",
+    "text_langid_heuristic",
+]
+
+
+def main() -> int:
+    from cql_xmlpipe_spark.plans import QUERIES
+    from cql_xmlpipe_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action so q1's number
+    # is query time, not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.count()  # full execution; avoids driver-collect bandwidth noise
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,38 @@
+"""Vector math over ``array<float>`` embedding columns, as Column exprs.
+
+Dot products/norms are built with ``zip_with`` + ``aggregate`` which fold
+LEFT-TO-RIGHT — deterministic IEEE-754 double results that bit-match the
+DuckDB oracle's ``list_reduce`` (also left-to-right). Elements are cast to
+double BEFORE multiplying so float32 inputs widen exactly.
+
+Scale note: these stay inside whole-stage codegen; for 100 TB ANN the
+brute-force path is only the per-bucket scorer — candidate generation is
+LSH bucketing (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

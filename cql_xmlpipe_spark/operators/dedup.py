@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, each designed for the shuffle profile it implies at
+100 TB:
+
+* **exact** — ``groupBy(text)`` would shuffle full documents; we shuffle a
+  256-bit content hash instead (constant-width keys, map-side combine).
+* **MinHash + LSH** — per-doc signatures via ``xxhash64`` Column exprs
+  (JVM-side, no Python), banded into bucket keys; candidate pairs come
+  from a self-join on (band, bucket-hash) — the only shuffle is on small
+  band keys, never on text — then true Jaccard verifies candidates.
+* **SimHash** — 64-bit signature from token-hash bit votes (explode +
+  groupBy bit aggregation), Hamming-banded for candidates.
+* **n-gram Jaccard** — exact pairwise within small blocking groups
+  (the verifier used by LSH; standalone only for modest block sizes).
+* **embedding cosine** — near-dup via cosine ≥ threshold on embeddings
+  (delegates to operators/similarity.py scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from cql_xmlpipe_spark.functions.text import shingles, words
+
+N_MINHASH = 64
+N_BANDS = 16  # 16 bands x 4 rows; s-curve threshold ~ (1/16)^(1/4) ~ 0.5
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact text; flag the rest.
+
+    Shuffles on sha2(text) (32 bytes/row), not the document itself.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    w = W.partitionBy(h)
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("keep_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh_hashes, mh_0..mh_{n-1}) — one row per doc with ≥1 shingle.
+
+    Each shingle string is hashed ONCE (xxhash64); the n minhash families
+    derive from that 8-byte value via seeded re-hash. The n minima are
+    computed as explode + one groupBy with n fused min-aggregates — fully
+    codegen'd with map-side partial aggregation — instead of n interpreted
+    ``transform`` passes over the array. ``sh_hashes`` (the distinct
+    shingle-hash set used for exact verification) falls out of the same
+    aggregate via collect_set, so one shuffle produces the whole signature.
+    """
+    sh = shingles(words(F.col(text_col)), k)
+    hashed = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    exploded = df.select(F.col(id_col), F.explode(hashed).alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return exploded.groupBy(id_col).agg(
+        F.collect_set("h").alias("sh_hashes"), *aggs
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Shuffle profile (the 100 TB shape): candidate generation self-joins on
+    (band, bucket) carrying ONLY (id, band, bucket) — fixed-width longs,
+    never text or arrays; pairs are deduped as bare id pairs; only then are
+    the two shingle-hash sets fetched by id-join for exact verification.
+    AQE splits hot buckets (skew join).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_keys = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(N_BANDS)
+        ]
+    )
+    # sigs feeds both sides of the candidate self-join AND both verify
+    # joins; persist the compact form (id + bands + shingle-hash set —
+    # ~100× smaller than text) instead of recomputing tokenization 4×.
+    sets = sigs.select(F.col(id_col), "sh_hashes", band_keys.alias("bands")).persist()
+    buckets = sets.select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
+    )
+    cands = (
+        buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        .join(buckets.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sets.select(F.col(id_col), "sh_hashes")
+    verified = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("sh_hashes").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("sh_hashes").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact pairwise shingle Jaccard within blocking groups, via inverted
+    index — NOT a block² cross join.
+
+    Explode distinct shingles, self-join on (block, shingle): only pairs
+    that actually share a shingle are ever materialized, and the group-by
+    count IS the intersection size — no array payloads cross the shuffle.
+    Same result set as the naive cross product (any pair with jaccard > 0
+    shares ≥1 shingle) at a fraction of the cost; the LSH path above is
+    still the first choice at 100 TB (this one degrades on stop-shingles).
+    """
+    sh = shingles(words(F.col(text_col)), k)
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("block"), sh.alias("sh")
+    ).filter(F.size("sh") > 0)
+    # join on 8-byte shingle hashes, not shingle strings (distinct already);
+    # persisted: feeds both self-join sides + the two size lookups.
+    toks = base.select(
+        F.col(id_col), "block",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s")
+    ).persist()
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        toks.select(F.col(id_col).alias("id_a"), "block", "s")
+        .join(toks.select(F.col(id_col).alias("id_b"), "block", "s"), ["block", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: token hashes vote per bit; sign -> bit.
+
+    Expressed as explode + single groupBy (one shuffle on doc id); the 64
+    bit-votes are conditional-sum aggregates fused in one Aggregate node.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("th").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation: 4 bands of 16 bits (pigeonhole: any pair within
+    Hamming 3 agrees exactly on ≥1 band) — joins on 16-bit band values,
+    never O(n²).
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+            for b in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(bands).alias("band", "bval")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bval"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bval"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket by sign pattern of
+    deterministic hyperplanes, verify cosine within buckets."""
+    from cql_xmlpipe_spark.functions.vectors import cosine
+    from cql_xmlpipe_spark.operators.similarity import with_sign_bucket
+
+    bucketed = with_sign_bucket(emb, emb_col, n_planes)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

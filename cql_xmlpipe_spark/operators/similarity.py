@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns.
+
+* ``brute_force_topk`` — exact cosine top-k of every query against the
+  corpus: broadcast the (small) query set, score JVM-side, take top-k per
+  query with a rank window. The baseline/verifier.
+* ``lsh_topk`` — the scale path: sign-random-projection buckets prune the
+  corpus so each query only scores its bucket (plus multiprobe neighbors).
+  Planes are derived deterministically from (plane, dim) via a hash — no
+  stored model, identical on every executor.
+
+At 100 TB: brute force is O(|Q|·N) dot products — fine when |Q| is small
+and broadcast; for large |Q| use ``lsh_topk`` where the join key is the
+bucket id, so the shuffle moves vectors once instead of crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from cql_xmlpipe_spark.functions.vectors import cosine
+
+
+def with_sign_bucket(df: DataFrame, emb_col: str, n_planes: int = 8) -> DataFrame:
+    """Append an int bucket = sign pattern of `n_planes` hyperplane dots.
+
+    Plane weights are pseudo-random in [-0.5, 0.5), derived from
+    xxhash64(plane, dim) — deterministic, no model state, computed inline
+    per row (cheap: n_planes × dim fused multiply-adds in codegen).
+    """
+    dims = F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1)
+
+    def plane_dot(p: int):
+        weights = F.transform(
+            dims,
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)).cast("double") / 1000.0 - 0.5
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(F.col(emb_col), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return df.withColumn("bucket", bucket)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (queries broadcast)."""
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cos")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose sign-bucket is
+    within `multiprobe` bit flips of the query's bucket.
+
+    Candidate generation is an equi-join on bucket ids (shuffle on ints);
+    recall/latency trades via n_planes and multiprobe.
+    """
+    c = with_sign_bucket(corpus, emb_col, n_planes)
+    q = with_sign_bucket(
+        queries.withColumnRenamed(q_emb_col, emb_col), emb_col, n_planes
+    ).withColumnRenamed(emb_col, q_emb_col)
+    # multiprobe: each query also probes buckets one bit-flip away
+    probes = [F.col("bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    q = q.withColumn("probe", F.explode(F.array(*probes))).drop("bucket")
+    scored = (
+        c.join(q, c["bucket"] == q["probe"])
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.dropDuplicates([q_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cos")
+    )

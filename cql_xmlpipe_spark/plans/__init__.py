@@ -1,0 +1,5 @@
+from cql_xmlpipe_spark.plans.queries import ORACLE, QUERIES
+from cql_xmlpipe_spark.plans import kernel as _kernel  # noqa: F401 (registers)
+from cql_xmlpipe_spark.plans import extensions as _extensions  # noqa: F401
+
+__all__ = ["ORACLE", "QUERIES"]

@@ -1,0 +1,330 @@
+"""§2D extension queries: dedup, similarity search, text analysis,
+multimodal manifest — the training-data-pipeline operators.
+
+Oracle-backed wherever cross-engine determinism is achievable with SQL;
+MinHash/SimHash signatures use engine-native xxhash64 so they get
+rows-only driver checks plus model-based unit tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.functions import text as TX
+from cql_xmlpipe_spark.operators import dedup as DD
+from cql_xmlpipe_spark.operators.similarity import brute_force_topk, lsh_topk
+from cql_xmlpipe_spark.plans.queries import _q
+from cql_xmlpipe_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+           COUNT(*) OVER (PARTITION BY text) AS group_size,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@_q(
+    "dedup_exact_hash_groups",
+    """
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: shuffle 32-byte content hashes, not documents."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(t.sh) AS sh
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        FROM (
+          SELECT doc_id, lang,
+                 list_filter(string_split(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+          FROM documents)
+      ) t
+      WHERE len(t.sh) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+"""
+
+
+@_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs within language blocks."""
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.35, k=3
+    )
+
+
+@_q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
+    tests/test_dedup.py verifies candidates ⊇ high-jaccard pairs)."""
+    return DD.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.35)
+
+
+@_q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    return DD.simhash_near_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+@_q("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.95 via sign-LSH buckets
+    (rows-only; tests verify against brute force)."""
+    return DD.embedding_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+          (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (a, b) -> a + b))) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+                AS INTEGER) AS rank,
+           cos
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@_q("similarity_cosine_topk", _COSINE_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors. Left-to-right
+    double folds on both engines ⇒ bit-identical cosines."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(e, q, k=10)
+
+
+@_q("similarity_lsh_topk")
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-random-projection buckets + multiprobe
+    (rows-only; tests measure recall ≥ 0.6 vs brute force)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_topk(e, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}'))
+                AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> ''))
+                AS INTEGER) AS n_words
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(TX.ws_tokens(t)).alias("n_ws_tokens"),
+        F.size(TX.bpe_ish_tokens(t)).alias("n_bpe_tokens"),
+        F.size(TX.words(t)).alias("n_words"),
+    )
+
+
+_QUALITY_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(list_reduce(list_prepend(0::BIGINT,
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a,b) -> a+b) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains(
+                ['the','and','of','to','in','is','that','it','for','was'], x)))
+                AS DOUBLE) / len(toks) AS stopword_ratio
+    FROM t WHERE len(toks) > 0
+"""
+
+
+@_q("text_quality_scores", _QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.words(F.col("text"))
+    base = d.select("doc_id", "text", toks.alias("toks")).filter(F.size("toks") > 0)
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    punct_removed = F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    return base.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("toks").alias("n_tokens"),
+        (tok_len_sum.cast("double") / F.size("toks")).alias("avg_token_len"),
+        (
+            (F.length("text") - F.length(punct_removed)).cast("double") / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            TX.stopword_hits(F.col("toks"), TX.LANG_STOPWORDS["en"]).cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ",".join(f"'{s}'" for s in stops)
+            + "], x)))"
+        )
+        for lang, stops in TX.LANG_STOPWORDS.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST({hits['en']} AS INTEGER) AS s_en,
+           CAST({hits['de']} AS INTEGER) AS s_de,
+           CAST({hits['fr']} AS INTEGER) AS s_fr,
+           CAST({hits['es']} AS INTEGER) AS s_es,
+           CASE
+             WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+                  AND {hits['en']} >= {hits['es']} THEN 'en'
+             WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+             WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+             ELSE 'es'
+           END AS predicted_lang
+    FROM t
+    """
+
+
+@_q("text_langid_heuristic", _langid_oracle())
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", TX.words(F.col("text")).alias("toks"))
+    scores = {k: TX.stopword_hits(F.col("toks"), v) for k, v in TX.LANG_STOPWORDS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return base.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal manifest (binary-column plumbing; decode stubs live in
+# operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_manifest",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload manifest: documents' text bytes stand in for opaque
+    media blobs; typed metadata extraction stays engine-side."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+    )

@@ -1,0 +1,186 @@
+"""§2A kernel queries: xmlpipe2 export, sdbm doc ids, <mem> transform —
+each with a full DuckDB oracle so the reference's nonstandard semantics
+are hash-checked cross-engine, not just unit-tested.
+
+The sdbm oracle is the interesting one: the hash is re-implemented IN SQL
+(HUGEINT modular arithmetic + list_reduce over code points + two's-
+complement sign normalization), so the pandas-UDF path is verified by an
+independent implementation. ASCII-only inputs (ord == UTF-16 unit there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.functions.dockey import sdbm_key_udf
+from cql_xmlpipe_spark.functions.xmlfuncs import mem_transform, xml_escape_text
+from cql_xmlpipe_spark.operators.xmlpipe import xml_documents
+from cql_xmlpipe_spark.plans.queries import _q
+from cql_xmlpipe_spark.sources.registry import load_table
+
+#: DuckDB escape chain == JDK StAX text-node rules (amp first)
+_ESC = "replace(replace(replace({v}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+_TWO63 = "9223372036854775808"
+_TWO64 = "18446744073709551616"
+
+#: sdbm(base, s) in DuckDB SQL: reduce 65599*acc + code over UTF-16 units
+#: (ASCII ⇒ ord), then reinterpret unsigned→signed and negate non-positives.
+SDBM_SQL = f"""
+    list_reduce(
+      list_prepend(CAST({{base}} AS HUGEINT),
+                   list_transform(string_split({{s}}, ''), x -> CAST(ord(x) AS HUGEINT))),
+      (acc, c) -> (acc * 65599 + c) % CAST({_TWO64} AS HUGEINT)
+    )
+"""
+
+
+def sdbm_signed_sql(base: str, s: str) -> str:
+    u = SDBM_SQL.format(base=base, s=s)
+    neg = f"(({_TWO64} - ({u})) % {_TWO64})"
+    return f"""
+      CAST(CASE
+        WHEN ({u}) > 0 AND ({u}) < {_TWO63} THEN ({u})
+        WHEN {neg} >= {_TWO63} THEN {neg} - {_TWO64}
+        ELSE {neg}
+      END AS BIGINT)
+    """
+
+
+@_q(
+    "doc_id_sdbm_customer",
+    f"""
+    SELECT c_custkey, {sdbm_signed_sql('c_custkey', 'c_name')} AS doc_id
+    FROM customer
+    """,
+)
+def doc_id_sdbm_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-path doc ids: -keys c_name,c_custkey (string + consumed int
+    hashBase), ``Query.java:206-218``. The oracle recomputes sdbm in SQL."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        sdbm_key_udf(F.col("c_custkey"), F.col("c_name")).alias("doc_id"),
+    )
+
+
+def _xml_orders_oracle() -> str:
+    esc = _ESC
+    return f"""
+    SELECT o_orderkey AS id,
+           chr(10) || '<sphinx:document id="' || CAST(o_orderkey AS VARCHAR) || '">'
+        || '<o_orderkey>' || CAST(o_orderkey AS VARCHAR) || '</o_orderkey>'
+        || '<o_orderstatus>' || {esc.format(v='o_orderstatus')} || '</o_orderstatus>'
+        || '<o_orderpriority>' || {esc.format(v='o_orderpriority')} || '</o_orderpriority>'
+        || '<o_totalprice>' || CAST(o_totalprice AS VARCHAR) || '</o_totalprice>'
+        || '<o_orderdate>' || strftime(o_orderdate, '%a %b %d %H:%M:%S UTC %Y') || '</o_orderdate>'
+        || '</sphinx:document>' AS xml
+    FROM orders
+    """
+
+
+@_q("xmlpipe_orders_export", _xml_orders_oracle())
+def xmlpipe_orders_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A7 end-to-end on real data: fast-path int id + full document
+    assembly, incl. Java Double.toString and java.util.Date formats."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    return xml_documents(o, ["o_orderkey"])
+
+
+@_q(
+    "mem_transform_matrix",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN '<![CDATA[<mem>' || CAST(doc_id AS VARCHAR) || ' 2</mem><mem>3</mem>]]>'
+             WHEN 1 THEN '[not json]'
+             WHEN 2 THEN replace(replace(replace('{"k": ' || CAST(doc_id AS VARCHAR) || '}',
+                         '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             ELSE replace(replace(replace(substr(text, 1, 50),
+                         '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           END AS fragment
+    FROM documents
+    """,
+)
+def mem_transform_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 on synthesized field classes over `documents` (FIXTURES F4):
+    valid list-of-int-arrays, invalid-bracketed, object-shaped, plain."""
+    d = load_table(spark, "documents", sf_dir)
+    txt = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("[["), F.col("doc_id").cast("string"), F.lit(",2],[3]]")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("[not json]"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit('{"k": '), F.col("doc_id").cast("string"), F.lit("}")),
+        )
+        .otherwise(F.substring("text", 1, 50))
+    )
+    return d.select("doc_id", mem_transform(txt).alias("fragment"))
+
+
+def _xml_lineitem_oracle() -> str:
+    """Hash-path doc ids (-keys l_orderkey,l_linenumber): the first
+    integral key is consumed as hashBase while hashBase==0
+    (``Query.java:206-218``), so the id is sdbm(l_orderkey,
+    str(l_linenumber)) — except orderkey 0 rows, where l_linenumber
+    itself becomes the base and the key string is empty."""
+    esc = _ESC
+    sdbm = sdbm_signed_sql("l_orderkey", "CAST(l_linenumber AS VARCHAR)")
+    return f"""
+    WITH ids AS (
+      SELECT *,
+             CASE WHEN l_orderkey <> 0 THEN {sdbm}
+                  WHEN l_linenumber <> 0 THEN CAST(l_linenumber AS BIGINT)
+                  ELSE 0 END AS id
+      FROM lineitem)
+    SELECT id,
+           chr(10) || '<sphinx:document id="' || CAST(id AS VARCHAR) || '">'
+        || '<l_orderkey>' || CAST(l_orderkey AS VARCHAR) || '</l_orderkey>'
+        || '<l_partkey>' || CAST(l_partkey AS VARCHAR) || '</l_partkey>'
+        || '<l_suppkey>' || CAST(l_suppkey AS VARCHAR) || '</l_suppkey>'
+        || '<l_linenumber>' || CAST(l_linenumber AS VARCHAR) || '</l_linenumber>'
+        || '<l_quantity>' || CAST(l_quantity AS VARCHAR) || '</l_quantity>'
+        || '<l_extendedprice>' || CAST(l_extendedprice AS VARCHAR) || '</l_extendedprice>'
+        || '<l_discount>' || CAST(l_discount AS VARCHAR) || '</l_discount>'
+        || '<l_tax>' || CAST(l_tax AS VARCHAR) || '</l_tax>'
+        || '<l_returnflag>' || {esc.format(v='l_returnflag')} || '</l_returnflag>'
+        || '<l_linestatus>' || {esc.format(v='l_linestatus')} || '</l_linestatus>'
+        || '<l_shipdate>' || strftime(l_shipdate, '%a %b %d %H:%M:%S UTC %Y') || '</l_shipdate>'
+        || '</sphinx:document>' AS xml
+    FROM ids
+    """
+
+
+@_q("xmlpipe_lineitem_export", _xml_lineitem_oracle())
+def xmlpipe_lineitem_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.md BENCH workload: full lineitem through the xmlpipe2
+    kernel with hash-path ids (two integral keys — exercises the
+    hashBase-consumption subtlety of ``Query.java:206-218`` on real data)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return xml_documents(l, ["l_orderkey", "l_linenumber"])
+
+
+_NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+@_q(
+    "text_fingerprint_sdbm",
+    f"""
+    SELECT doc_id,
+           {sdbm_signed_sql("0", _NORM_TEXT_SQL)}
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_sdbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: sdbm rolling hash over whitespace-normalized
+    lowercase text (the reference's hash reused as a content fingerprint).
+    Cross-checked against the SQL sdbm oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return d.select("doc_id", sdbm_key_udf(F.lit(0), norm).alias("fingerprint"))

@@ -1,0 +1,629 @@
+"""Declared query surface (SURVEY §2) with DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is ``name -> fn(spark, sf_dir) -> DataFrame``;
+``ORACLE[name]`` is ANSI SQL DuckDB runs over the same parquet views. The
+driver hash-compares both sides at sf0.01, so all of this is written for
+**bit-exact cross-engine determinism**:
+
+* double aggregates go through ``DECIMAL(30,8)`` (exact, order-independent)
+  and cast back to double — parallel summation order can't perturb bits;
+* element-wise double folds (dot products) are left-to-right on both
+  engines (``aggregate``/``zip_with`` ↔ ``list_reduce``);
+* timestamps leave the query as DATE or as explicitly-formatted strings;
+* every computed column is aliased identically on both sides.
+
+Coverage map (SURVEY §2): B1-B8 scan/filter/order/limit/count; §2C joins
+(broadcast/semi/anti/outer), aggregation (group/rollup/cube/distinct),
+windows (ranking/analytic/frames), set ops, scalar function library,
+event-time windows + sessionization; §2A kernel (xmlpipe export, sdbm doc
+ids, <mem> transform) — the sdbm oracle re-implements the hash IN SQL via
+HUGEINT modular arithmetic; §2D dedup / similarity / text analysis /
+multimodal manifest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.functions import text as TX
+from cql_xmlpipe_spark.functions.vectors import cosine
+from cql_xmlpipe_spark.sources.registry import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+DEC = "decimal(30,8)"
+
+
+def _q(name: str, oracle: str | None = None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def dsum(col) -> F.Column:
+    """Order-independent double sum: exact decimal accumulation."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def _osum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# §2B/§2C — relational core on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           {_osum('l_extendedprice')} AS sum_base_price,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_osum('l_quantity')} / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "filter_scan_pushdown",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 10 AND l_quantity < 20
+    """,
+)
+def filter_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") < 20)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@_q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark plans this as TakeOrderedAndProject — no global sort at scale.
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@_q(
+    "count_star",
+    """
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*) FROM orders) AS n_orders
+    """,
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = load_table(spark, "lineitem", sf_dir).count()
+    no = load_table(spark, "orders", sf_dir).count()
+    return load_table(spark, "region", sf_dir).limit(1).select(
+        F.lit(nl).alias("n_lineitem"), F.lit(no).alias("n_orders")
+    )
+
+
+@_q(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "outer_join_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def outer_join_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "rollup_region_nation_acctbal",
+    f"""
+    SELECT r_name, n_name,
+           {_osum('c_acctbal')} AS total_acctbal, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@_q(
+    "cube_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {_osum('o_totalprice')} AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "window_lag_lead_events",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           value - LAG(value) OVER w AS delta_value,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@_q(
+    "set_ops_customer_segments",
+    """
+    SELECT 'union' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
+        .unionByName(a.exceptAll(b.distinct()).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+    )
+
+
+@_q(
+    "distinct_counts",
+    """
+    SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_orders,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+             AS n_part_supp,
+           (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_flags
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+# approx_count_distinct: HLL sketches are engine-specific — no SQL oracle;
+# the driver records a rows-only check and tests/ assert the error bound.
+@_q("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@_q(
+    "string_function_gauntlet",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           string_split(p_type, ' ')[1] AS type_head,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           reverse(p_name) AS name_rev
+    FROM part
+    """,
+)
+def string_function_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+@_q(
+    "date_function_gauntlet",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INTEGER) AS days_to_2002
+    FROM orders
+    """,
+)
+def date_function_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+    )
+
+
+@_q(
+    "conditional_agg_pivot",
+    f"""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           {_osum('o_totalprice')} AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+
+    def flag(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    return o.groupBy("o_orderpriority").agg(
+        flag("F").alias("n_f"),
+        flag("O").alias("n_o"),
+        flag("P").alias("n_p"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@_q(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time processing (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_tumbling_window",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_events,
+           {_osum('value')} AS sum_value
+    FROM events GROUP BY event_type, bucket_start
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            "event_type",
+            F.col("w.start").cast("timestamp").cast("long").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+                  OR LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) AS session_start_us, MAX(us) AS session_end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w) > 600_000_000) | F.lag(us).over(w).isNull(), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = t.select("user_id", "us", F.sum("new_session").over(w2).alias("session_id"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+    )

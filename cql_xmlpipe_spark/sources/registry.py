@@ -48,7 +48,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # integer `div`, NOT `/`: double division loses µs precision on
+            # ~1.7e18 ns epoch values (> 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

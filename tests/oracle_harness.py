@@ -1,0 +1,105 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet dir,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tests/oracle_harness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, (datetime, date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return f"{type(v).__name__[:1]}:{v}"
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def compare(name, spark_df, duck_rel) -> list[str]:
+    problems = []
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols = [c.lower() for c in duck_rel.columns]
+    d_rows = duck_rel.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count: spark={len(s_rows)} duck={len(d_rows)}")
+    a = _norm_rows(s_cols, s_rows)
+    b = _norm_rows(d_cols, d_rows)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y]
+        only_a = set(a) - set(b)
+        only_b = set(b) - set(a)
+        problems.append(
+            f"values differ ({len(diffs)} aligned diffs; {len(only_a)} spark-only, "
+            f"{len(only_b)} duck-only); first: "
+            + repr((sorted(only_a)[:1], sorted(only_b)[:1]))
+        )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from cql_xmlpipe_spark.session import get_spark
+    from cql_xmlpipe_spark.sources.registry import TABLES
+
+    spark = get_spark("oracle-harness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                n = df.count()
+                print(f"  [rows-only] {name}: {n} rows")
+                continue
+            problems = compare(name, df, con.sql(oracles[name]))
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(exc).__name__}: {str(exc)[:500]}"]
+        if problems:
+            failed.append(name)
+            print(f"  [FAIL] {name}")
+            for p in problems:
+                print(f"         {p}")
+        else:
+            print(f"  [ok]   {name}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} passing")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
