@@ -328,3 +328,29 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
         (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
     )
+
+
+@_q("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode path (stubbed codec — rows-only;
+    determinism + batch-shape asserted in tests/test_multimodal.py)."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        attach_media_columns,
+        decode_image_features,
+    )
+
+    media = attach_media_columns(load_table(spark, "documents", sf_dir))
+    return decode_image_features(media)
+
+
+@_q("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-sampling fan-out via mapInPandas (stubbed codec — rows-only;
+    fan-out counts asserted against metadata in tests)."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        attach_media_columns,
+        sample_video_frames,
+    )
+
+    media = attach_media_columns(load_table(spark, "documents", sf_dir))
+    return sample_video_frames(media, every_ms=5000).drop("frame")

@@ -1,0 +1,72 @@
+"""Streaming sources.
+
+The reference is a one-shot batch exporter (``Query.java:146-170``); the
+Spark-native engine additionally exposes the same tables as *streams* so
+the xmlpipe2 kernel and the event operators run under Structured
+Streaming. The file source replays the driver's ``events`` parquet as a
+stream (exactly-once, checkpointable); on a cluster the same operators
+bind to Kafka/rate sources unchanged — only this module swaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema. ts is parquet TIMESTAMP(NANOS); under
+#: spark.sql.legacy.parquet.nanosAsLong (set by the session factory) it
+#: reads as LongType and is converted to a µs timestamp below — identical
+#: to the batch registry's handling (sources/registry.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_schema() -> T.StructType:
+    """Logical schema after ns→µs timestamp conversion."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; the testdata table is
+    a single parquet file. Stage a symlink dir (no data copy)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join("/tmp", "spark_graft_stream", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events table (file source, replayable)."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_stage_dir(sf_dir))
+    # integer `div`: double division loses µs precision on ~1.7e18 ns values
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,106 @@
+"""Structured Streaming coverage: every streaming operator replays the
+events table with ``trigger(availableNow=True)`` and must agree exactly
+with its batch twin (same engine, same data ⇒ equality is exact, not
+approximate)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.operators.xmlpipe import xml_documents
+from cql_xmlpipe_spark.plans import QUERIES
+from cql_xmlpipe_spark.sources.registry import load_table
+from cql_xmlpipe_spark.streaming import (
+    running_user_stats,
+    session_window_stats,
+    stream_events,
+    tumbling_window_counts,
+    write_xmlpipe_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(df, name: str, mode: str, spark):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    got = _run_to_memory(
+        tumbling_window_counts(stream_events(spark, SF)), "t_tumble", "update", spark
+    )
+    want = QUERIES["events_tumbling_window"](spark, SF)
+    cols = ["event_type", "bucket_start", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_window_stream_equals_batch(spark):
+    # session-window aggs reject update mode; complete emits every session
+    # regardless of watermark, which is exactly what batch-equality needs
+    got = _run_to_memory(
+        session_window_stats(stream_events(spark, SF), gap="10 minutes"),
+        "t_session",
+        "complete",
+        spark,
+    )
+    want = QUERIES["events_sessionize"](spark, SF)
+    # session_window end = last event + gap; the batch twin records the last
+    # event itself — align by subtracting the gap.
+    gap_us = 10 * 60 * 1_000_000
+    got_rows = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"] - gap_us, r["n_events"])
+        for r in got.collect()
+    )
+    want_rows = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in want.collect()
+    )
+    assert got_rows == want_rows
+
+
+def test_stateful_running_stats_equals_batch(spark):
+    got = _run_to_memory(
+        running_user_stats(stream_events(spark, SF)), "t_state", "update", spark
+    )
+    # one availableNow batch -> exactly one update per user
+    e = load_table(spark, "events", SF)
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        F.max(F.unix_micros("ts")).alias("last_seen_us"),
+        F.size(F.collect_set("event_type")).alias("n_event_types"),
+    )
+    cols = ["user_id", "n_events", "sum_value_cents", "last_seen_us", "n_event_types"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_xmlpipe_stream_sink_equals_batch(spark, tmp_path):
+    out = str(tmp_path / "xml_out")
+    q = write_xmlpipe_stream(
+        stream_events(spark, SF), ["event_id"], out, available_now=True
+    )
+    q.awaitTermination(120)
+    lines: list[str] = []
+    for part in glob.glob(f"{out}/batch=*/part-*"):
+        with open(part, encoding="utf-8") as fh:
+            lines.extend(ln for ln in fh.read().split("\n") if ln)
+    batch_docs = xml_documents(load_table(spark, "events", SF), ["event_id"])
+    want = sorted(r["xml"].lstrip("\n") for r in batch_docs.collect())
+    assert sorted(lines) == want
+    # envelope parts present for consumer-side concatenation
+    assert glob.glob(f"{out}/_PROLOG") and glob.glob(f"{out}/_CLOSE")
