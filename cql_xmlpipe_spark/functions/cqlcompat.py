@@ -1,0 +1,118 @@
+"""CQL built-in compatibility functions (SURVEY §2B B9/B11/B12).
+
+The reference forwards CQL verbatim to a Cassandra 2.x server
+(``Query.java:151-153``), so its accepted surface includes the server's
+scalar built-ins. This module re-exposes them as Column expressions:
+
+* ``token_murmur_like`` — B9: partitioner token. Documented divergence:
+  Cassandra's Murmur3Partitioner token (murmur3_128 high bits) is not
+  reproducible with Spark built-ins; we expose a deterministic 64-bit
+  token with the same *operational* properties (stable, uniform,
+  range-partitionable). Byte-parity with a live cluster is out of scope
+  (SURVEY §2B: "not needed for parity").
+* timeuuid family — B11: ``date_of`` / ``unix_timestamp_of`` /
+  ``min_timeuuid`` / ``max_timeuuid``. Version-1 UUID layout per RFC 4122:
+  60-bit count of 100ns intervals since 1582-10-15, split
+  time_low(32) / time_mid(16) / time_hi(12). min/max use Cassandra's
+  published MIN/MAX clock-seq-and-node constants (0x8080808080808080 /
+  0x7f7f7f7f7f7f7f7f), so ``SELECT ... WHERE t > minTimeuuid(..)``
+  windows behave identically.
+* blob casts — B12: ``blob_as_bigint`` etc. reinterpret bytes,
+  big-endian, exactly like Cassandra's ``blobAsX``/``XAsBlob``.
+
+All pure Column exprs (conv/hex/unhex/concat_ws) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: 100ns intervals between 1582-10-15 (gregorian reform) and 1970-01-01
+GREGORIAN_OFFSET_100NS = 122192928000000000
+
+MIN_CLOCK_SEQ_AND_NODE = "8080-808080808080"  # Cassandra UUIDGen constants
+MAX_CLOCK_SEQ_AND_NODE = "7f7f-7f7f7f7f7f7f"
+
+
+def token_murmur_like(*cols: Column) -> Column:
+    """Deterministic 64-bit partitioner token over the partition key."""
+    return F.xxhash64(*cols)
+
+
+def _timeuuid_ts100(uuid_col: Column) -> Column:
+    """60-bit v1 timestamp (100ns units since gregorian epoch) from a
+    canonical uuid string ``tttttttt-tttt-1ttt-cccc-nnnnnnnnnnnn``."""
+    time_low = F.conv(F.substring(uuid_col, 1, 8), 16, 10).cast("long")
+    time_mid = F.conv(F.substring(uuid_col, 10, 4), 16, 10).cast("long")
+    time_hi = F.conv(F.substring(uuid_col, 16, 3), 16, 10).cast("long")  # skip version nibble
+    return (
+        F.shiftleft(time_hi, 48) + F.shiftleft(time_mid, 32) + time_low
+    )
+
+
+def unix_timestamp_of(uuid_col: Column) -> Column:
+    """CQL ``unixTimestampOf(timeuuid)`` — epoch milliseconds (long)."""
+    return ((_timeuuid_ts100(uuid_col) - F.lit(GREGORIAN_OFFSET_100NS)) / 10000).cast(
+        "long"
+    )
+
+
+def date_of(uuid_col: Column) -> Column:
+    """CQL ``dateOf(timeuuid)`` — the embedded time as a timestamp."""
+    return F.timestamp_millis(unix_timestamp_of(uuid_col))
+
+
+def _hex_n(col: Column, n: int) -> Column:
+    return F.lpad(F.lower(F.hex(col)), n, "0")
+
+
+def _timeuuid_from_ms(ts_ms: Column, clock_node: str) -> Column:
+    ts100 = (ts_ms.cast("long") * 10000) + F.lit(GREGORIAN_OFFSET_100NS)
+    time_low = ts100.bitwiseAND(F.lit(0xFFFFFFFF))
+    time_mid = F.shiftrightunsigned(ts100, 32).bitwiseAND(F.lit(0xFFFF))
+    time_hi = F.shiftrightunsigned(ts100, 48).bitwiseAND(F.lit(0x0FFF))
+    return F.concat_ws(
+        "-",
+        _hex_n(time_low, 8),
+        _hex_n(time_mid, 4),
+        F.concat(F.lit("1"), _hex_n(time_hi, 3)),
+        F.lit(clock_node),
+    )
+
+
+def min_timeuuid(ts: Column) -> Column:
+    """CQL ``minTimeuuid(ts)`` — smallest v1 uuid for that millisecond."""
+    return _timeuuid_from_ms(F.unix_millis(ts), MIN_CLOCK_SEQ_AND_NODE)
+
+
+def max_timeuuid(ts: Column) -> Column:
+    """CQL ``maxTimeuuid(ts)`` — largest v1 uuid for that millisecond."""
+    return _timeuuid_from_ms(F.unix_millis(ts), MAX_CLOCK_SEQ_AND_NODE)
+
+
+# --- B12 blob casts (big-endian reinterpretation, like Cassandra) ----------
+
+
+def blob_as_bigint(col: Column) -> Column:
+    return F.conv(F.hex(col), 16, 10).cast("long")
+
+
+def blob_as_int(col: Column) -> Column:
+    return F.conv(F.hex(col), 16, 10).cast("long").cast("int")
+
+
+def blob_as_text(col: Column) -> Column:
+    return col.cast("string")  # utf-8 decode
+
+
+def bigint_as_blob(col: Column) -> Column:
+    return F.unhex(F.lpad(F.hex(col), 16, "0"))
+
+
+def int_as_blob(col: Column) -> Column:
+    return F.unhex(F.lpad(F.hex(col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0"))
+
+
+def text_as_blob(col: Column) -> Column:
+    return F.encode(col, "UTF-8")

@@ -1,0 +1,114 @@
+"""As-of (temporal) join and range join — operators Spark lacks natively
+(SURVEY §2C "range/as-of via conditions").
+
+``asof_join`` uses the union + ordered-window formulation, NOT a
+range-condition join: both inputs are tagged and unioned, sorted within
+each key partition by (ts, side), and each left row picks up the latest
+right row via ``last(..., ignorenulls=True)`` over a running frame. Cost
+profile at 100 TB: ONE shuffle of (keys ∪ keys) on the join key + a
+within-partition sort — linear, no range-explosion, no skew quadratic
+blowup (a naive ``l.ts >= r.ts`` theta-join degenerates to per-key cross
+products).
+
+``range_join_bands`` is the broadcast range join: each fact row finds its
+band via an inequality join against a tiny broadcast dimension —
+Catalyst plans BroadcastNestedLoopJoin, which is the right physical plan
+when one side is a handful of rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "r_",
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` (backward; ties match) — per join key.
+
+    ``direction="forward"`` attaches the earliest right row with
+    ``right.ts >= left.ts`` instead. Right value columns come back
+    prefixed (``r_<col>``), NULL when nothing qualifies.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on = list(on)
+    left_cols = [c for c in left.columns]
+    right_vals = [c for c in right.columns if c not in on and c != right_ts]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_vals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left at equal ts (ties match); running
+        # frame looks back
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        pick = F.last
+    else:
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick = F.first
+
+    picked = unioned.select(
+        "*",
+        *[
+            pick(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"_p_{c}")
+            for c in right_vals
+        ],
+        pick(F.col("_r_ts"), ignorenulls=True).over(w).alias("_p_ts"),
+    ).filter(F.col("_is_left") == 1)
+
+    return picked.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_p_{c}").alias(f"{right_prefix}{c}") for c in right_vals],
+        F.col("_p_ts").alias(f"{right_prefix}{right_ts}"),
+    )
+
+
+def range_join_bands(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Attach the band row whose [lo, hi) interval contains ``value_col``.
+
+    ``bands`` must be small: it is broadcast and the join is a
+    BroadcastNestedLoopJoin (inequality predicates can't hash-partition).
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "left")

@@ -245,23 +245,47 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: LSH-bucket by sign pattern of
-    deterministic hyperplanes, verify cosine within buckets."""
+    """Embedding-cosine near-dup via BANDED sign-LSH.
+
+    A single exact-match bucket over p planes has recall (1-θ/π)^p — at
+    cosine 0.95 (θ≈18°) and p=8 that's only ~0.43. Banding fixes it: with
+    16 planes in 4 bands of 4, a pair is a candidate if ANY band matches:
+    recall 1-(1-0.9⁴)⁴ ≈ 0.99 at cosine 0.95. Candidate generation joins
+    bare (id, band, bucket) ints; embeddings are fetched by id only for
+    the verify step (same shuffle discipline as minhash_lsh_pairs).
+    """
     from cql_xmlpipe_spark.functions.vectors import cosine
     from cql_xmlpipe_spark.operators.similarity import with_sign_bucket
 
-    bucketed = with_sign_bucket(emb, emb_col, n_planes)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"), "bucket"
+    bits_per_band = n_planes // n_bands
+    bucketed = with_sign_bucket(emb, emb_col, n_planes).persist()
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("bucket"), b * bits_per_band).bitwiseAND(
+                F.lit((1 << bits_per_band) - 1)
+            )
+            for b in range(n_bands)
+        ]
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    keys = bucketed.select(F.col(id_col), F.posexplode(bands).alias("band", "bval"))
+    cands = (
+        keys.select(F.col(id_col).alias("id_a"), "band", "bval")
+        .join(keys.select(F.col(id_col).alias("id_b"), "band", "bval"), ["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = bucketed.select(F.col(id_col), F.col(emb_col))
+    return (
+        cands.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a")), "id_a"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b")), "id_b"
+        )
         .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

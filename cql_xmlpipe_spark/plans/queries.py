@@ -555,6 +555,86 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# as-of / range joins (custom temporal operators, operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_join_purchase_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, MAX(value) AS click_value FROM events
+          WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           c.click_value AS r_click_value, epoch_us(c.ts) AS r_ts_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's most recent click at-or-before it
+    (union + ordered-window as-of join — one shuffle, no theta-join
+    blowup). DuckDB's native ASOF JOIN is the oracle."""
+    from cql_xmlpipe_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(p, c, on=["user_id"], left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "r_click_value",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
+@_q(
+    "range_join_price_bands",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+      ('high', 250000.0, 400000.0), ('premium', 400000.0, 1e18))
+    SELECT band, COUNT(*) AS n_orders, {_osum('o_totalprice')} AS total_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range join: each order finds its price band via an
+    inequality join against a 4-row broadcast dim (plans as
+    BroadcastNestedLoopJoin — the right physical strategy here)."""
+    from cql_xmlpipe_spark.operators.asof import range_join_bands
+
+    o = load_table(spark, "orders", sf_dir)
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 100000.0),
+            ("mid", 100000.0, 250000.0),
+            ("high", 250000.0, 400000.0),
+            ("premium", 400000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join_bands(o, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # event-time processing (batch twins of the streaming operators)
 # ---------------------------------------------------------------------------
 

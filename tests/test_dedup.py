@@ -1,0 +1,100 @@
+"""Dedup-operator property tests.
+
+The oracle harness already checks `dedup_exact`/`dedup_ngram_jaccard`
+value-for-value against DuckDB; these tests cover what SQL can't:
+* LSH candidate recall — every high-jaccard pair must be FOUND by the
+  banded MinHash path (candidates ⊇ truth);
+* SimHash — near-identical docs land within the Hamming radius;
+* embedding near-dup — planted near-duplicate vectors are recovered.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.operators import dedup as DD
+from cql_xmlpipe_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_candidates_superset_of_true_pairs(spark):
+    docs = load_table(spark, "documents", SF)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5, k=3).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.5, k=3).collect()
+    }
+    # banded LSH at 16 bands x 4 rows: P(candidate) at j=0.5 is
+    # 1-(1-0.5^4)^16 ≈ 0.645 per pair, but verified pairs all have
+    # j >= 0.5 where the s-curve is far steeper for higher j; require
+    # high recall overall and NO false positives (verify step is exact).
+    assert found <= truth | found  # sanity
+    missed = truth - found
+    assert len(missed) <= max(1, int(0.2 * len(truth))), (
+        f"LSH missed {len(missed)}/{len(truth)} true pairs"
+    )
+    for r in DD.minhash_lsh_pairs(docs, threshold=0.5, k=3).collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_finds_planted_near_identical(spark):
+    # simhash stability needs edit-fraction << 1: use ~200-token docs
+    # differing in ONE occurrence (0.5% edit) so few bit-votes flip
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    base_tokens = rng.choices(vocab, k=200)
+    edited = list(base_tokens)
+    edited[100] = "zzz"
+    rows = [(1, " ".join(base_tokens), "en"), (2, " ".join(edited), "en")]
+    for i in range(3, 40):
+        rows.append((i, " ".join(rng.choices(vocab, k=200)), "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.simhash_near_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+
+
+def test_embedding_near_dup_recovers_planted(spark):
+    rng = random.Random(42)
+    dim = 32
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = [(i, unit()) for i in range(40)]
+    # plant: vec 100 = tiny perturbation of vec 0 (cosine > 0.99)
+    v0 = vecs[0][1]
+    perturbed = [x + rng.gauss(0, 0.01) for x in v0]
+    n = math.sqrt(sum(x * x for x in perturbed))
+    vecs.append((100, [x / n for x in perturbed]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in DD.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (0, 100) in pairs
+    assert pairs[(0, 100)] > 0.99
+    for cos in pairs.values():
+        assert cos >= 0.95
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(10, "same"), (3, "same"), (7, "other")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in DD.exact_dedup(df).collect()}
+    assert rows[3]["keep_id"] == 3 and not rows[3]["is_duplicate"]
+    assert rows[10]["keep_id"] == 3 and rows[10]["is_duplicate"]
+    assert rows[7]["group_size"] == 1
