@@ -59,6 +59,8 @@ def main() -> int:
     # is query time, not session startup
     spark.range(1).count()
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -66,7 +68,13 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        df.count()  # full execution; avoids driver-collect bandwidth noise
+        # checksum over EVERY column: forces full computation of all
+        # projections (a bare count() lets Catalyst prune them away),
+        # while returning one row — no driver-collect bandwidth noise.
+        # bit_xor, not sum: long sums overflow under ANSI mode.
+        df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")).agg(
+            F.expr("bit_xor(h)")
+        ).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -75,24 +75,37 @@ def sdbm_key_py(hash_base: int, s: str | None) -> int:
 
 
 def _sdbm_batch(bases: np.ndarray, texts: pd.Series) -> np.ndarray:
+    """Fully vectorized: group rows by UTF-16 length, pack each group into
+    an (n_rows, L) uint16 matrix, and compute every hash in the group as
+    one uint64 matrix-vector product against the reversed powers table
+    (C unsigned arithmetic wraps mod 2^64 natively). No per-row Python
+    loop — the Arrow batch is ~matmul-bound."""
     global _POWS
     out = np.zeros(len(texts), dtype=np.uint64)
     vals = texts.to_numpy(dtype=object)
+    enc: list[bytes | None] = [None] * len(vals)
+    lens = np.full(len(vals), -1, dtype=np.int64)
+    for i, s in enumerate(vals):
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            continue  # getStringKey(null) -> 0, ignoring base
+        e = str(s).encode("utf-16-le")
+        enc[i] = e
+        lens[i] = len(e) >> 1
+    max_len = int(lens.max()) if len(lens) else 0
+    if max_len >= len(_POWS):
+        _POWS = _powers(max(max_len, 2 * len(_POWS)))
     with np.errstate(over="ignore"):
-        for i in range(len(vals)):
-            s = vals[i]
-            if s is None or (isinstance(s, float) and np.isnan(s)):
-                out[i] = 0  # getStringKey(null) -> 0, ignoring base
+        for L in np.unique(lens):
+            if L < 0:
                 continue
-            units = np.frombuffer(str(s).encode("utf-16-le"), dtype="<u2")
-            n = len(units)
-            if n >= len(_POWS):
-                _POWS = _powers(max(n, 2 * len(_POWS)))
-            # h = base*M^n + sum(c_i * M^(n-1-i)), all mod 2^64
-            h = bases[i] * _POWS[n]
-            if n:
-                h += np.dot(units.astype(np.uint64), _POWS[n - 1 :: -1])
-            out[i] = h
+            idx = np.nonzero(lens == L)[0]
+            h = bases[idx] * _POWS[L]
+            if L:
+                units = np.frombuffer(
+                    b"".join(enc[i] for i in idx), dtype="<u2"
+                ).reshape(len(idx), L)
+                h = h + units.astype(np.uint64) @ _POWS[L - 1 :: -1]
+            out[idx] = h
         signed = out.view(np.int64)
         nonpos = signed <= 0
         out[nonpos] = (~out[nonpos]) + np.uint64(1)

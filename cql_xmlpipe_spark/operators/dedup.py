@@ -143,30 +143,45 @@ def ngram_jaccard_pairs(
     still the first choice at 100 TB (this one degrades on stop-shingles).
     """
     sh = shingles(words(F.col(text_col)), k)
-    base = df.select(
-        F.col(id_col), F.col(block_col).alias("block"), sh.alias("sh")
-    ).filter(F.size("sh") > 0)
-    # join on 8-byte shingle hashes, not shingle strings (distinct already);
-    # persisted: feeds both self-join sides + the two size lookups.
-    toks = base.select(
-        F.col(id_col), "block",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s")
-    ).persist()
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        toks.select(F.col(id_col).alias("id_a"), "block", "s")
-        .join(toks.select(F.col(id_col).alias("id_b"), "block", "s"), ["block", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    # sorted distinct shingle hashes = canonical global order for the
+    # PREFIX FILTER (PPJoin principle): if J(A,B) >= t, the two sets must
+    # share an element within the first |X| - ceil(t*|X|) + 1 elements of
+    # each — so only prefixes enter the inverted index. Exactness is
+    # preserved (verification below recomputes true Jaccard); candidate
+    # volume drops ~(1-t) and frequency-skewed shingles mostly fall out
+    # of prefixes, which is what keeps this viable at corpus scale.
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.sort_array(
+                F.transform(sh, lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    n = F.size("sh")
+    prefix_len = (n - F.ceil(n * threshold) + 1).cast("int")
+    prefixes = base.select(
+        F.col(id_col), "block", F.explode(F.slice("sh", 1, prefix_len)).alias("s")
+    )
+    cands = (
+        prefixes.select(F.col(id_col).alias("id_a"), "block", "s")
+        .join(prefixes.select(F.col(id_col).alias("id_b"), "block", "s"), ["block", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = base.select(F.col(id_col), "sh")
+    verified = (
+        cands.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
