@@ -554,6 +554,154 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "json_extraction_events",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extraction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props string column."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "array_functions_gauntlet",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS toks FROM part)
+    SELECT p_partkey,
+           list_sort(toks) AS toks_sorted,
+           list_contains(toks, 'BRUSHED') AS has_brushed,
+           coalesce(array_to_string(list_slice(toks, 2, 3), ','), '') AS mid,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           list_min(toks) AS tok_min,
+           list_concat(toks, ['x']) AS appended
+    FROM t
+    """,
+)
+def array_functions_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function library over split p_type tokens (sort, contains,
+    slice, join, min, concat)."""
+    p = load_table(spark, "part", sf_dir)
+    toks = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.sort_array(toks).alias("toks_sorted"),
+        F.array_contains(toks, "BRUSHED").alias("has_brushed"),
+        F.array_join(F.slice(toks, 2, 2), ",").alias("mid"),
+        F.size(toks).alias("n_toks"),
+        F.array_min(toks).alias("tok_min"),
+        F.concat(toks, F.array(F.lit("x"))).alias("appended"),
+    )
+
+
+@_q(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's max-price order(s) via a correlated scalar subquery
+    issued through ``spark.sql`` — exercises Catalyst decorrelation (the
+    §2B delegated path: SQL text in, optimized plan out)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_csq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM _csq_orders o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM _csq_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@_q(
+    "grouping_sets_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_osum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) through spark.sql."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@_q(
+    "sortmerge_join_revenue",
+    f"""
+    SELECT o_orderpriority, {_osum('l_extendedprice')} AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sortmerge_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join pinned to sort-merge via the MERGE hint — the physical
+    strategy a 100 TB fact-fact join must take (broadcast is impossible;
+    plan assertion in tests/test_plans.py)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "udtf_sentence_split",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                         x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                         x -> x <> '') AS sents
+      FROM documents),
+    e AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(sents)+1),
+                        i -> {'idx': CAST(i AS INT), 'sentence': sents[i]})) AS u
+          FROM s)
+    SELECT doc_id, u.idx AS idx, u.sentence AS sentence FROM e
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function) in a LATERAL join: 1→N
+    sentence expansion per document."""
+    from cql_xmlpipe_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of / range joins (custom temporal operators, operators/asof.py)
 # ---------------------------------------------------------------------------

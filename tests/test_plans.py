@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the scale contract.
+
+Correctness tests can't see a plan regress from broadcast to cross join
+or lose parquet pushdown; these tests pin the plan shapes that matter at
+100 TB (they run the optimizer only — nothing executes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cql_xmlpipe_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_small_dims_broadcast_in_q5(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "filter_scan_pushdown")
+    assert "PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity), EqualTo(l_returnflag,R)" in plan
+    # column pruning: projection needs 6 cols, schema must not include e.g. l_shipdate
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_topk_plans_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_merge_hint_forces_sort_merge_join(spark):
+    plan = _plan(spark, "sortmerge_join_revenue")
+    assert "SortMergeJoin" in plan
+
+
+def test_asof_join_is_single_exchange_window(spark):
+    """The as-of join must stay union+window: exactly one shuffle for the
+    window (plus the small right-side pre-aggregation), and no join node
+    at all — a range theta-join here would be a per-key cross product."""
+    plan = _plan(spark, "asof_join_purchase_click")
+    assert "Window" in plan
+    assert "Join" not in plan  # no join operator of any kind
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
+
+
+def test_export_is_scan_project_single_pass(spark):
+    plan = _plan(spark, "xmlpipe_lineitem_export")
+    assert "Exchange" not in plan  # no shuffle: scan → udf → project
+    assert "ArrowEvalPython" in plan  # the sdbm UDF is Arrow-batched
+
+
+def test_range_join_broadcasts_tiny_dim(spark):
+    plan = _plan(spark, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    plan = _plan(spark, "dedup_exact_hash_groups")
+    assert "sha2" in plan
+    # aggregation is partial before the exchange (map-side combine)
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    assert first_agg < first_exchange
