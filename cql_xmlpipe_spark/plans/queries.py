@@ -812,6 +812,38 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_sliding_window",
+    f"""
+    WITH e AS (
+      SELECT event_type, value,
+             unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+               AS bucket_start
+      FROM events)
+    SELECT event_type, bucket_start, COUNT(*) AS n_events,
+           {_osum('value')} AS sum_value
+    FROM e GROUP BY event_type, bucket_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min window / 5 min slide): every event lands in
+    two overlapping buckets. Batch twin of streaming sliding_window_counts;
+    the oracle replicates the window-assignment rule by exploding each
+    event into its two bucket starts."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            "event_type",
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_q(
     "events_sessionize",
     """
     WITH t AS (

@@ -16,6 +16,7 @@ from cql_xmlpipe_spark.sources.registry import load_table
 from cql_xmlpipe_spark.streaming import (
     running_user_stats,
     session_window_stats,
+    sliding_window_counts,
     stream_events,
     tumbling_window_counts,
     write_xmlpipe_stream,
@@ -45,6 +46,15 @@ def test_tumbling_stream_equals_batch(spark):
         tumbling_window_counts(stream_events(spark, SF)), "t_tumble", "update", spark
     )
     want = QUERIES["events_tumbling_window"](spark, SF)
+    cols = ["event_type", "bucket_start", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark):
+    got = _run_to_memory(
+        sliding_window_counts(stream_events(spark, SF)), "t_slide", "update", spark
+    ).drop("bucket_end")
+    want = QUERIES["events_sliding_window"](spark, SF)
     cols = ["event_type", "bucket_start", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
 
