@@ -535,6 +535,28 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+           NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+           NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relational pivot (groupBy().pivot() with explicit values — the
+    explicit list avoids the extra distinct-scan job). Spark emits NULL for
+    empty cells; the oracle's NULLIF matches."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@_q(
     "q4_order_priority_exists",
     """
     SELECT o_orderpriority, COUNT(*) AS order_count
