@@ -160,6 +160,19 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=10)
 
 
+@_q("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantizer (KMeans cells +
+    n_probe search — rows-only; tests measure recall vs brute force)."""
+    from cql_xmlpipe_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(e, q, k=10)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -418,6 +418,38 @@ def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "set_ops_all_variants",
+    """
+    SELECT 'union_all' AS op, l_orderkey FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+      UNION ALL
+      SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_orderkey FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+      INTERSECT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+    UNION ALL
+    SELECT 'except_all' AS op, l_orderkey FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+    """,
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-op variants — unionAll/intersectAll/exceptAll
+    preserve duplicate multiplicity, unlike the distinct forms above."""
+    l = load_table(spark, "lineitem", sf_dir)
+    a = l.filter(F.col("l_quantity") > 49).select("l_orderkey")
+    b = l.filter(F.col("l_discount") >= 0.09).select("l_orderkey")
+    return (
+        a.unionAll(b).select(F.lit("union_all").alias("op"), "l_orderkey")
+        .unionByName(a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "l_orderkey"))
+        .unionByName(a.exceptAll(b).select(F.lit("except_all").alias("op"), "l_orderkey"))
+    )
+
+
+@_q(
     "distinct_counts",
     """
     SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_orders,

@@ -1,0 +1,87 @@
+"""ANN recall tests: LSH and IVF approximate top-k vs exact brute force
+on the driver's embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from cql_xmlpipe_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_and_queries(spark):
+    e = load_table(spark, "embeddings", SF).persist()
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return e, q
+
+
+def _pairs(df):
+    return {(r["q_id"], r["vec_id"]) for r in df.collect()}
+
+
+def test_brute_force_exact_k(corpus_and_queries):
+    e, q = corpus_and_queries
+    got = brute_force_topk(e, q, k=10)
+    per_q = got.groupBy("q_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 10 for r in per_q) and len(per_q) == 5
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """ANN recall is only meaningful when neighbors are actually close:
+    the driver's embeddings are ~uniform random (true top-10 cosines are
+    ~0.4 — no locality structure for ANY bucketing method to exploit), so
+    recall tests use planted clusters: 20 centers × 12 members at small
+    noise (intra-cluster cosine ≫ inter-cluster)."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dim = 32
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(12):
+            v = [x + rng.gauss(0, 0.15) for x in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [float(x / n) for x in v]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+    q = e.filter(F.col("vec_id") % 12 == 0).filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return e, q
+
+
+@pytest.mark.parametrize("impl,kwargs,floor", [
+    ("lsh", {}, 0.6),
+    ("ivf", {"n_cells": 10, "n_probe": 3}, 0.8),
+])
+def test_ann_recall_on_clustered_data(impl, kwargs, floor, clustered):
+    e, q = clustered
+    truth = _pairs(brute_force_topk(e, q, k=10))
+    fn = lsh_topk if impl == "lsh" else ivf_topk
+    approx = _pairs(fn(e, q, k=10, **kwargs))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= floor, f"{impl} recall {recall:.2f} < {floor}"
+    # approximate results never self-match
+    assert all(qid != vid for qid, vid in approx)
+
+
+def test_ann_runs_on_driver_embeddings(corpus_and_queries):
+    """On the real (unclustered) table the contract is shape + validity,
+    not recall: rank ≤ k per query, no self-matches, cos within [-1, 1]."""
+    e, q = corpus_and_queries
+    for df in (lsh_topk(e, q, k=10), ivf_topk(e, q, k=10, n_cells=8, n_probe=2)):
+        rows = df.collect()
+        assert rows, "ANN returned nothing"
+        for r in rows:
+            assert r["q_id"] != r["vec_id"] and 1 <= r["rank"] <= 10
+            assert -1.000001 <= r["cos"] <= 1.000001
