@@ -100,21 +100,25 @@ def decode_image_features(media: DataFrame, use_codec: bool = False) -> DataFram
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # zip over columns, not iterrows(): iterrows materializes a
+            # Series per row (~10× slower on wide Arrow batches)
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
                 if use_codec:
-                    # real path: PIL.Image.open(io.BytesIO(r["payload"]))
+                    # real path: PIL.Image.open(io.BytesIO(payload))
                     raise NotImplementedError(
                         "image codec not available in this environment; "
                         "install pillow and decode here"
                     )
-                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
-                px = _fake_pixels(r["payload"], w, h).astype(np.float64)
+                w, h = int(meta["width"]), int(meta["height"])
+                px = _fake_pixels(payload, w, h).astype(np.float64)
                 gray = px.mean(axis=2)
                 # 1px-wide image: no horizontal gradient, sharpness 0
                 sharp = float(np.abs(np.diff(gray, axis=1)).mean()) if w > 1 else 0.0
                 rows.append(
                     {
-                        "doc_id": r["doc_id"],
+                        "doc_id": doc_id,
                         "width": w,
                         "height": h,
                         "mean_r": float(px[:, :, 0].mean()),
@@ -187,16 +191,16 @@ def sample_video_frames(
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 if use_codec:
                     raise NotImplementedError("video codec not available; sample here")
-                dur = int(r["meta"]["duration_ms"])
+                dur = int(meta["duration_ms"])
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     digest = hashlib.sha256(
-                        bytes(r["payload"]) + ts.to_bytes(4, "big")
+                        bytes(payload) + ts.to_bytes(4, "big")
                     ).digest()
                     rows.append(
-                        {"doc_id": r["doc_id"], "frame_idx": i, "ts_ms": ts, "frame": digest}
+                        {"doc_id": doc_id, "frame_idx": i, "ts_ms": ts, "frame": digest}
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
 

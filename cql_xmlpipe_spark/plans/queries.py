@@ -627,6 +627,32 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "salted_agg_orders",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {_osum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) — must equal the
+    plain GROUP BY bit-for-bit, which the decimal accumulation guarantees
+    regardless of how the salt splits each key."""
+    from cql_xmlpipe_spark.operators.skew import salted_agg
+
+    o = load_table(spark, "orders", sf_dir)
+    return salted_agg(
+        o,
+        keys=["o_orderstatus"],
+        partial_aggs={
+            "n": F.count(F.lit(1)),
+            "total": F.sum(F.col("o_totalprice").cast(DEC)),
+        },
+        final_aggs={"n": F.sum("n"), "total": F.sum("total").cast("double")},
+        n_salts=16,
+    )
+
+
+@_q(
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
