@@ -81,6 +81,10 @@ def main() -> int:
                 except Exception:
                     pass
 
+    # drop caches persisted by warmup runs (dedup operators persist their
+    # signature tables) so the timed pass starts from clean storage memory
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

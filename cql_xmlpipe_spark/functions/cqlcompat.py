@@ -52,10 +52,14 @@ def _timeuuid_ts100(uuid_col: Column) -> Column:
 
 
 def unix_timestamp_of(uuid_col: Column) -> Column:
-    """CQL ``unixTimestampOf(timeuuid)`` — epoch milliseconds (long)."""
-    return ((_timeuuid_ts100(uuid_col) - F.lit(GREGORIAN_OFFSET_100NS)) / 10000).cast(
-        "long"
-    )
+    """CQL ``unixTimestampOf(timeuuid)`` — epoch milliseconds (long).
+
+    Exact integer division: the ~1.7e16 numerator exceeds 2^53, so a
+    plain ``/`` would round odd remainders across the ms boundary (e.g. a
+    maxTimeuuid with remainder 9999 would come back 1 ms late). The
+    remainder is subtracted first, making the double division exact."""
+    ts100 = _timeuuid_ts100(uuid_col) - F.lit(GREGORIAN_OFFSET_100NS)
+    return ((ts100 - F.pmod(ts100, F.lit(10000))) / 10000).cast("long")
 
 
 def date_of(uuid_col: Column) -> Column:
@@ -67,8 +71,8 @@ def _hex_n(col: Column, n: int) -> Column:
     return F.lpad(F.lower(F.hex(col)), n, "0")
 
 
-def _timeuuid_from_ms(ts_ms: Column, clock_node: str) -> Column:
-    ts100 = (ts_ms.cast("long") * 10000) + F.lit(GREGORIAN_OFFSET_100NS)
+def _timeuuid_from_ms(ts_ms: Column, clock_node: str, offset_100ns: int = 0) -> Column:
+    ts100 = (ts_ms.cast("long") * 10000) + F.lit(GREGORIAN_OFFSET_100NS + offset_100ns)
     time_low = ts100.bitwiseAND(F.lit(0xFFFFFFFF))
     time_mid = F.shiftrightunsigned(ts100, 32).bitwiseAND(F.lit(0xFFFF))
     time_hi = F.shiftrightunsigned(ts100, 48).bitwiseAND(F.lit(0x0FFF))
@@ -87,19 +91,32 @@ def min_timeuuid(ts: Column) -> Column:
 
 
 def max_timeuuid(ts: Column) -> Column:
-    """CQL ``maxTimeuuid(ts)`` — largest v1 uuid for that millisecond."""
-    return _timeuuid_from_ms(F.unix_millis(ts), MAX_CLOCK_SEQ_AND_NODE)
+    """CQL ``maxTimeuuid(ts)`` — largest v1 uuid for that millisecond:
+    embedded 100ns count is (ms+1)*10000 - 1 (Cassandra UUIDGen), i.e.
+    remainder 9999 within the millisecond, NOT the same count as
+    min_timeuuid — otherwise `t <= maxTimeuuid(x)` would exclude nearly
+    every real timeuuid generated during millisecond x."""
+    return _timeuuid_from_ms(F.unix_millis(ts), MAX_CLOCK_SEQ_AND_NODE, offset_100ns=9999)
 
 
 # --- B12 blob casts (big-endian reinterpretation, like Cassandra) ----------
 
 
 def blob_as_bigint(col: Column) -> Column:
-    return F.conv(F.hex(col), 16, 10).cast("long")
+    """8-byte blob → signed long. ``conv(..., 16, -10)`` renders the
+    signed interpretation directly; a plain toBase-10 conv yields an
+    UNSIGNED decimal string that errors (ANSI) or nulls on cast for any
+    blob with the high bit set."""
+    return F.conv(F.lpad(F.hex(col), 16, "0"), 16, -10).cast("long")
 
 
 def blob_as_int(col: Column) -> Column:
-    return F.conv(F.hex(col), 16, 10).cast("long").cast("int")
+    """4-byte blob → signed int (two's complement within 32 bits)."""
+    u = F.conv(F.hex(col), 16, 10).cast("long")  # ≤ 2^32-1, fits long
+    return (
+        (F.pmod(u + F.lit(2147483648), F.lit(4294967296)) - F.lit(2147483648))
+        .cast("int")
+    )
 
 
 def blob_as_text(col: Column) -> Column:

@@ -47,21 +47,28 @@ def asof_join(
     left_cols = [c for c in left.columns]
     right_vals = [c for c in right.columns if c not in on and c != right_ts]
 
+    # The right row travels as ONE struct and is picked atomically: picking
+    # each value column independently with ignorenulls would stitch values
+    # from DIFFERENT right rows whenever a right value is legitimately NULL
+    # (the newer row's NULL gets skipped and an older row's value leaks in).
+    r_struct = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c).alias(c) for c in right_vals]
+    )
     l_tagged = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_vals],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tagged = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
-        F.col(right_ts).alias("_r_ts"),
+        r_struct.alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -83,18 +90,13 @@ def asof_join(
         pick = F.first
 
     picked = unioned.select(
-        "*",
-        *[
-            pick(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"_p_{c}")
-            for c in right_vals
-        ],
-        pick(F.col("_r_ts"), ignorenulls=True).over(w).alias("_p_ts"),
+        "*", pick(F.col("_r"), ignorenulls=True).over(w).alias("_p")
     ).filter(F.col("_is_left") == 1)
 
     return picked.select(
         *[F.col(f"_l.{c}").alias(c) for c in left_cols],
-        *[F.col(f"_p_{c}").alias(f"{right_prefix}{c}") for c in right_vals],
-        F.col("_p_ts").alias(f"{right_prefix}{right_ts}"),
+        *[F.col(f"_p.{c}").alias(f"{right_prefix}{c}") for c in right_vals],
+        F.col("_p._rts").alias(f"{right_prefix}{right_ts}"),
     )
 
 

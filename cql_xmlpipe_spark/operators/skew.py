@@ -20,11 +20,16 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt in [0, n_salts): derived from a stable
-    row hash, not rand() — reruns and retried tasks get identical salts,
-    which keeps results reproducible and exactly-once sinks consistent."""
+    """Deterministic per-row salt in [0, n_salts): derived from a row hash
+    plus a per-partition ordinal, not rand() — reruns of the same input
+    partitioning produce identical salts (reproducible results), while
+    the ordinal guarantees spread even when a hot key's rows are
+    bytewise-identical (the exact scenario salting exists for: a value
+    hash alone would send every duplicate to one reducer)."""
+    ordinal = F.monotonically_increasing_id()
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        col_name,
+        F.pmod(F.xxhash64(ordinal, *[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
 
 

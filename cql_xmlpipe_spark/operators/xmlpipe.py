@@ -165,13 +165,21 @@ def write_docset_scale(docs: DataFrame, out_dir: str) -> None:
 
     At 100 TB a single driver stream is the bottleneck; this writes the
     document stream as partitioned text (order-divergent, documented) that
-    downstream consumers concatenate between `_prolog` and `_close` parts.
+    downstream consumers concatenate between `_PROLOG` and `_CLOSE` parts.
+
+    Framing: each xml value carries the reference's leading ``\\n`` and
+    the text sink appends one more per row — so the leading byte is
+    stripped here, `_PROLOG` ends with the newline that precedes the
+    first document, and the sink's trailing newline after the last
+    document is exactly the one the reference puts before
+    ``</sphinx:docset>``. Concatenation reproduces the single-stream
+    byte framing (modulo document order).
     """
-    docs.select("xml").write.mode("overwrite").text(out_dir)
+    docs.select(F.expr("substring(xml, 2)")).write.mode("overwrite").text(out_dir)
     # envelope written driver-side; consumers cat _PROLOG + part-* + _CLOSE
     import os
 
     with open(os.path.join(out_dir, "_PROLOG"), "w", encoding="utf-8") as fh:
-        fh.write(PROLOG + DOCSET_OPEN)
+        fh.write(PROLOG + DOCSET_OPEN + "\n")
     with open(os.path.join(out_dir, "_CLOSE"), "w", encoding="utf-8") as fh:
-        fh.write(DOCSET_CLOSE)
+        fh.write(DOCSET_CLOSE.lstrip("\n"))

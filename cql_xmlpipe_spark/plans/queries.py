@@ -473,7 +473,9 @@ def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
         .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
-        .unionByName(a.exceptAll(b.distinct()).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+        # subtract = EXCEPT DISTINCT; exceptAll().distinct() is NOT the
+        # same (a duplicate in `a` also present in `b` would survive)
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "c_custkey"))
     )
 
 

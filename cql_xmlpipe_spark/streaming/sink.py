@@ -34,14 +34,19 @@ def write_xmlpipe_stream(
     directory naming (a replayed batch overwrites its own directory).
     """
     os.makedirs(out_dir, exist_ok=True)
+    # same framing as write_docset_scale: prolog carries the newline that
+    # precedes the first document; per-line trailing newlines supply the
+    # separators and the one before the close tag
     with open(os.path.join(out_dir, "_PROLOG"), "w", encoding="utf-8") as fh:
-        fh.write(PROLOG + DOCSET_OPEN)
+        fh.write(PROLOG + DOCSET_OPEN + "\n")
     with open(os.path.join(out_dir, "_CLOSE"), "w", encoding="utf-8") as fh:
-        fh.write(DOCSET_CLOSE)
+        fh.write(DOCSET_CLOSE.lstrip("\n"))
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         docs = xml_documents(batch_df, key_cols, mode=mode)
-        docs.select("xml").write.mode("overwrite").text(
+        docs.select(F.expr("substring(xml, 2)")).write.mode("overwrite").text(
             os.path.join(out_dir, f"batch={batch_id}")
         )
 

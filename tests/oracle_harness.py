@@ -78,9 +78,11 @@ def main():
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:
@@ -97,7 +99,7 @@ def main():
                 print(f"         {p}")
         else:
             print(f"  [ok]   {name}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passing")
+    print(f"\n{n_ran - len(failed)}/{n_ran} passing ({len(qs)} registered)")
     return 1 if failed else 0
 
 
