@@ -315,6 +315,29 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @_q(
+    "not_in_subquery_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                            WHERE l_returnflag = 'R' AND l_quantity > 49)
+    """,
+)
+def not_in_subquery_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — plans as a NULL-AWARE anti join (a NULL in the
+    subquery result empties the output, unlike NOT EXISTS; both engines
+    implement the same three-valued logic, which this query pins)."""
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("_ni_supplier")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_ni_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM _ni_supplier
+        WHERE s_suppkey NOT IN (SELECT l_suppkey FROM _ni_lineitem
+                                WHERE l_returnflag = 'R' AND l_quantity > 49)
+        """
+    )
+
+
+@_q(
     "outer_join_order_distribution",
     """
     SELECT c_count, COUNT(*) AS custdist FROM (
@@ -422,6 +445,57 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.to_date("o_orderdate").alias("o_orderdate"),
         F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "window_ranking_gauntlet",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER wt AS quartile,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           FIRST_VALUE(o_orderkey) OVER wt AS first_key,
+           LAST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS range_running
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
+           wt AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ranking_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking/analytic window coverage: rank, dense_rank, ntile,
+    percent_rank, cume_dist, first/last_value, and a RANGE frame (peers
+    of equal o_totalprice aggregate together — vs the ROWS frames used
+    elsewhere). Tie-sensitive functions (ntile, first/last_value) order
+    by a total key; tie-insensitive ones keep the natural order."""
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wt = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_all = wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_range = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(wt).alias("first_key"),
+        F.last("o_orderkey").over(w_all).alias("last_key"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w_range).cast("double").alias("range_running"),
     )
 
 

@@ -104,3 +104,23 @@ def test_empty_element_not_self_closed(spark):
     df = spark.createDataFrame([(1, "")], "id int, content string")
     xml = xml_documents(df, ["id"]).collect()[0]["xml"]
     assert "<content></content>" in xml
+
+
+def test_render_sane_mode(spark):
+    """mode='sane' divergences: nested types as JSON (parity emits ''),
+    ISO timestamps (parity emits java.util.Date format)."""
+    from cql_xmlpipe_spark.functions.render import render_value
+
+    def render(value, ddl, mode):
+        df = spark.createDataFrame([(value,)], ddl)
+        dtype = df.schema.fields[0].dataType
+        return df.select(
+            render_value(F.col(df.columns[0]), dtype, mode).alias("o")
+        ).collect()[0]["o"]
+
+    assert render({"k": 1}, "c map<string,int>", "sane") == '{"k":1}'
+    assert render({"k": 1}, "c map<string,int>", "parity") == ""
+    assert render(datetime(2006, 1, 2, 15, 4, 5), "c timestamp", "sane") == (
+        "2006-01-02 15:04:05"
+    )
+    assert render(None, "c map<string,int>", "sane") == ""
