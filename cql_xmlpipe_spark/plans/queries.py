@@ -1004,6 +1004,26 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "interval_join_purchase_clicks",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS p_ts_us,
+           p.value AS purchase_value, c.event_id AS click_id,
+           epoch_us(c.ts) AS c_ts_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (streaming/joins.py):
+    purchases × same-user clicks within a 15-minute lookback."""
+    from cql_xmlpipe_spark.streaming.joins import purchases_with_recent_clicks
+
+    return purchases_with_recent_clicks(load_table(spark, "events", sf_dir))
+
+
+@_q(
     "events_tumbling_window",
     f"""
     SELECT event_type,

@@ -83,6 +83,20 @@ def test_session_window_stream_equals_batch(spark):
     assert got_rows == want_rows
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    from cql_xmlpipe_spark.streaming.joins import purchases_with_recent_clicks
+
+    got = _run_to_memory(
+        purchases_with_recent_clicks(stream_events(spark, SF)),
+        "t_ssjoin",
+        "append",
+        spark,
+    )
+    want = QUERIES["interval_join_purchase_clicks"](spark, SF)
+    cols = ["user_id", "purchase_id", "p_ts_us", "purchase_value", "click_id", "c_ts_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stateful_running_stats_equals_batch(spark):
     got = _run_to_memory(
         running_user_stats(stream_events(spark, SF)), "t_state", "update", spark
