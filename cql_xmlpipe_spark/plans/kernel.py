@@ -19,6 +19,10 @@ from cql_xmlpipe_spark.operators.xmlpipe import xml_documents
 from cql_xmlpipe_spark.plans.queries import _q
 from cql_xmlpipe_spark.sources.registry import load_table
 
+
+def sc_parallelism(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
 #: DuckDB escape chain == JDK StAX text-node rules (amp first)
 _ESC = "replace(replace(replace({v}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
 
@@ -87,7 +91,10 @@ def xmlpipe_orders_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"
     )
-    return xml_documents(o, ["o_orderkey"])
+    # testdata is one unsplittable row group → 1-partition scan; the
+    # export is order-insensitive, so spread the codegen'd assembly work
+    # (at real scale inputs arrive pre-split and this shuffle is moot)
+    return xml_documents(o.repartition(sc_parallelism(spark)), ["o_orderkey"])
 
 
 @_q(
@@ -163,7 +170,10 @@ def xmlpipe_lineitem_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel with hash-path ids (two integral keys — exercises the
     hashBase-consumption subtlety of ``Query.java:206-218`` on real data)."""
     l = load_table(spark, "lineitem", sf_dir)
-    return xml_documents(l, ["l_orderkey", "l_linenumber"])
+    # see xmlpipe_orders_export: spread the single-row-group scan
+    return xml_documents(
+        l.repartition(sc_parallelism(spark)), ["l_orderkey", "l_linenumber"]
+    )
 
 
 _NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"

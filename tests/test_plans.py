@@ -58,7 +58,11 @@ def test_asof_join_is_single_exchange_window(spark):
 
 def test_export_is_scan_project_single_pass(spark):
     plan = _plan(spark, "xmlpipe_lineitem_export")
-    assert "Exchange" not in plan  # no shuffle: scan → udf → project
+    # the only exchange is the explicit round-robin spread of the
+    # unsplittable single-row-group testdata file; the computation itself
+    # never hash-shuffles
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange roundrobinpartitioning") <= 1
     assert "ArrowEvalPython" in plan  # the sdbm UDF is Arrow-batched
 
 
