@@ -43,29 +43,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
 
 
-def minhash_signatures(
+def shingle_hash_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, sh_hashes, mh_0..mh_{n-1}) — one row per doc with ≥1 shingle.
+    """(id, hs: array<long>) — distinct xxhash64 per k-shingle, docs with ≥1.
 
-    Each shingle string is hashed ONCE (xxhash64); the n minhash families
-    derive from that 8-byte value via seeded re-hash. The n minima are
-    computed as explode + one groupBy with n fused min-aggregates — fully
-    codegen'd with map-side partial aggregation — instead of n interpreted
-    ``transform`` passes over the array. ``sh_hashes`` (the distinct
-    shingle-hash set used for exact verification) falls out of the same
-    aggregate via collect_set, so one shuffle produces the whole signature.
+    Pure narrow projection (no shuffle): each shingle string is hashed
+    ONCE; everything downstream (minhash families, exact-Jaccard verify)
+    derives from these 8-byte values, never from text again.
     """
     sh = shingles(words(F.col(text_col)), k)
     hashed = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
-    exploded = df.select(F.col(id_col), F.explode(hashed).alias("h"))
+    return df.select(F.col(id_col), hashed.alias("hs")).filter(F.size("hs") > 0)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) — one row per doc with ≥1 shingle.
+
+    The n minhash families derive from each 8-byte shingle hash via seeded
+    re-hash. The n minima are computed as explode + one groupBy with n
+    fused min-aggregates; keeping collect_set OUT of this aggregate is
+    deliberate — any typed-collection aggregate downgrades the whole node
+    to ObjectHashAggregate (no codegen, ~3× slower measured at sf0.01).
+    With plain mins it compiles to a whole-stage-codegen HashAggregate
+    with map-side partial aggregation. Verification sets come from
+    :func:`shingle_hash_sets` as a shuffle-free projection instead.
+    """
+    exploded = shingle_hash_sets(df, text_col, id_col, k).select(
+        F.col(id_col), F.explode("hs").alias("h")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(N_MINHASH)
     ]
-    return exploded.groupBy(id_col).agg(
-        F.collect_set("h").alias("sh_hashes"), *aggs
-    )
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -85,7 +98,19 @@ def minhash_lsh_pairs(
     the two shingle-hash sets fetched by id-join for exact verification.
     AQE splits hot buckets (skew join).
     """
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    # the hash-set projection feeds the minhash aggregate AND both verify
+    # joins; persist the compact form (id + 8-byte shingle hashes — ~100×
+    # smaller than text) instead of recomputing tokenization 3×.
+    sets = shingle_hash_sets(df, text_col, id_col, k).persist()
+    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    # persist: the banded buckets feed BOTH sides of the candidate
+    # self-join; without this the 64-min aggregation executes twice
+    # (measured 6× wall at sf0.1). One row per doc, 65 longs — tiny.
+    sigs = exploded.groupBy(id_col).agg(*aggs).persist()
     rows_per_band = N_MINHASH // N_BANDS
     band_keys = F.array(
         *[
@@ -93,12 +118,8 @@ def minhash_lsh_pairs(
             for b in range(N_BANDS)
         ]
     )
-    # sigs feeds both sides of the candidate self-join AND both verify
-    # joins; persist the compact form (id + bands + shingle-hash set —
-    # ~100× smaller than text) instead of recomputing tokenization 4×.
-    sets = sigs.select(F.col(id_col), "sh_hashes", band_keys.alias("bands")).persist()
-    buckets = sets.select(
-        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
     )
     cands = (
         buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -108,7 +129,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = sets.select(F.col(id_col), "sh_hashes")
+    sh = sets.select(F.col(id_col), F.col("hs").alias("sh_hashes"))
     verified = (
         cands.join(sh.select(F.col(id_col).alias("id_a"),
                              F.col("sh_hashes").alias("sh_a")), "id_a")
