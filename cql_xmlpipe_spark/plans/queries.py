@@ -1123,3 +1123,139 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("session_start_us"),
         F.max("us").alias("session_end_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2C statistical aggregates — moments, percentiles, mode
+# ---------------------------------------------------------------------------
+# Determinism strategy: never use the engines' own stddev/corr (their
+# streaming accumulation is summation-order-dependent in the last ulps).
+# Instead both sides aggregate exact DECIMAL(30,8) raw sums (x, x², y, y²,
+# xy are all exactly representable: l_quantity is integer-valued,
+# l_extendedprice has 2 decimals, so every product has ≤4 decimals) and
+# then evaluate the SAME closed-form double expression on those sums —
+# IEEE 754 ops on identical inputs in identical order are bit-identical
+# cross-engine. At 100 TB this is also the right execution shape: one
+# codegen'd partial+final hash aggregate of six fused sums, no second pass.
+
+
+@_q(
+    "stats_moments_lineitem",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_osum('l_quantity')} AS sx,
+             {_osum('l_quantity * l_quantity')} AS sxx,
+             {_osum('l_extendedprice')} AS sy,
+             {_osum('l_extendedprice * l_extendedprice')} AS syy,
+             {_osum('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((sxx - sx * sx / n) / (n - 1.0), 6) AS var_samp_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS stddev_samp_qty,
+           ROUND((sxx - sx * sx / n) / n, 6) AS var_pop_qty,
+           ROUND((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_samp_qty_price,
+           ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance / correlation per return flag, from
+    exact decimal raw moments (see block comment above for why not the
+    built-in stddev/corr)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    # round(…, 6): the closed forms are deterministic per engine, but one
+    # engine may contract a*b+c into an FMA — observed a 1-ulp divergence
+    # on corr at sf0.001. 6 dp is ~7 orders above the ulp noise floor.
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round((sxx - sx * sx / n) / (n - F.lit(1.0)), 6).alias("var_samp_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6).alias("stddev_samp_qty"),
+        F.round((sxx - sx * sx / n) / n, 6).alias("var_pop_qty"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 6).alias("covar_samp_qty_price"),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@_q(
+    "percentile_quantity_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.90) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_quantity per return flag.
+
+    Bit-exact cross-engine because l_quantity is integer-valued and the
+    (n-1)*p rank fractions are dyadic (0.25/0.5/0.75 steps), so the linear
+    interpolation is exactly representable regardless of which of the two
+    algebraically-equal interpolation forms each engine uses. Spark plans
+    a single sort-based aggregate; at scale prefer approx_percentile
+    (recorded in ``approx_distinct_parts``'s family) when exactness isn't
+    contractual."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("p90"),
+    )
+
+
+@_q(
+    "mode_orderpriority_by_status",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_orderpriority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: top-1 by (count DESC, value ASC) — the built-in
+    ``mode()`` leaves ties unspecified in both engines, so the tiebreak is
+    explicit. Two codegen'd hash aggregates + a tiny window; the heavy
+    lifting is the first map-side-combined count."""
+    o = load_table(spark, "orders", sf_dir)
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
