@@ -1259,3 +1259,108 @@ def mode_orderpriority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2C map functions, deterministic sampling, q18
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "map_functions_gauntlet",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(3 AS INTEGER) AS n_entries,
+           ['bucket', 'priority', 'status'] AS keys_sorted,
+           array_to_string(list_sort([o_orderstatus, o_orderpriority,
+             CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END]),
+             '|') AS values_sorted,
+           upper(CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END)
+             AS bucket_upper,
+           CAST(2 AS INTEGER) AS n_nonstatus
+    FROM orders
+    """,
+)
+def map_functions_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function library: create_map / map_concat / element_at /
+    map_keys / map_values / transform_values / map_filter. The oracle
+    computes the same VALUES without maps (DuckDB's map surface differs),
+    so it checks results, not mechanism — same stance as the sdbm oracle.
+    All map ops are codegen'd Column expressions; nothing leaves the JVM."""
+    o = load_table(spark, "orders", sf_dir)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    bucket = F.when(F.col("o_totalprice") > 150000, "hi").otherwise("lo")
+    merged = F.map_concat(m, F.create_map(F.lit("bucket"), bucket))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, F.lit("status")).alias("status"),
+        F.size(merged).alias("n_entries"),
+        F.sort_array(F.map_keys(merged)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_values(merged)), "|").alias("values_sorted"),
+        F.element_at(
+            F.transform_values(merged, lambda _, v: F.upper(v)), F.lit("bucket")
+        ).alias("bucket_upper"),
+        F.size(
+            F.map_filter(merged, lambda k, _: k != F.lit("status"))
+        ).alias("n_nonstatus"),
+    )
+
+
+@_q(
+    "deterministic_sample_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~12.5% sample by hashing the key (first md5 hex char in
+    {0,1}) — the sampling primitive a training-data pipeline needs: stable
+    across engines, runs, and partitionings, unlike TABLESAMPLE/rand(seed)
+    which are partition-layout-dependent. At 100 TB this is a pure narrow
+    filter (no shuffle) and the md5 never leaves codegen."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_totalprice, {_osum('l_quantity')} AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate, then a
+    3-way join + regroup. Catalyst plans the IN as a left-semi join whose
+    build side is the aggregated key set; at scale the semi join prunes
+    lineitem before the wide join, so the expensive shuffle carries only
+    qualifying orders."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
