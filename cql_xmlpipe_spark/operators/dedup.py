@@ -249,7 +249,9 @@ def simhash_near_pairs(
     Hamming 3 agrees exactly on ≥1 band) — joins on 16-bit band values,
     never O(n²).
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    # persist: the banded rows feed BOTH sides of the candidate self-join;
+    # without it the 64-vote aggregate (and tokenization) runs twice.
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
