@@ -78,3 +78,30 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
     first_agg = plan.index("HashAggregate")
     first_exchange = plan.index("Exchange")
     assert first_agg < first_exchange
+
+
+def test_stats_moments_is_single_codegen_aggregate(spark):
+    """The six raw-moment sums must fuse into ONE partial+final
+    HashAggregate pair inside whole-stage codegen — not an
+    ObjectHashAggregate (the collect_set downgrade class of bug) and not
+    multiple passes."""
+    plan = _plan(spark, "stats_moments_lineitem")
+    assert "ObjectHashAggregate" not in plan
+    # partial + final = 2 nodes; formatted explain prints each node twice
+    # (tree line + details section)
+    assert plan.count("HashAggregate") == 4
+    # exactly one exchange node (tree line + details header)
+    assert plan.count("Exchange") == 2
+
+
+def test_minhash_signature_aggregate_stays_codegen(spark):
+    """Regression guard for the ObjectHashAggregate downgrade: the 64
+    fused min-hash aggregates must stay in codegen'd HashAggregate
+    (splitting collect_set out of the node bought ~2x at sf0.1)."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_deterministic_sample_is_narrow_filter(spark):
+    plan = _plan(spark, "deterministic_sample_orders")
+    assert "Exchange" not in plan  # pure scan -> filter -> project
