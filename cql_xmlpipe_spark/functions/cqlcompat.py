@@ -133,3 +133,72 @@ def int_as_blob(col: Column) -> Column:
 
 def text_as_blob(col: Column) -> Column:
     return F.encode(col, "UTF-8")
+
+
+# --- B10 writetime()/ttl() emulation (cell-metadata pseudo-columns) --------
+#
+# Cassandra tracks (writetime µs, ttl s) per CELL; the reference surfaces
+# them by delegation (``Query.java:151-153`` forwards any CQL, the server
+# answers from cell metadata). Columnar formats carry no cell metadata, so
+# the engine EMULATES them: ``attach_cell_metadata`` derives row-level
+# sidecar columns from a designated last-write timestamp (and optional
+# expiry), and ``writetime``/``ttl`` resolve a column's sidecar exactly like
+# the CQL pseudo-columns. Documented divergence: the sidecars are per-ROW
+# (one write time for all cells), which is what an append-only lake actually
+# records; per-cell granularity would require a cell-versioned source.
+# All pure Column exprs — pushdown/pruning unaffected.
+
+WRITETIME_SUFFIX = "__writetime"
+TTL_SUFFIX = "__ttl"
+
+from pyspark.sql import DataFrame  # noqa: E402  (Column-only imports above)
+
+
+def attach_cell_metadata(
+    df: DataFrame,
+    write_time: Column,
+    ttl_expiry: Column | None = None,
+    as_of: Column | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Add ``<col>__writetime`` (bigint µs since epoch, like CQL) and —
+    when ``ttl_expiry`` is given — ``<col>__ttl`` (int seconds remaining at
+    ``as_of``, NULL once expired ≙ CQL's 'no live TTL') for each named
+    column. ``as_of`` must be an explicit timestamp Column so results are
+    deterministic (no hidden now())."""
+    wt_us = F.unix_micros(write_time)
+    ttl_s = None
+    if ttl_expiry is not None:
+        if as_of is None:
+            raise ValueError("ttl emulation requires an explicit as_of timestamp")
+        # exact integer division via remainder subtraction (same pattern as
+        # unix_timestamp_of): the multiple-of-1e6 numerator stays < 2^53,
+        # so the double division is exact
+        diff_us = F.unix_micros(ttl_expiry) - F.unix_micros(as_of)
+        whole_s = ((diff_us - F.pmod(diff_us, F.lit(1000000))) / 1000000).cast("long")
+        ttl_s = F.when(diff_us > 0, whole_s)
+    for c in cols or [f.name for f in df.schema.fields]:
+        df = df.withColumn(c + WRITETIME_SUFFIX, wt_us)
+        if ttl_s is not None:
+            df = df.withColumn(c + TTL_SUFFIX, ttl_s)
+    return df
+
+
+def writetime(df: DataFrame, col_name: str) -> Column:
+    """CQL ``writetime(c)`` — µs since epoch of the cell's last write."""
+    sidecar = col_name + WRITETIME_SUFFIX
+    if sidecar not in df.columns:
+        raise ValueError(
+            f"no writetime metadata for {col_name!r}; call attach_cell_metadata first"
+        )
+    return F.col(sidecar)
+
+
+def ttl(df: DataFrame, col_name: str) -> Column:
+    """CQL ``ttl(c)`` — seconds until the cell expires, NULL if expired/none."""
+    sidecar = col_name + TTL_SUFFIX
+    if sidecar not in df.columns:
+        raise ValueError(
+            f"no ttl metadata for {col_name!r}; call attach_cell_metadata first"
+        )
+    return F.col(sidecar)

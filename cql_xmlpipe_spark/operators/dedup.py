@@ -29,6 +29,31 @@ N_MINHASH = 64
 N_BANDS = 16  # 16 bands x 4 rows; s-curve threshold ~ (1/16)^(1/4) ~ 0.5
 
 
+def _track_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to the result for later cleanup.
+
+    The pairs operators persist() compact intermediates (shingle-hash sets,
+    signatures) that must stay cached until the RETURNED lazy DataFrame is
+    materialized — so they cannot be unpersisted here. Callers that invoke
+    these operators repeatedly in one session should call
+    :func:`unpersist_intermediates` after consuming the result, or executor
+    storage accumulates one cached frame per call.
+    """
+    result._xmlpipe_cached = list(cached)  # type: ignore[attr-defined]
+    return result
+
+
+def unpersist_intermediates(result: DataFrame, blocking: bool = False) -> None:
+    """Release intermediates persisted by a pairs operator (safe to call on
+    any DataFrame; no-op when nothing is tracked)."""
+    for cached in getattr(result, "_xmlpipe_cached", []):
+        try:
+            cached.unpersist(blocking)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    result._xmlpipe_cached = []  # type: ignore[attr-defined]
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per exact text; flag the rest.
 
@@ -138,10 +163,12 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    return _track_cached(
         verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sets,
+        sigs,
     )
 
 
@@ -201,10 +228,11 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    return _track_cached(
         verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        base,
     )
 
 
@@ -268,13 +296,14 @@ def simhash_near_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bval"
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    return _track_cached(
         a.join(b, ["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sigs,
     )
 
 
@@ -317,7 +346,7 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     vecs = bucketed.select(F.col(id_col), F.col(emb_col))
-    return (
+    return _track_cached(
         cands.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a")), "id_a"
         )
@@ -326,5 +355,6 @@ def embedding_near_dup_pairs(
         )
         .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .select("id_a", "id_b", "cos"),
+        bucketed,
     )

@@ -126,19 +126,28 @@ def xml_documents(
 
     The xml fragment starts with the reference's leading ``\\n``
     (``Query.java:183``) so the sink is pure concatenation.
+
+    The generated id is computed into a collision-proof internal column:
+    if the input already has a column named ``id_col`` (with different key
+    columns), its ORIGINAL value must still render as that element's body —
+    the reference emits the source column value (``Query.java:221-229``),
+    with the synthesized id appearing only in the document attribute.
     """
-    with_id = with_doc_id(df, key_cols, id_col=id_col, mode=mode)
+    internal = "_xmlpipe_doc_id"
+    while internal in df.columns:
+        internal += "_"
+    with_id = with_doc_id(df, key_cols, id_col=internal, mode=mode)
     schema = {f.name: f.dataType for f in df.schema.fields}
     fields = list(field_cols) if field_cols is not None else [f.name for f in df.schema.fields]
     frags = [_field_fragment(name, schema[name], mode) for name in fields]
     xml = F.concat(
         F.lit('\n<sphinx:document id="'),
-        F.col(id_col).cast("string"),
+        F.col(internal).cast("string"),
         F.lit('">'),
         *frags,
         F.lit("</sphinx:document>"),
     )
-    return with_id.select(F.col(id_col), xml.alias("xml"))
+    return with_id.select(F.col(internal).alias(id_col), xml.alias("xml"))
 
 
 def write_docset_stream(docs: DataFrame, out: IO[str] | None = None) -> int:

@@ -280,11 +280,14 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nl = load_table(spark, "lineitem", sf_dir).count()
-    no = load_table(spark, "orders", sf_dir).count()
-    return load_table(spark, "region", sf_dir).limit(1).select(
-        F.lit(nl).alias("n_lineitem"), F.lit(no).alias("n_orders")
+    """Pure plan: two single-row aggregates cross-joined — no driver-side
+    action at construction time (each side is a partial-count HashAggregate;
+    the 1×1 cross join is trivially broadcast)."""
+    nl = load_table(spark, "lineitem", sf_dir).agg(
+        F.count(F.lit(1)).alias("n_lineitem")
     )
+    no = load_table(spark, "orders", sf_dir).agg(F.count(F.lit(1)).alias("n_orders"))
+    return nl.crossJoin(F.broadcast(no))
 
 
 @_q(
@@ -681,9 +684,9 @@ def date_function_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_pivot",
     f"""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
            {_osum('o_totalprice')} AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
@@ -790,32 +793,71 @@ def json_extraction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "writetime_ttl_events",
+    """
+    SELECT event_id,
+           epoch_us(ts) AS value_writetime,
+           CASE WHEN (epoch_us(ts + INTERVAL 7 DAY)
+                      - epoch_us(TIMESTAMP '2024-01-15 00:00:00')) > 0
+                THEN (epoch_us(ts + INTERVAL 7 DAY)
+                      - epoch_us(TIMESTAMP '2024-01-15 00:00:00')) // 1000000
+           END AS value_ttl
+    FROM events
+    """,
+)
+def writetime_ttl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 ``writetime()``/``ttl()`` emulation (SURVEY §2B): cell-metadata
+    pseudo-columns derived as row-level sidecars — writetime(value) = µs of
+    the event's last write (ts), ttl(value) = seconds remaining at a pinned
+    as-of for a 7-day retention, NULL once expired (CQL 'no live TTL').
+    Pure Column arithmetic over the scan — pruning/pushdown intact."""
+    from cql_xmlpipe_spark.functions.cqlcompat import attach_cell_metadata, ttl, writetime
+
+    e = load_table(spark, "events", sf_dir)
+    e = attach_cell_metadata(
+        e,
+        write_time=F.col("ts"),
+        ttl_expiry=F.col("ts") + F.expr("INTERVAL 7 DAYS"),
+        as_of=F.to_timestamp(F.lit("2024-01-15 00:00:00")),
+        cols=["value"],
+    )
+    return e.select(
+        "event_id",
+        writetime(e, "value").alias("value_writetime"),
+        ttl(e, "value").alias("value_ttl"),
+    )
+
+
+@_q(
     "array_functions_gauntlet",
     """
     WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS toks FROM part)
     SELECT p_partkey,
-           list_sort(toks) AS toks_sorted,
+           array_to_string(list_sort(toks), ',') AS toks_sorted,
            list_contains(toks, 'BRUSHED') AS has_brushed,
            coalesce(array_to_string(list_slice(toks, 2, 3), ','), '') AS mid,
            CAST(len(toks) AS INTEGER) AS n_toks,
            list_min(toks) AS tok_min,
-           list_concat(toks, ['x']) AS appended
+           array_to_string(list_concat(toks, ['x']), ',') AS appended
     FROM t
     """,
 )
 def array_functions_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function library over split p_type tokens (sort, contains,
-    slice, join, min, concat)."""
+    slice, join, min, concat). Array-typed intermediates are exercised in
+    full; the OUTPUT columns are rendered to strings (array_join) because
+    the driver's canonicalizer sorts result columns with pandas, which
+    cannot hash list values (CORRECTNESS_r01: 'unhashable type: list')."""
     p = load_table(spark, "part", sf_dir)
     toks = F.split("p_type", " ")
     return p.select(
         "p_partkey",
-        F.sort_array(toks).alias("toks_sorted"),
+        F.array_join(F.sort_array(toks), ",").alias("toks_sorted"),
         F.array_contains(toks, "BRUSHED").alias("has_brushed"),
         F.array_join(F.slice(toks, 2, 2), ",").alias("mid"),
         F.size(toks).alias("n_toks"),
         F.array_min(toks).alias("tok_min"),
-        F.concat(toks, F.array(F.lit("x"))).alias("appended"),
+        F.array_join(F.concat(toks, F.array(F.lit("x"))), ",").alias("appended"),
     )
 
 
@@ -1272,7 +1314,7 @@ def mode_orderpriority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_orderstatus AS status,
            CAST(3 AS INTEGER) AS n_entries,
-           ['bucket', 'priority', 'status'] AS keys_sorted,
+           'bucket|priority|status' AS keys_sorted,
            array_to_string(list_sort([o_orderstatus, o_orderpriority,
              CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END]),
              '|') AS values_sorted,
@@ -1299,7 +1341,7 @@ def map_functions_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.element_at(m, F.lit("status")).alias("status"),
         F.size(merged).alias("n_entries"),
-        F.sort_array(F.map_keys(merged)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(merged)), "|").alias("keys_sorted"),
         F.array_join(F.sort_array(F.map_values(merged)), "|").alias("values_sorted"),
         F.element_at(
             F.transform_values(merged, lambda _, v: F.upper(v)), F.lit("bucket")

@@ -39,6 +39,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one named table as a DataFrame (lazy — just a scan node)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # events.parquet carries parquet TIMESTAMP(NANOS), which vanilla Spark
+    # refuses to read (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime SQL
+    # conf, so set it here instead of relying on the session factory — this
+    # keeps every query runnable on ANY caller-supplied SparkSession (the
+    # correctness driver builds its own, without our session.py confs).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked on exotic sessions
+        pass
     df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long (see
     # session conf nanosAsLong); convert to a microsecond timestamp, which

@@ -3,6 +3,11 @@ entry on Spark AND its oracle_sql() on DuckDB over the same parquet dir,
 compare row count, column names, and order-insensitive values.
 
 Usage: python tests/oracle_harness.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_VANILLA=1 to run on a bare SparkSession (no engine confs),
+mimicking the driver's correctness gate — catches any query that silently
+depends on session.py configuration (the round-1 events.parquet failure
+mode).
 """
 
 from __future__ import annotations
@@ -69,7 +74,18 @@ def main():
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import TABLES
 
-    spark = get_spark("oracle-harness")
+    import os
+
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-harness-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-harness")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
