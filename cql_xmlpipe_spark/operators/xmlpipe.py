@@ -62,6 +62,14 @@ def with_doc_id(
     for k in key_cols:
         if k not in schema:
             raise KeyError(f"key column {k!r} not in DataFrame")
+    # a silent withColumn overwrite of an existing column would replace
+    # real data with the synthesized id; only id = own-key fast path may
+    # legitimately land on an existing name (id := that key's value)
+    if id_col in schema and key_cols != [id_col]:
+        raise ValueError(
+            f"id_col {id_col!r} already exists in the DataFrame; pass a "
+            "different id_col (xml_documents does this automatically)"
+        )
 
     if len(key_cols) == 1 and _is_integral(schema[key_cols[0]]):
         # reference renders Integer.toString(value); bigint would throw in

@@ -307,6 +307,115 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA_HEX = {"F": "('0','1')", "O": "('0','1','2','3')", "P": "('0','1','2','3','4','5','6','7')"}
+
+
+@_q(
+    "stratified_sample_orders",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+             IN {_STRATA_HEX['F']})
+       OR (o_orderstatus = 'O' AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+             IN {_STRATA_HEX['O']})
+       OR (o_orderstatus = 'P' AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+             IN {_STRATA_HEX['P']})
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — different rate per stratum
+    (F 12.5%, O 25%, P 50%) via the key-hash technique: stable across
+    engines, runs, and partition layouts, unlike sampleBy(seed) which is
+    partition-dependent. At 100 TB this stays a narrow filter (no shuffle,
+    no per-stratum pass); rates tune by widening the hex-prefix set."""
+    o = load_table(spark, "orders", sf_dir)
+    first = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    keep = (
+        ((F.col("o_orderstatus") == "F") & first.isin("0", "1"))
+        | ((F.col("o_orderstatus") == "O") & first.isin("0", "1", "2", "3"))
+        | ((F.col("o_orderstatus") == "P") & first.isin(*"01234567"))
+    )
+    return o.filter(keep).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _corpus_prep_oracle() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ",".join(f"'{s}'" for s in stops)
+            + "], x)))"
+        )
+        for lang, stops in TX.LANG_STOPWORDS.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id, text, toks,
+             CASE
+               WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+                    AND {hits['en']} >= {hits['es']} THEN 'en'
+               WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+               WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+               ELSE 'es'
+             END AS predicted_lang
+      FROM t WHERE len(toks) >= 10),
+    d AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q)
+    SELECT predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM d WHERE doc_id = keep_id
+    GROUP BY predicted_lang
+    """
+
+
+@_q("corpus_prep_pipeline", _corpus_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep in ONE declarative plan: tokenize →
+    quality gate (≥10 tokens) → language-ID → exact dedup (min-id survivor
+    per content hash) → per-language corpus stats. The operators compose
+    without materialization barriers, so Catalyst fuses tokenize+filter+
+    langid into the scan stage; the only shuffles are the dedup window
+    (32-byte md5 keys) and the final tiny group-by — the shape this
+    pipeline keeps at 100 TB."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", "text", TX.words(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 10
+    )
+    scores = {k: TX.stopword_hits(F.col("toks"), v) for k, v in TX.LANG_STOPWORDS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    from pyspark.sql import Window as W
+
+    tagged = base.withColumn("predicted_lang", predicted).withColumn(
+        "keep_id", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    )
+    return (
+        tagged.filter(F.col("doc_id") == F.col("keep_id"))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks").cast("long")).alias("n_tokens"),
+            F.sum(F.length("text").cast("long")).alias("n_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal manifest (binary-column plumbing; decode stubs live in
 # operators/multimodal.py)
