@@ -628,6 +628,107 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "math_conditional_gauntlet",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - l_quantity * 1000) AS abs_diff,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS above_30k,
+           CAST(l_partkey % 7 AS BIGINT) AS pk_mod7,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+)
+def math_conditional_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional scalar library (§2C): abs/floor/ceil/sign/mod/
+    greatest/least/sqrt/ln + CASE/nullif/coalesce. Transcendentals are
+    rounded to 6 dp — IEEE libm implementations differ in the last ulp
+    across engines; integer-exact ops are compared raw. All codegen'd
+    Column exprs over the scan."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("abs_diff"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("above_30k"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@_q(
+    "regex_like_filters",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%green%'
+       OR p_type LIKE 'PROMO%'
+       OR regexp_matches(p_name, '^[a-f]+ ')
+    """,
+)
+def regex_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / prefix-LIKE / regexp predicate pushdown surface (§2C). The
+    prefix LIKE compiles to StartsWith and reaches the parquet scan as a
+    pushed filter; the regexp stays a post-scan codegen'd filter."""
+    p = load_table(spark, "part", sf_dir)
+    return p.filter(
+        F.col("p_name").like("%green%")
+        | F.col("p_type").like("PROMO%")
+        | F.col("p_name").rlike("^[a-f]+ ")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@_q(
+    "null_safe_join_priorities",
+    """
+    WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+               FROM orders),
+         d AS (SELECT nullif(p, '3-MEDIUM') AS prio, label
+               FROM (VALUES ('1-URGENT', 'hot'), ('3-MEDIUM', 'warm'),
+                            ('5-LOW', 'cold')) AS t(p, label))
+    SELECT d.label, COUNT(*) AS n
+    FROM o JOIN d ON o.prio IS NOT DISTINCT FROM d.prio
+    GROUP BY d.label
+    """,
+)
+def null_safe_join_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> ≙ IS NOT DISTINCT FROM, §2C): NULL
+    keys MATCH each other, unlike plain equi-join semantics. The dim side
+    is a 3-row literal frame — broadcast, so the null-safe condition stays
+    a BroadcastHashJoin (Spark supports EqualNullSafe as a hash key)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio")
+    )
+    d = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("3-MEDIUM", "warm"), ("5-LOW", "cold")], "p string, label string"
+    ).select(F.nullif("p", F.lit("3-MEDIUM")).alias("prio"), "label")
+    return (
+        o.join(F.broadcast(d), o.prio.eqNullSafe(d.prio))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
     "string_function_gauntlet",
     """
     SELECT p_partkey,
