@@ -686,9 +686,12 @@ def math_conditional_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regex_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE / prefix-LIKE / regexp predicate pushdown surface (§2C). The
-    prefix LIKE compiles to StartsWith and reaches the parquet scan as a
-    pushed filter; the regexp stays a post-scan codegen'd filter."""
+    """LIKE / prefix-LIKE / regexp predicate surface (§2C). Plan note: the
+    OR-chain contains a non-source-convertible RLIKE, so the WHOLE
+    disjunction evaluates post-scan (one whole-stage-codegen Filter — no
+    partial pushdown of a disjunct is possible without changing
+    semantics). AND-ed convertible predicates (see filter_scan_pushdown)
+    are the shape that reaches the scan as PushedFilters."""
     p = load_table(spark, "part", sf_dir)
     return p.filter(
         F.col("p_name").like("%green%")
@@ -1104,6 +1107,45 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("click_value"))
     )
     joined = asof_join(p, c, on=["user_id"], left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "r_click_value",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
+@_q(
+    "asof_join_forward_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, MAX(value) AS click_value FROM events
+          WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           c.click_value AS r_click_value, epoch_us(c.ts) AS r_ts_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_forward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase attaches the user's EARLIEST
+    click at-or-after it (direction='forward' flips the window to
+    first-over-following — same single-shuffle cost profile as backward).
+    Oracle: DuckDB ASOF with the <= inequality."""
+    from cql_xmlpipe_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(p, c, on=["user_id"], left_ts="ts", right_ts="ts", direction="forward")
     return joined.select(
         "event_id",
         "user_id",

@@ -58,11 +58,12 @@ def test_asof_join_is_single_exchange_window(spark):
     """The as-of join must stay union+window: exactly one shuffle for the
     window (plus the small right-side pre-aggregation), and no join node
     at all — a range theta-join here would be a per-key cross product."""
-    plan = _plan(spark, "asof_join_purchase_click")
-    assert "Window" in plan
-    assert "Join" not in plan  # no join operator of any kind
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
+    for name in ("asof_join_purchase_click", "asof_join_forward_click"):
+        plan = _plan(spark, name)
+        assert "Window" in plan
+        assert "Join" not in plan  # no join operator of any kind
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, f"{name}: expected <=2 hash exchanges, saw {n_exchanges}"
 
 
 def test_export_is_scan_project_single_pass(spark):
