@@ -135,3 +135,18 @@ def test_count_star_is_pure_plan(spark):
 def test_deterministic_sample_is_narrow_filter(spark):
     plan = _plan(spark, "deterministic_sample_orders")
     assert "Exchange" not in plan  # pure scan -> filter -> project
+
+
+def test_stratified_sample_is_narrow_filter(spark):
+    plan = _plan(spark, "stratified_sample_orders")
+    assert "Exchange" not in plan  # per-stratum rates, still no shuffle
+
+
+def test_corpus_prep_two_shuffles_only(spark):
+    """tokenize+quality+langid must fuse into the scan stage; the whole
+    pipeline shuffles exactly twice — the dedup window (md5 keys) and the
+    tiny per-language group-by."""
+    plan = _plan(spark, "corpus_prep_pipeline")
+    n_shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
+    assert n_shuffles <= 2, f"expected <=2 shuffles, saw {n_shuffles}"
+    assert "CartesianProduct" not in plan
