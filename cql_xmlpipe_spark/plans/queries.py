@@ -1074,6 +1074,95 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "udaf_weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+             AS w_avg_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF (§2C UDF/UDAF surface): quantity-weighted
+    mean price per return flag, computed Arrow-batched in numpy. Exactness
+    discipline for the cross-engine hash gate: prices are 2-dp decimals,
+    so the UDAF accumulates integer CENTS × integer quantities in int64 —
+    summation-order-independent — and divides once at the end, mirroring
+    the oracle's BIGINT arithmetic bit-for-bit. At scale a grouped-agg
+    pandas UDF executes as a partial-less ObjectHashAggregate per group —
+    fine for small group counts like this (3 groups), the documented
+    trade-off vs built-in aggregates."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses `from __future__
+    # import annotations`, which stringifies type hints and defeats
+    # pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return float((cents * q).sum()) / float(q.sum()) / 100.0
+
+    # Spark disallows mixing pandas and JVM aggregates in one Aggregate
+    # node (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a second
+    # pandas aggregate riding the same Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def pcount(qty):
+        return len(qty)
+
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("w_avg_price"),
+        pcount("l_quantity").alias("n"),
+    )
+
+
+@_q(
+    "grouped_map_rank_lineitems",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+             AS BIGINT) AS price_rank
+    FROM lineitem
+    WHERE l_extendedprice > 90000
+    """,
+)
+def grouped_map_rank_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (§2C UDF surface): per-group custom
+    pandas logic — dense price ranking with a total tie-break, identical
+    to the window-function oracle. Integer output, stable sort, unique
+    keys ⇒ deterministic across engines and partitionings. The group key
+    shuffles once; each group's frame arrives as ONE Arrow batch (the
+    documented constraint: a single group must fit an executor's memory —
+    here groups are bounded by the filter)."""
+    import pandas as pd
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        pdf["price_rank"] = range(1, len(pdf) + 1)
+        return pdf[["l_returnflag", "l_orderkey", "l_linenumber", "price_rank"]]
+
+    l = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_extendedprice") > 90000)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    return l.groupBy("l_returnflag").applyInPandas(
+        rank_group,
+        schema="l_returnflag string, l_orderkey long, l_linenumber long, price_rank long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of / range joins (custom temporal operators, operators/asof.py)
 # ---------------------------------------------------------------------------
