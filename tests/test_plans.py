@@ -137,6 +137,21 @@ def test_deterministic_sample_is_narrow_filter(spark):
     assert "Exchange" not in plan  # pure scan -> filter -> project
 
 
+def test_pandas_udf_queries_single_shuffle(spark):
+    """Both pandas-UDF queries must shuffle exactly once (on the group
+    key) and prune the scan to the referenced columns; the Python
+    boundary is one Arrow node (ArrowAggregatePython /
+    FlatMapGroupsInPandas), not a per-row PythonUDF."""
+    plan = _plan(spark, "udaf_weighted_avg_price")
+    assert "ArrowAggregatePython" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    plan = _plan(spark, "grouped_map_rank_lineitems")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
 def test_stratified_sample_is_narrow_filter(spark):
     plan = _plan(spark, "stratified_sample_orders")
     assert "Exchange" not in plan  # per-stratum rates, still no shuffle
