@@ -160,6 +160,12 @@ def minhash_lsh_pairs(
                              F.col("sh_hashes").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"),
                         F.col("sh_hashes").alias("sh_b")), "id_b")
+        # length filter before the intersection (exactness-preserving:
+        # J >= t forces the set sizes within a factor t of each other)
+        .filter(
+            (F.size("sh_a") >= threshold * F.size("sh_b"))
+            & (F.size("sh_b") >= threshold * F.size("sh_a"))
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -225,6 +231,13 @@ def ngram_jaccard_pairs(
     verified = (
         cands.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        # PPJoin length filter (exactness-preserving): J(A,B) >= t requires
+        # |A| >= t|B| and |B| >= t|A| — prune before the O(|A|+|B|)
+        # intersection, which dominates verification cost
+        .filter(
+            (F.size("sh_a") >= threshold * F.size("sh_b"))
+            & (F.size("sh_b") >= threshold * F.size("sh_a"))
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
