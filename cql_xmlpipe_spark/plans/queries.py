@@ -1074,6 +1074,25 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# murmur3 tokens are engine-native (no DuckDB analogue) — rows-only check;
+# the two independent implementations cross-validate in tests/test_cqlcompat.py
+@_q("token_orders_murmur3")
+def token_orders_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 ``token(pk)`` with Cassandra Murmur3Partitioner parity: h1 of
+    MurmurHash3_x64_128 (seed 0) over the protocol-serialized key,
+    including the Java port's signed-tail composition. Vectorized Arrow
+    batch — one Python boundary, no per-row loop."""
+    from pyspark.sql import types as T
+
+    from cql_xmlpipe_spark.functions.murmur3 import cassandra_token
+
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        cassandra_token(F.col("o_orderkey"), T.LongType()).alias("token"),
+    )
+
+
 @_q(
     "udaf_weighted_avg_price",
     """
