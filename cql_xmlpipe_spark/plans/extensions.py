@@ -107,6 +107,252 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKS_CTE = """
+      SELECT doc_id, lang,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+"""
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, list_distinct(t.sh) AS sh
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        FROM ({_TOKS_CTE})
+      ) t
+      WHERE len(t.sh) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.w AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.v
+    ),
+    lab AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT v AS doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+"""
+
+
+@_q("dedup_cluster_assign", _CLUSTER_ORACLE)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: exact n-gram-Jaccard pairs (≥0.35,
+    language-blocked — the same edge set as ``dedup_ngram_jaccard``) fed
+    into iterative min-label connected components. Every doc maps to the
+    min reachable doc_id; the oracle recomputes the same fixpoint with a
+    recursive CTE. This is the step that turns pairwise dedup output into
+    the keep/drop decision a corpus pipeline actually executes."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.35, k=3)
+    out = DD.connected_components(d.select("doc_id"), pairs)
+    DD.unpersist_intermediates(pairs)
+    return out
+
+
+@_q(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS INTEGER)
+               AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+      FROM t)
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // 2048 AS seq_id
+    FROM s
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate docs in id order within each
+    language shard and chunk the token stream into 2048-token context
+    windows — each doc gets its stream offset and sequence id. One window
+    cumsum per shard (parallel across shards; at 100 TB the shard key is
+    whatever unit the tokenizer job packs, so no global sort exists)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id", "lang", F.size(TX.words(F.col("text"))).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("start_offset"),
+    ).withColumn("seq_id", F.expr("start_offset div 2048"))
+
+
+_TFIDF_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE}),
+    e AS (
+      SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
+      FROM w WHERE len(toks) > 0),
+    tf AS (
+      SELECT doc_id, doc_len, term, COUNT(*) AS tf
+      FROM e GROUP BY doc_id, doc_len, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM w WHERE len(toks) > 0),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             (CAST(t.tf AS DOUBLE) / t.doc_len)
+               * (CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+      FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
+@_q("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 terms by TF-IDF (rational idf N/df — no log, so the
+    score is two exact int->double divisions and one multiply, bit-identical
+    cross-engine). Two shuffles — (doc,term) then term — plus a broadcast
+    1-row doc count; Catalyst's ReuseExchange serves the tf subplan to both
+    the score join and the df aggregate from one shuffle write."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", TX.words(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    e = base.select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    tf = e.groupBy("doc_id", "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("doc_len"))
+            * (F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+_POSTINGS_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE}),
+    t AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(toks) AS term FROM w)),
+    r AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM t)
+    SELECT term, CAST(MAX(df) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS posting
+    FROM r WHERE rn <= 20 GROUP BY term
+"""
+
+
+@_q("inverted_index_postings", _POSTINGS_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency + the first 20
+    posting doc_ids (rendered to a string for the gate). The window
+    row_number caps per-term state BEFORE collection, so no posting list
+    ever exceeds 20 entries in executor memory regardless of term skew —
+    the full df count rides the same window pass. The collect_list output
+    aggregate downgrades its (tiny, vocab-sized) node to
+    ObjectHashAggregate; the row-heavy stages before it stay codegen'd."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    t = (
+        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    wt = W.partitionBy("term")
+    r = t.select(
+        "term",
+        "doc_id",
+        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("df"),
+    )
+    return (
+        r.filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("posting"),
+        )
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_NUM_RE = "[0-9]{2,}"
+
+
+@_q(
+    "text_redact_events_pii",
+    f"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(regexp_replace(props,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_NUM_RE}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '{_NUM_RE}')) AS INTEGER)
+             AS n_digit_runs
+    FROM events
+    """,
+)
+def text_redact_events_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over event payloads: email / URL / digit-run redaction as
+    a chained regexp_replace (narrow projection, codegen'd, zero shuffle —
+    the shape a log-scrubbing pass keeps at any scale). Patterns restricted
+    to the Java-regex ∩ RE2 common dialect so the DuckDB oracle matches."""
+    e = load_table(spark, "events", sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("props"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _NUM_RE,
+        "<NUM>",
+    )
+    return e.select(
+        "event_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("props", F.lit(_NUM_RE), 0)).alias("n_digit_runs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

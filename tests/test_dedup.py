@@ -98,3 +98,29 @@ def test_exact_dedup_keeps_min_id(spark):
     assert rows[3]["keep_id"] == 3 and not rows[3]["is_duplicate"]
     assert rows[10]["keep_id"] == 3 and rows[10]["is_duplicate"]
     assert rows[7]["group_size"] == 1
+
+
+def test_connected_components_shapes(spark):
+    """Path graph (needs multi-round propagation), clique, and singleton."""
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    # path 0-1-2-3 (diameter 3), clique {4,5,6}, pair {7,8} via 7-8; 4-5-6 full
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (7, 8)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in DD.connected_components(nodes, edges).collect()
+    }
+    assert got == {
+        0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
+        4: (4, 3), 5: (4, 3), 6: (4, 3),
+        7: (7, 2), 8: (7, 2),
+    }
+
+
+def test_connected_components_all_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in DD.connected_components(nodes, edges).collect()}
+    assert got == {i: i for i in range(5)}
