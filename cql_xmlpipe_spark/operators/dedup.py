@@ -338,24 +338,31 @@ def connected_components(
     are unions of small quasi-cliques (diameter ≤ ~3 in practice), so the
     loop converges in 2-4 rounds regardless of corpus size.
 
-    100 TB shape: per round, one hash-partitioned join of the label table
-    (two longs per vertex) against the symmetrized edge list plus one
-    map-side-combining min-aggregate — labels and edges shuffle as bare
-    longs, text never enters the loop. ``localCheckpoint`` truncates the
-    lineage each round so plan depth stays O(1) instead of O(rounds), and
-    the convergence test rides the same pass (an iterative algorithm needs
-    a per-round action by construction; this is the documented exception
-    to the lazy-plan rule). Edges are persisted once up front — they feed
-    every round — and unpersisted before return.
+    100 TB shape: the iterative state is |V(edges)| — only vertices that
+    appear in a pair enter the loop; the (overwhelmingly larger) singleton
+    population is attached afterwards with a single anti-join, so a corpus
+    with 1% duplicates iterates over 1% of the ids. Per round, one
+    hash-partitioned join of the label table (two longs per vertex)
+    against the symmetrized edge list plus one map-side-combining
+    min-aggregate — labels and edges shuffle as bare longs, text never
+    enters the loop. ``localCheckpoint`` truncates the lineage each round
+    so plan depth stays O(1) instead of O(rounds), and the convergence
+    test rides the same pass (an iterative algorithm needs a per-round
+    action by construction; this is the documented exception to the
+    lazy-plan rule). Edges are persisted once up front — they feed every
+    round — and unpersisted before return.
     """
     sym = (
         pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("w"))
         .union(pairs.select(F.col("id_b").alias("v"), F.col("id_a").alias("w")))
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select("v")
+        .distinct()
+        .select(F.col("v"), F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -383,11 +390,19 @@ def connected_components(
     finally:
         sym.unpersist()
     w_cluster = W.partitionBy("label")
-    return labels.select(
+    clustered = labels.select(
         F.col("v").alias(id_col),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w_cluster).alias("cluster_size"),
     )
+    singletons = nodes.join(
+        labels.select(F.col("v").alias(id_col)), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return clustered.unionByName(singletons)
 
 
 def embedding_near_dup_pairs(

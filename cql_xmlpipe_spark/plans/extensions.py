@@ -232,9 +232,12 @@ _TFIDF_ORACLE = f"""
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 terms by TF-IDF (rational idf N/df — no log, so the
     score is two exact int->double divisions and one multiply, bit-identical
-    cross-engine). Two shuffles — (doc,term) then term — plus a broadcast
-    1-row doc count; Catalyst's ReuseExchange serves the tf subplan to both
-    the score join and the df aggregate from one shuffle write."""
+    cross-engine). df comes from a count-over-term window ON the tf table —
+    NOT a separate groupBy+join back: column pruning makes the tf exchange
+    non-canonical between such branches, so ReuseExchange never fires and
+    the tokenize+explode runs twice (measured 6.6 s → 2.6 s at sf0.1).
+    Single linear pipeline: explode → tf agg → term window → doc window,
+    plus one broadcast 1-row corpus count."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, "documents", sf_dir)
@@ -243,16 +246,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = base.select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
     tf = e.groupBy("doc_id", "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    withdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            (F.col("tf").cast("double") / F.col("doc_len"))
-            * (F.col("n_docs").cast("double") / F.col("df")),
-        )
+    scored = withdf.crossJoin(F.broadcast(n_docs)).withColumn(
+        "tfidf",
+        (F.col("tf").cast("double") / F.col("doc_len"))
+        * (F.col("n_docs").cast("double") / F.col("df")),
     )
     rank = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
