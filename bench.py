@@ -44,9 +44,12 @@ HEADLINE = [
     "dedup_exact_hash_groups",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
     "similarity_cosine_topk",
     "text_quality_scores",
     "text_langid_heuristic",
+    "text_tfidf_top_terms",
+    "doc_pack_sequences",
 ]
 
 

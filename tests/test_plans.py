@@ -165,3 +165,38 @@ def test_corpus_prep_two_shuffles_only(spark):
     n_shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
     assert n_shuffles <= 2, f"expected <=2 shuffles, saw {n_shuffles}"
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_single_linear_pipeline(spark):
+    """TF-IDF must not recompute the tf subplan: df is a count-over-term
+    window ON tf, not a groupBy+join-back (the join-back shape defeated
+    ReuseExchange via column pruning and ran tokenize+explode twice —
+    measured 6.6 s vs 1.8 s at sf0.1). Pin: one broadcast (corpus count),
+    four shuffles (tf agg, term window, 1-row corpus count, doc window),
+    rank filter pushed down as WindowGroupLimit, no SMJ."""
+    plan = _plan(spark, "text_tfidf_top_terms")
+    assert plan.count("BroadcastExchange") == 2  # formatted prints nodes twice
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 8
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_redact_is_narrow_projection(spark):
+    """PII scrub is scan→project: zero exchanges of any kind."""
+    plan = _plan(spark, "text_redact_events_pii")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Sequence packing: exactly one shuffle (the per-lang window)."""
+    plan = _plan(spark, "doc_pack_sequences")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_postings_caps_before_collect(spark):
+    """Inverted index: the row_number cap must sit BELOW the collect_list
+    aggregate so per-term state is bounded before collection."""
+    plan = _plan(spark, "inverted_index_postings")
+    assert "ObjectHashAggregate" in plan  # collect_list node (vocab-sized)
+    # the filter on rn<=20 must appear (window cap executes pre-aggregate)
+    assert "rn" in plan and "row_number" in plan
