@@ -418,6 +418,75 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10)
 
 
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+             embedding
+      FROM embeddings)
+    SELECT vec_id, CAST(max_abs AS DOUBLE) AS max_abs,
+           CASE WHEN max_abs = 0 THEN ''
+                ELSE array_to_string(list_transform(embedding,
+                  x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs)
+                                       + 0.5) AS BIGINT) AS VARCHAR)), ',')
+           END AS q8
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (the memory-reduction step
+    before ANN indexing at scale: 4 bytes/dim -> 1). scale = 127/max|x|;
+    q_i = floor(x_i*scale + 0.5) — floor-based half-up rounding because the
+    engines' round() tie-breaking differs, while mul/div/floor are IEEE
+    single-rounded and bit-identical. Narrow projection, zero shuffle;
+    rendered to a string for the gate's canonicalizer."""
+    e = load_table(spark, "embeddings", sf_dir)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    base = e.select("vec_id", F.col("embedding"), max_abs.alias("max_abs"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(xd(x) * (F.lit(127.0) / F.col("max_abs")) + 0.5).cast("long").cast("string"),
+    )
+    return base.select(
+        "vec_id",
+        F.col("max_abs").cast("double").alias("max_abs"),
+        F.when(F.col("max_abs") == 0, "").otherwise(F.array_join(q, ",")).alias("q8"),
+    )
+
+
+@_q(
+    "profile_doc_length_histogram",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             CASE WHEN n_chars < 0 THEN 0
+                  WHEN n_chars >= 2000 THEN 21
+                  ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) + 1
+             END AS bucket
+      FROM documents)
+    SELECT bucket, COUNT(*) AS n,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def profile_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: document-length histogram via width_bucket — the
+    fixed-bin shape that needs no quantile pre-pass, so it stays one
+    map-side-combining aggregate at any corpus size."""
+    d = load_table(spark, "documents", sf_dir)
+    b = F.width_bucket(F.col("n_chars").cast("double"), F.lit(0.0), F.lit(2000.0), F.lit(20))
+    return d.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -233,6 +233,88 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q8_market_share",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           CAST({_osum("CASE WHEN n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                AS DOUBLE)
+             / CAST({_osum('l_extendedprice * (1 - l_discount)')} AS DOUBLE)
+             AS mkt_share,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share per year — a fact⋈fact join
+    (lineitem⋈orders, the one unavoidable shuffle) with the supplier→nation
+    lookup broadcast, then a conditional-aggregate ratio. Per-row revenue
+    products are IEEE doubles (deterministic), both sums accumulate as
+    exact decimals (order-independent), and the final share divides two
+    exact-valued doubles — bit-identical cross-engine."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (dsum(nat_rev) / dsum(rev)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH agg AS (
+      SELECT l_partkey AS a_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           {_osum('l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN agg ON a_partkey = l_partkey
+    WHERE l_quantity < 0.2 * (sum_qty / cnt)
+    GROUP BY p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their part's average quantity.
+    The correlated-avg subquery decorrelates to a per-part aggregate
+    re-joined to lineitem (both sides shuffle on l_partkey — co-located,
+    no second shuffle for the join itself under AQE). The threshold is
+    ``0.2 * (exact-decimal-sum-as-double / count)`` so the comparison is
+    the same IEEE sequence on both engines."""
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    agg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(agg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * (F.col("sum_qty") / F.col("cnt")))
+        .groupBy("p_brand")
+        .agg(
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
     "filter_scan_pushdown",
     """
     SELECT l_orderkey, l_partkey, l_quantity,
