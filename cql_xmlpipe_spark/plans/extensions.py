@@ -419,6 +419,82 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunk_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0),
+    idx AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, CAST(floor((n - 1) / 400.0) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM d)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 400 + 1 AS start,
+           CAST(length(substr(text, CAST(chunk_idx * 400 + 1 AS INTEGER), 500))
+                AS INTEGER) AS chunk_len,
+           md5(substr(text, CAST(chunk_idx * 400 + 1 AS INTEGER), 500)) AS digest
+    FROM idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (size 500 chars, stride 400 — the
+    RAG/context-window prep step): one generate+project, no shuffle; the
+    chunk count derives from the length column so no second text scan.
+    Chunks leave as (len, md5) so the gate compares content without
+    shipping the text itself."""
+    d = load_table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    n_chunks_minus1 = F.floor((F.length("text") - 1) / F.lit(400.0)).cast("long")
+    idx = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_minus1)).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * 400 + 1).cast("long")
+    chunk = F.substring(F.col("text"), (F.col("chunk_idx") * 400 + 1).cast("int"), 500)
+    return idx.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("digest"),
+    )
+
+
+@_q(
+    "quality_percentile_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS INTEGER)
+               AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens, doc_id) AS pr
+      FROM t)
+    SELECT doc_id, lang, n_tokens, pr FROM r WHERE pr >= 0.1
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: drop the bottom decile of docs per language
+    by token count — the distribution-aware filter (vs fixed thresholds)
+    a corpus pipeline applies per shard. percent_rank is (rank-1)/(n-1),
+    two exact ints divided once — deterministic cross-engine; doc_id
+    tie-break pins ranks. One window shuffle on the shard key."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", "lang", F.size(TX.words(F.col("text"))).alias("n_tokens"))
+    pr = F.percent_rank().over(W.partitionBy("lang").orderBy("n_tokens", "doc_id"))
+    return t.select("doc_id", "lang", "n_tokens", pr.alias("pr")).filter(
+        F.col("pr") >= 0.1
+    )
+
+
+@_q(
     "embedding_quantize_int8",
     """
     WITH m AS (

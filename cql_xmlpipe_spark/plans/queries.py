@@ -758,6 +758,39 @@ def math_conditional_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bitwise_function_gauntlet",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, o_custkey) AS bxor,
+           ~o_orderkey AS bnot,
+           o_orderkey << 3 AS shl,
+           o_orderkey >> 2 AS shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS pop
+    FROM orders
+    """,
+)
+def bitwise_function_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (§2C): and/or/xor/not, shifts, popcount —
+    pure codegen'd projection (DuckDB's ``^`` is power, so the oracle uses
+    ``xor()``; Spark's operators and the SQL forms agree on two's
+    complement semantics)."""
+    o = load_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("pop"),
+    )
+
+
+@_q(
     "regex_like_filters",
     """
     SELECT p_partkey, p_name, p_type
