@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from cql_xmlpipe_spark.functions import text as TX
 from cql_xmlpipe_spark.operators import dedup as DD
 from cql_xmlpipe_spark.operators.similarity import brute_force_topk, lsh_topk
-from cql_xmlpipe_spark.plans.queries import _q
+from cql_xmlpipe_spark.plans.queries import _q, dsum
 from cql_xmlpipe_spark.sources.registry import load_table
 
 # ---------------------------------------------------------------------------
@@ -491,6 +491,76 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = F.percent_rank().over(W.partitionBy("lang").orderBy("n_tokens", "doc_id"))
     return t.select("doc_id", "lang", "n_tokens", pr.alias("pr")).filter(
         F.col("pr") >= 0.1
+    )
+
+
+@_q(
+    "events_gap_fill_hourly",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS bucket, value
+      FROM events WHERE user_id < 50),
+    per AS (
+      SELECT user_id, bucket, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+               AS bucket_avg
+      FROM b GROUP BY user_id, bucket),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+      FROM b GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds),
+    j AS (
+      SELECT g.user_id, g.bucket, COALESCE(p.n_events, 0) AS n_events,
+             p.bucket_avg
+      FROM grid g LEFT JOIN per p
+        ON g.user_id = p.user_id AND g.bucket = p.bucket)
+    SELECT user_id, bucket * 3600 AS bucket_start, n_events,
+           last_value(bucket_avg IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM j
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user hourly grid between each user's
+    first and last event, empty hours carried forward from the last
+    observed bucket average (the regularization step before training on
+    irregular event streams). Grid size is bounded by time-span/3600 per
+    user — it never explodes with event volume; the forward fill is one
+    running ``last(ignorenulls)`` window. The fill value is a single
+    column, so there is no multi-column last() row-stitching hazard."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    b = e.select(
+        "user_id", F.expr("cast(ts as long) div 3600").alias("bucket"), "value"
+    )
+    per = b.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("bucket_avg"),
+    )
+    bounds = b.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = grid.join(per, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "bucket_avg",
+    )
+    fill = F.last("bucket_avg", ignorenulls=True).over(
+        W.partitionBy("user_id").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        (F.col("bucket") * 3600).alias("bucket_start"),
+        "n_events",
+        fill.alias("filled_avg"),
     )
 
 
