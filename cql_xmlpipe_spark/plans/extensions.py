@@ -534,8 +534,13 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    # the inner cast(timestamp) is a no-op for TimestampType but makes the
+    # epoch extraction legal for TIMESTAMP_NTZ inputs too (plain µs/ms
+    # parquet loads as NTZ, and NTZ→long is disallowed in Spark 4)
     b = e.select(
-        "user_id", F.expr("cast(ts as long) div 3600").alias("bucket"), "value"
+        "user_id",
+        F.expr("cast(cast(ts as timestamp) as long) div 3600").alias("bucket"),
+        "value",
     )
     per = b.groupBy("user_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
