@@ -357,10 +357,13 @@ def connected_components(
         .union(pairs.select(F.col("id_b").alias("v"), F.col("id_a").alias("w")))
         .persist()
     )
+    # seed with the 1-hop minimum (same shuffle the vertex-distinct would
+    # cost anyway) — cliques converge in the seed itself, so the loop only
+    # pays rounds for diameter beyond 1
     labels = (
-        sym.select("v")
-        .distinct()
-        .select(F.col("v"), F.col("v").alias("label"))
+        sym.groupBy("v")
+        .agg(F.min("w").alias("mw"))
+        .select(F.col("v"), F.least("v", "mw").alias("label"))
         .localCheckpoint(eager=True)
     )
     try:
