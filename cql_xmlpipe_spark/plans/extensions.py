@@ -638,6 +638,84 @@ def profile_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE}),
+    tf AS (
+      SELECT term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS term FROM w)
+      GROUP BY term)
+    SELECT CASE WHEN c = 1 THEN '1' WHEN c <= 3 THEN '2-3'
+                WHEN c <= 7 THEN '4-7' WHEN c <= 15 THEN '8-15'
+                WHEN c <= 31 THEN '16-31' ELSE '32+' END AS freq_bucket,
+           COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM tf
+    GROUP BY CASE WHEN c = 1 THEN '1' WHEN c <= 3 THEN '2-3'
+                  WHEN c <= 7 THEN '4-7' WHEN c <= 15 THEN '8-15'
+                  WHEN c <= 31 THEN '16-31' ELSE '32+' END
+"""
+
+
+@_q("profile_term_zipf", _ZIPF_ORACLE)
+def profile_term_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency profile (the Zipf check before vocab/tokenizer
+    decisions): term counts bucketed into power-of-two bands via a CASE
+    ladder — log2() is NOT bit-stable cross-engine, integer comparisons
+    are. One explode + two map-side-combining aggregates."""
+    d = load_table(spark, "documents", sf_dir)
+    tf = (
+        d.select(F.explode(TX.words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c")
+    bucket = (
+        F.when(c == 1, "1")
+        .when(c <= 3, "2-3")
+        .when(c <= 7, "4-7")
+        .when(c <= 15, "8-15")
+        .when(c <= 31, "16-31")
+        .otherwise("32+")
+    )
+    return tf.groupBy(bucket.alias("freq_bucket")).agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("c").alias("n_tokens")
+    )
+
+
+@_q(
+    "profile_embedding_norms",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings)
+    SELECT CAST(floor(nrm / 0.25) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+           CAST(MAX(nrm) AS DOUBLE) AS max_norm
+    FROM n GROUP BY CAST(floor(nrm / 0.25) AS BIGINT)
+    """,
+)
+def profile_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm histogram (the sanity profile before cosine vs dot
+    decisions): left-to-right double fold for the norm — bit-identical to
+    the oracle's list_reduce — bucketed at 0.25 width. Narrow scan + one
+    tiny aggregate."""
+    from cql_xmlpipe_spark.functions.vectors import norm as vnorm
+
+    e = load_table(spark, "embeddings", sf_dir)
+    n = e.select("vec_id", vnorm(F.col("embedding")).alias("nrm"))
+    return n.groupBy(
+        F.floor(F.col("nrm") / 0.25).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
