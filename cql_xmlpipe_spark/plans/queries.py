@@ -758,6 +758,101 @@ def math_conditional_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "full_outer_join_snapshot_diff",
+    """
+    WITH new AS (SELECT doc_id, md5(text) AS h FROM documents),
+    old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 11 = 0),
+    j AS (
+      SELECT n.doc_id AS n_id, o.doc_id AS o_id, n.h AS n_h, o.h AS o_h
+      FROM new n FULL JOIN old o ON n.doc_id = o.doc_id)
+    SELECT CASE WHEN o_id IS NULL THEN 'added'
+                WHEN n_id IS NULL THEN 'deleted'
+                WHEN n_h <> o_h THEN 'updated'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n,
+           CAST(MIN(COALESCE(n_id, o_id)) AS BIGINT) AS min_id,
+           CAST(MAX(COALESCE(n_id, o_id)) AS BIGINT) AS max_id
+    FROM j
+    GROUP BY CASE WHEN o_id IS NULL THEN 'added'
+                  WHEN n_id IS NULL THEN 'deleted'
+                  WHEN n_h <> o_h THEN 'updated'
+                  ELSE 'unchanged' END
+    """,
+)
+def full_outer_join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (§2C join-type checklist) doing real work: the
+    ingestion-diff step of an incremental corpus pipeline — classify each
+    doc as added / deleted / updated / unchanged between a derived
+    previous snapshot and the current table, comparing 16-byte content
+    hashes (never text) across the join."""
+    d = load_table(spark, "documents", sf_dir)
+    new = d.select(F.col("doc_id").alias("n_id"), F.md5(F.col("text").cast("binary")).alias("n_h"))
+    old_mod = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("o_id"),
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1")))
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("o_h"),
+    )
+    old_del = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("o_id"),
+        F.md5(F.col("text").cast("binary")).alias("o_h"),
+    )
+    old = old_mod.union(old_del)
+    j = new.join(old, new.n_id == old.o_id, "full")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "deleted")
+        .when(F.col("n_h") != F.col("o_h"), "updated")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.coalesce("n_id", "o_id")).alias("min_id"),
+        F.max(F.coalesce("n_id", "o_id")).alias("max_id"),
+    )
+
+
+@_q(
+    "right_join_part_coverage",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_rows,
+           COUNT(l_orderkey) AS n_lineitems,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uncovered_parts
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 48) l
+    RIGHT JOIN part ON l.l_partkey = part.p_partkey
+    GROUP BY p_brand
+    """,
+)
+def right_join_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (§2C join-type checklist): every part is kept even
+    with no matching (filtered) lineitem — the NULL-extended rows are
+    observable as uncovered parts per brand."""
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 48)
+    p = load_table(spark, "part", sf_dir)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey, "right")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_uncovered_parts"),
+        )
+    )
+
+
+@_q(
     "bitwise_function_gauntlet",
     """
     SELECT o_orderkey,
