@@ -853,6 +853,38 @@ def right_join_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "unpivot_price_components",
+    """
+    SELECT l_orderkey, l_linenumber, 'price' AS component,
+           l_extendedprice AS val
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (§2C): wide price columns to long (component, val)
+    rows via the native ``unpivot`` operator — one Expand node, one scan
+    (vs the oracle's 3-scan UNION ALL formulation)."""
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 100 == 0)
+    return (
+        l.withColumnRenamed("l_extendedprice", "price")
+        .withColumnRenamed("l_discount", "discount")
+        .withColumnRenamed("l_tax", "tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["price", "discount", "tax"],
+            "component",
+            "val",
+        )
+    )
+
+
+@_q(
     "bitwise_function_gauntlet",
     """
     SELECT o_orderkey,
