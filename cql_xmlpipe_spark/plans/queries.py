@@ -853,6 +853,36 @@ def right_join_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lateral_top_orders_per_customer",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 200
+    """,
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (§2C join forms,
+    via ``spark.sql`` like the reference's delegated path) — Catalyst
+    decorrelates the per-customer top-2 into a window under the hood;
+    the tie-break on o_orderkey makes the pick deterministic."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("_lat_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@_q(
     "unpivot_price_components",
     """
     SELECT l_orderkey, l_linenumber, 'price' AS component,
