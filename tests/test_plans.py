@@ -200,3 +200,24 @@ def test_postings_caps_before_collect(spark):
     assert "ObjectHashAggregate" in plan  # collect_list node (vocab-sized)
     # the filter on rn<=20 must appear (window cap executes pre-aggregate)
     assert "rn" in plan and "row_number" in plan
+
+
+def test_q8_q17_broadcast_lookups_no_smj(spark):
+    """The new TPC-H shapes keep lookup sides broadcast at gate SF: q8's
+    only real shuffle is the final year group-by; q17's are the per-part
+    aggregate and final brand group-by. Neither falls back to SMJ."""
+    p8 = _plan(spark, "q8_market_share")
+    assert "SortMergeJoin" not in p8
+    assert p8.count("BroadcastHashJoin") >= 4  # ≥2 joins, nodes print twice
+    assert p8.count("Exchange") - p8.count("BroadcastExchange") == 2
+    p17 = _plan(spark, "q17_small_quantity_revenue")
+    assert "SortMergeJoin" not in p17
+    assert p17.count("Exchange") - p17.count("BroadcastExchange") == 4
+
+
+def test_full_outer_diff_uses_smj(spark):
+    """FULL OUTER cannot broadcast — it must plan as sort-merge, and the
+    join carries only (id, 16-byte hash) columns, never text."""
+    plan = _plan(spark, "full_outer_join_snapshot_diff")
+    assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+    assert "text" not in plan.split("SortMergeJoin")[1][:400]
