@@ -503,8 +503,8 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id < 50),
     per AS (
       SELECT user_id, bucket, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
-               AS bucket_avg
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS bucket_avg
       FROM b GROUP BY user_id, bucket),
     bounds AS (
       SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1

@@ -56,7 +56,12 @@ def dsum(col) -> F.Column:
 
 
 def _osum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+    # the VARCHAR hop matters: DuckDB's direct DECIMAL->DOUBLE divides the
+    # scaled int128 by 10^scale in floating point (two roundings, up to
+    # 1 ulp off), while decimal->string->double is correctly rounded via
+    # strtod — which is exactly what Spark's BigDecimal.doubleValue
+    # produces. Caught by a real 1-ulp mismatch at sf0.1 (q8 denominator).
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +282,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH agg AS (
       SELECT l_partkey AS a_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)
+                  AS DOUBLE) AS sum_qty,
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_partkey)
     SELECT p_brand,
@@ -511,11 +517,11 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_revenue",
     """
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total
+                AS VARCHAR) AS DOUBLE) AS running_total
     FROM orders
     """,
 )
@@ -546,10 +552,10 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAST_VALUE(o_orderkey) OVER
              (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER
              (PARTITION BY o_orderstatus ORDER BY o_totalprice
               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE) AS range_running
+             AS VARCHAR) AS DOUBLE) AS range_running
     FROM orders
     WINDOW w  AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
            wt AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
