@@ -32,6 +32,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
     "topk_orders",
     "outer_join_order_distribution",
     "window_top3_orders_per_customer",
