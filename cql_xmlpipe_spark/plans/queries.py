@@ -1169,7 +1169,7 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extraction_events",
     """
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
@@ -1673,8 +1673,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     s AS (
       SELECT user_id, us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM t)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(us) AS session_start_us, MAX(us) AS session_end_us

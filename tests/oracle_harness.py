@@ -38,6 +38,31 @@ def _norm_rows(cols, rows):
     return sorted("|".join(_norm_cell(r[i]) for i in idx) for r in rows)
 
 
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_INT_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def _type_problems(spark_df, duck_rel) -> list[str]:
+    """Driver-parity dtype check: the driver canonicalizes values by their
+    arrow dtype before hashing, so a DuckDB HUGEINT (→ float64/object)
+    hash-mismatches a Spark bigint even when every digit agrees.  fetchall()
+    hides this (HUGEINT → Python int), so check declared types explicitly."""
+    s_types = {c.lower(): t for c, t in spark_df.dtypes}
+    d_types = {c.lower(): str(t).upper() for c, t in zip(duck_rel.columns, duck_rel.types)}
+    out = []
+    for col, dt in d_types.items():
+        if dt in ("HUGEINT", "UHUGEINT"):
+            out.append(f"col {col!r}: DuckDB {dt} will hash-mismatch the driver "
+                       "(wrap the oracle expr in CAST(... AS BIGINT))")
+            continue
+        st = s_types.get(col)
+        if st is None:
+            continue
+        if (st in _INT_SPARK) != (dt in _INT_DUCK):
+            out.append(f"col {col!r}: integer-class mismatch spark={st} duck={dt}")
+    return out
+
+
 def compare(name, spark_df, duck_rel) -> list[str]:
     problems = []
     s_cols = [c.lower() for c in spark_df.columns]
@@ -47,6 +72,7 @@ def compare(name, spark_df, duck_rel) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+    problems.extend(_type_problems(spark_df, duck_rel))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duck={len(d_rows)}")
     a = _norm_rows(s_cols, s_rows)
