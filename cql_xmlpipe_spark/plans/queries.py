@@ -1220,6 +1220,156 @@ def writetime_ttl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 100ns intervals between the gregorian epoch and 1970-01-01 (RFC 4122)
+_GREG = 122192928000000000
+
+
+@_q(
+    "timeuuid_roundtrip_events",
+    f"""
+    WITH t AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+         u AS (SELECT event_id, ms,
+                      ms * 10000 + {_GREG} AS lo100,
+                      ms * 10000 + 9999 + {_GREG} AS hi100
+               FROM t)
+    SELECT event_id,
+           printf('%08x-%04x-1%03x-8080-808080808080',
+                  lo100 & 4294967295, (lo100 >> 32) & 65535,
+                  (lo100 >> 48) & 4095) AS min_tu,
+           printf('%08x-%04x-1%03x-7f7f-7f7f7f7f7f7f',
+                  hi100 & 4294967295, (hi100 >> 32) & 65535,
+                  (hi100 >> 48) & 4095) AS max_tu,
+           ms AS min_tu_ms, ms AS max_tu_ms, ms AS date_of_ms
+    FROM u
+    """,
+)
+def timeuuid_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 timeuuid family (``Query.java:250-258`` dialect surface):
+    ``minTimeuuid``/``maxTimeuuid`` synthesis from each event's timestamp,
+    then ``unixTimestampOf``/``dateOf`` extraction round-trips. The oracle
+    rebuilds the v1-UUID string layout (RFC 4122 time_low/mid/hi split,
+    gregorian 100ns offset, Cassandra's MIN/MAX clock-seq-and-node
+    constants) independently via DuckDB printf/bit arithmetic, so both the
+    uuid text and the embedded-ms extraction are cross-checked. Both
+    extractions recover the source ms exactly (maxTimeuuid embeds
+    remainder 9999, which floor-division shaves). Pure Column exprs."""
+    from cql_xmlpipe_spark.functions.cqlcompat import (
+        date_of,
+        max_timeuuid,
+        min_timeuuid,
+        unix_timestamp_of,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    mn = min_timeuuid(F.col("ts"))
+    mx = max_timeuuid(F.col("ts"))
+    return e.select(
+        "event_id",
+        mn.alias("min_tu"),
+        mx.alias("max_tu"),
+        unix_timestamp_of(mn).alias("min_tu_ms"),
+        unix_timestamp_of(mx).alias("max_tu_ms"),
+        F.unix_millis(date_of(mn)).alias("date_of_ms"),
+    )
+
+
+@_q(
+    "timeuuid_window_filter_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           MIN(epoch_ms(ts)) AS first_ms,
+           MAX(epoch_ms(ts)) AS last_ms
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN epoch_ms(TIMESTAMP '2024-01-05 00:00:00')
+                           AND epoch_ms(TIMESTAMP '2024-01-08 00:00:00')
+    GROUP BY event_type
+    """,
+)
+def timeuuid_window_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 as the canonical CQL time-window predicate: ``t > minTimeuuid(x)
+    AND t < maxTimeuuid(y)``. Each event's timeuuid is compared to the
+    window bounds by embedded time (``unixTimestampOf``), which is how
+    Cassandra orders timeuuids — NOT lexically (time_low is the most
+    significant *string* position but the least significant time bits).
+    ``unixTimestampOf(maxTimeuuid(ts))`` recovers epoch-ms exactly, so the
+    oracle is plain ms arithmetic. Predicate is a pure Column expr over the
+    scan (pushdown intact)."""
+    from cql_xmlpipe_spark.functions.cqlcompat import (
+        max_timeuuid,
+        min_timeuuid,
+        unix_timestamp_of,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    tu = max_timeuuid(F.col("ts"))  # the row's timeuuid representative
+    lo = min_timeuuid(F.to_timestamp(F.lit("2024-01-05 00:00:00")))
+    hi = max_timeuuid(F.to_timestamp(F.lit("2024-01-08 00:00:00")))
+    ms = unix_timestamp_of(tu)
+    return (
+        e.filter(ms.between(unix_timestamp_of(lo), unix_timestamp_of(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_millis(F.col("ts"))).alias("first_ms"),
+            F.max(F.unix_millis(F.col("ts"))).alias("last_ms"),
+        )
+    )
+
+
+#: 0xCAFEBABE00000000 reinterpreted as a signed big-endian long
+_CAFE_SIGNED = (0xCAFEBABE00000000) - (1 << 64)
+
+
+@_q(
+    "blob_cast_gauntlet",
+    f"""
+    SELECT o_orderkey,
+           o_orderkey AS okey_rt,
+           (0 - o_orderkey - 1) AS neg_rt,
+           lpad(to_hex(o_orderkey), 16, '0') AS okey_hex,
+           to_hex(0 - o_orderkey - 1) AS neg_hex,
+           CAST(o_custkey - 1000 AS INTEGER) AS int_rt,
+           o_orderpriority AS txt_rt,
+           hex(encode(o_orderpriority)) AS txt_hex,
+           CAST({_CAFE_SIGNED} AS BIGINT) AS lit_bigint
+    FROM orders
+    """,
+)
+def blob_cast_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 ``blobAsX``/``XAsBlob`` (Cassandra 2.1 dialect, ``pom.xml``
+    driver): signed big-endian reinterpretation round-trips for bigint
+    (positive AND negative — the high-bit case that breaks unsigned conv),
+    int (two's-complement within 32 bits, negatives via custkey-1000),
+    text (utf-8), plus the raw hex rendering of each blob and a constant
+    high-bit blob literal. The oracle reproduces the byte images with
+    DuckDB to_hex/encode — an independent big-endian witness."""
+    from cql_xmlpipe_spark.functions.cqlcompat import (
+        bigint_as_blob,
+        blob_as_bigint,
+        blob_as_int,
+        blob_as_text,
+        int_as_blob,
+        text_as_blob,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    okey = F.col("o_orderkey").cast("long")
+    neg = (-okey - F.lit(1)).cast("long")
+    return o.select(
+        "o_orderkey",
+        blob_as_bigint(bigint_as_blob(okey)).alias("okey_rt"),
+        blob_as_bigint(bigint_as_blob(neg)).alias("neg_rt"),
+        F.hex(bigint_as_blob(okey)).alias("okey_hex"),
+        F.hex(bigint_as_blob(neg)).alias("neg_hex"),
+        blob_as_int(int_as_blob((F.col("o_custkey") - F.lit(1000)).cast("int"))).alias(
+            "int_rt"
+        ),
+        blob_as_text(text_as_blob(F.col("o_orderpriority"))).alias("txt_rt"),
+        F.hex(text_as_blob(F.col("o_orderpriority"))).alias("txt_hex"),
+        blob_as_bigint(F.unhex(F.lit("CAFEBABE00000000"))).alias("lit_bigint"),
+    )
+
+
 @_q(
     "array_functions_gauntlet",
     """
