@@ -704,15 +704,29 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
 
 
-# approx_count_distinct: HLL sketches are engine-specific — no SQL oracle;
-# the driver records a rows-only check and tests/ assert the error bound.
-@_q("approx_distinct_parts")
+@_q(
+    "approx_distinct_parts",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=0.05). The raw sketch estimate is
+    engine-specific, so the HASHED output is the exact count plus a
+    ``within_bound`` boolean: |approx − exact| / exact ≤ 3·rsd. HLL is
+    deterministic on fixed data, so the flag is stable, the oracle computes
+    the exact side, and a broken sketch (or a bound violation) flips the
+    flag and fails the hash — making the approx op gate-checkable instead
+    of ``no_oracle``. tests/test_approx.py asserts the tighter bound."""
     l = load_table(spark, "lineitem", sf_dir)
-    return l.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select("exact_parts", (rel_err <= F.lit(0.15)).alias("within_bound"))
 
 
 @_q(
