@@ -90,10 +90,12 @@ def main() -> int:
     # signature tables) so the timed pass starts from clean storage memory
     spark.catalog.clearCache()
 
-    # Per-query timing = MIN over up to 3 runs (early exit when two runs
-    # agree within 25%). The host VM shows transient scheduling stalls that
-    # inflate a random query 5-10× per pass; min-of-N is the standard way
-    # to report the machine's actual capability rather than the noise.
+    # Per-query timing = MIN over exactly 3 runs. The host VM shows
+    # transient scheduling stalls that inflate a random query 5-10× per
+    # pass; min-of-N reports the machine's actual capability rather than
+    # the noise. No early exit: a sustained stall makes two slow runs
+    # "agree" and locks the stalled number in as the min (this recorded a
+    # phantom 17.9 s for q8 in round 3 — real min-of-3 was 2.8 s).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -110,10 +112,6 @@ def main() -> int:
             # bit_xor, not sum: long sums overflow under ANSI mode.
             _force(df)
             runs.append(time.perf_counter() - t0)
-            if len(runs) >= 2 and min(runs) > 0 and (
-                abs(runs[-1] - runs[-2]) / min(runs[-1], runs[-2]) < 0.25
-            ):
-                break
         timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1316,8 +1316,12 @@ def timeuuid_window_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame
 
     e = load_table(spark, "events", sf_dir)
     tu = max_timeuuid(F.col("ts"))  # the row's timeuuid representative
-    lo = min_timeuuid(F.to_timestamp(F.lit("2024-01-05 00:00:00")))
-    hi = max_timeuuid(F.to_timestamp(F.lit("2024-01-08 00:00:00")))
+    # timestamp_millis literals, NOT to_timestamp(string): string parsing
+    # resolves in the session/JVM timezone while the DuckDB oracle's naive
+    # TIMESTAMP literal is tz-independent — a non-UTC host would shift the
+    # window. 1704412800000/1704672000000 = 2024-01-05/-08 00:00:00 UTC.
+    lo = min_timeuuid(F.timestamp_millis(F.lit(1704412800000)))
+    hi = max_timeuuid(F.timestamp_millis(F.lit(1704672000000)))
     ms = unix_timestamp_of(tu)
     return (
         e.filter(ms.between(unix_timestamp_of(lo), unix_timestamp_of(hi)))

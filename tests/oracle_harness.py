@@ -47,13 +47,26 @@ def _type_problems(spark_df, duck_rel) -> list[str]:
     arrow dtype before hashing, so a DuckDB HUGEINT (→ float64/object)
     hash-mismatches a Spark bigint even when every digit agrees.  fetchall()
     hides this (HUGEINT → Python int), so check declared types explicitly."""
+    s_cols_lower = [c.lower() for c in spark_df.columns]
+    d_cols_lower = [c.lower() for c in duck_rel.columns]
+    out = []
+    # duplicate lowercase names would silently collapse in the dicts below,
+    # skipping the check on all but the last duplicate — refuse instead
+    for side, cols in (("spark", s_cols_lower), ("duck", d_cols_lower)):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        if dupes:
+            out.append(f"{side} result has duplicate column names: {dupes}")
+    if out:
+        return out
     s_types = {c.lower(): t for c, t in spark_df.dtypes}
     d_types = {c.lower(): str(t).upper() for c, t in zip(duck_rel.columns, duck_rel.types)}
-    out = []
     for col, dt in d_types.items():
-        if dt in ("HUGEINT", "UHUGEINT"):
+        if dt in ("HUGEINT", "UHUGEINT") or dt.startswith("DECIMAL"):
+            # both arrow-convert to decimal/object, not int64/float64 — the
+            # driver canonicalizes by arrow dtype, so every digit can agree
+            # and the value-hash still mismatches
             out.append(f"col {col!r}: DuckDB {dt} will hash-mismatch the driver "
-                       "(wrap the oracle expr in CAST(... AS BIGINT))")
+                       "(wrap the oracle expr in CAST(... AS BIGINT/DOUBLE))")
             continue
         st = s_types.get(col)
         if st is None:
