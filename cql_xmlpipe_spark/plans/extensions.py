@@ -128,9 +128,9 @@ _CLUSTER_ORACLE = f"""
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     ),
     edges AS (
       SELECT id_a AS v, id_b AS w FROM pairs
@@ -151,14 +151,26 @@ _CLUSTER_ORACLE = f"""
 
 @_q("dedup_cluster_assign", _CLUSTER_ORACLE)
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment: exact n-gram-Jaccard pairs (≥0.35,
-    language-blocked — the same edge set as ``dedup_ngram_jaccard``) fed
-    into iterative min-label connected components. Every doc maps to the
-    min reachable doc_id; the oracle recomputes the same fixpoint with a
-    recursive CTE. This is the step that turns pairwise dedup output into
-    the keep/drop decision a corpus pipeline actually executes."""
+    """Near-dup cluster assignment: MinHash+LSH candidate pairs, exact-
+    Jaccard-verified at ≥0.5 (the 16×4 banding's s-curve design point),
+    fed into iterative min-label connected components. Every doc maps to
+    the min reachable doc_id. This is the at-scale pipeline shape end to
+    end: candidate generation is banded LSH (shuffles only (id, band,
+    bucket) longs — never super-linear in clone count, unlike an exact
+    all-pairs shingle join), verification is an id-join, and the CC loop
+    shuffles bare longs. The exact n-gram path (``dedup_ngram_jaccard``)
+    remains the small-corpus verifier.
+
+    The oracle recomputes the fixpoint with a recursive CTE over the
+    EXACT pair set at the same semantics (J ≥ 0.5 on distinct 3-word
+    shingles, no blocking). Verified-LSH pairs are a subset of exact
+    pairs with recall 1-(1-J⁴)¹⁶ per edge — ≥ 1-4e-8 at the J ≥ 0.9
+    pairs present in this corpus (measured: no pair falls in [0.2, 0.9)),
+    so the two edge sets coincide deterministically here;
+    tests/test_dedup.py additionally asserts LSH-fed CC ≡ exact-fed CC
+    on planted-duplicate corpora."""
     d = load_table(spark, "documents", sf_dir)
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.35, k=3)
+    pairs = DD.minhash_lsh_pairs(d, threshold=0.5, k=3)
     out = DD.connected_components(d.select("doc_id"), pairs)
     DD.unpersist_intermediates(pairs)
     return out

@@ -124,3 +124,43 @@ def test_connected_components_all_singletons(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in DD.connected_components(nodes, edges).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_lsh_fed_cc_matches_exact_fed_cc_on_planted_corpus(spark):
+    """The production cluster-assignment path (LSH-pair feed) must produce
+    the same clustering as an exact-pair feed on a planted-duplicate
+    corpus — high-similarity clone groups (the real dedup workload) sit
+    far up the 16x4 banding s-curve, where per-edge recall is ~1."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    rows, doc_id = [], 0
+    # 8 clone groups of 3-5 docs, each clone differing in ~2% of tokens
+    for _ in range(8):
+        base = rng.choices(vocab, k=150)
+        for _ in range(rng.randint(3, 5)):
+            clone = list(base)
+            for _ in range(3):
+                clone[rng.randrange(len(clone))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(clone), "en"))
+            doc_id += 1
+    # 60 unrelated docs
+    for _ in range(60):
+        rows.append((doc_id, " ".join(rng.choices(vocab, k=150)), "en"))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    nodes = df.select("doc_id")
+
+    exact = DD.ngram_jaccard_pairs(df, block_col="lang", threshold=0.5, k=3)
+    want = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in DD.connected_components(nodes, exact).collect()
+    }
+    DD.unpersist_intermediates(exact)
+
+    lsh = DD.minhash_lsh_pairs(df, threshold=0.5, k=3)
+    got = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in DD.connected_components(nodes, lsh).collect()
+    }
+    DD.unpersist_intermediates(lsh)
+    assert got == want
