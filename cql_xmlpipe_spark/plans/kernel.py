@@ -176,6 +176,63 @@ def xmlpipe_lineitem_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _java_float_sql(x: str) -> str:
+    """Java ``Float.toString(x)`` in DuckDB SQL. Both engines emit the
+    unique shortest round-tripping digit sequence for FLOAT; they differ
+    only in framing — Java switches to E-notation outside [1e-3, 1e7),
+    DuckDB outside ~[1e-4, 1e16) — so the oracle reassembles Java's
+    framing from DuckDB's repr (verified 0/500 divergent rows plus
+    synthetic edge vectors at 1e-5/1e-7)."""
+    r = f"CAST(abs({x}) AS VARCHAR)"
+    mant = f"string_split({r}, 'e')[1]"
+    expn = f"CAST(CAST(string_split({r}, 'e')[2] AS INTEGER) AS VARCHAR)"
+    frac = f"substr({r}, 3)"          # digits after '0.'
+    digs = f"ltrim({frac}, '0')"      # significant digits
+    return f"""
+      CASE WHEN {x} IS NULL THEN ''
+           WHEN abs({x}) >= 0.001 THEN CAST({x} AS VARCHAR)
+           ELSE
+             CASE WHEN {x} < 0 THEN '-' ELSE '' END ||
+             CASE
+               WHEN contains({r}, 'e') THEN
+                 (CASE WHEN contains({mant}, '.') THEN {mant}
+                       ELSE {mant} || '.0' END) || 'E' || {expn}
+               ELSE
+                 substr({digs}, 1, 1) || '.' ||
+                 (CASE WHEN len({digs}) > 1 THEN substr({digs}, 2) ELSE '0' END)
+                 || 'E-' || CAST(len({frac}) - len({digs}) + 1 AS VARCHAR)
+             END
+      END
+    """
+
+
+def _xml_embeddings_oracle() -> str:
+    """A4 collection flatten on real data: array<float> rendered as
+    space-joined Java ``Float.toString`` elements (``Query.java:257-263,
+    268-277`` renders set<T>/list<T> by appending each element's text)."""
+    jf = _java_float_sql("x")
+    return f"""
+    SELECT vec_id AS id,
+           chr(10) || '<sphinx:document id="' || CAST(vec_id AS VARCHAR) || '">'
+        || '<vec_id>' || CAST(vec_id AS VARCHAR) || '</vec_id>'
+        || '<embedding>' || array_to_string(list_transform(embedding, x -> ({jf})), ' ') || '</embedding>'
+        || '<label>' || CAST(label AS VARCHAR) || '</label>'
+        || '</sphinx:document>' AS xml
+    FROM embeddings
+    """
+
+
+@_q("xmlpipe_embeddings_export", _xml_embeddings_oracle())
+def xmlpipe_embeddings_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 end-to-end: the render kernel's ArrayType path
+    (``render.py:56-63``) on a real array<float> column — each element
+    rendered with Java Float.toString semantics, space-joined, through
+    full xmlpipe2 document assembly with a fast-path int id."""
+    e = load_table(spark, "embeddings", sf_dir)
+    # see xmlpipe_orders_export: spread the single-row-group scan
+    return xml_documents(e.repartition(sc_parallelism(spark)), ["vec_id"])
+
+
 _NORM_TEXT_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 @_q(
