@@ -1522,7 +1522,23 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # murmur3 tokens are engine-native (no DuckDB analogue) — rows-only check;
 # the two independent implementations cross-validate in tests/test_cqlcompat.py
-@_q("token_orders_murmur3")
+#: B9 pinned-fixture oracle: partitioner tokens are not expressible in
+#: DuckDB SQL, so the ground truth is a parquet fixture precomputed by the
+#: PURE-PYTHON scalar model (scripts/make_murmur3_fixture.py — a separate
+#: implementation from the vectorized numpy batch the query runs), itself
+#: pinned to public vectors (h1("foo") and Cassandra token(int 1)) before
+#: generation. Keys 0..149999 cover every testdata sf; the join keeps the
+#: oracle sf-agnostic.
+_MURMUR3_FIXTURE = "/root/repo/tests/fixtures/murmur3_tokens_orders.parquet"
+
+@_q(
+    "token_orders_murmur3",
+    f"""
+    SELECT o.o_orderkey, f.token
+    FROM orders o
+    JOIN read_parquet('{_MURMUR3_FIXTURE}') f USING (o_orderkey)
+    """,
+)
 def token_orders_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 ``token(pk)`` with Cassandra Murmur3Partitioner parity: h1 of
     MurmurHash3_x64_128 (seed 0) over the protocol-serialized key,
