@@ -6,12 +6,15 @@ Spark-native generalization of the reference's blob branch
 per-item work runs as Arrow-batched ``mapInPandas`` so executors stream
 record batches instead of materializing partitions.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is STUBBED: with ``use_codec=True`` it raises
-``NotImplementedError`` at the call site where the real library would be
-invoked; the default is a deterministic fake decode (hash-derived pixel
-stats) so the Spark-side plumbing — schemas, UDF signatures, Arrow batch
-shapes, partition behavior — is fully real and testable.
+Codec availability: general-purpose image/video libraries (PIL/ffmpeg/
+librosa) are NOT in this container. The IMAGE path is nonetheless real:
+``use_codec=True`` decodes/encodes uncompressed 24-bit BMP with the
+pure-numpy codec in ``functions/bmpcodec.py`` (decode → stats / resample
+→ re-encode); other image formats raise ``NotImplementedError`` there.
+The VIDEO frame-sampling path stays stubbed behind ``use_codec=True``
+(container formats genuinely need ffmpeg). The default remains a
+deterministic fake decode (hash-derived pixel stats) so plumbing tests
+don't depend on payloads being valid media.
 
 Scale design: mapInPandas keeps the binary payload inside the executor
 (one pass, no shuffle); downstream joins/aggregations operate on the small
@@ -95,9 +98,16 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
 
 
 def decode_image_features(media: DataFrame, use_codec: bool = False) -> DataFrame:
-    """Per-image stats via mapInPandas (Arrow-batched, zero shuffle)."""
+    """Per-image stats via mapInPandas (Arrow-batched, zero shuffle).
+
+    ``use_codec=True`` runs a REAL decode (pure-numpy uncompressed-BMP,
+    ``functions/bmpcodec.py``); dimensions then come from the image header,
+    not the metadata struct. Non-BMP payloads raise NotImplementedError —
+    the honest boundary of an image-library-free container."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.bmpcodec import decode_bmp
+
         for pdf in batches:
             rows = []
             # zip over columns, not iterrows(): iterrows materializes a
@@ -106,13 +116,17 @@ def decode_image_features(media: DataFrame, use_codec: bool = False) -> DataFram
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
                 if use_codec:
-                    # real path: PIL.Image.open(io.BytesIO(payload))
-                    raise NotImplementedError(
-                        "image codec not available in this environment; "
-                        "install pillow and decode here"
-                    )
-                w, h = int(meta["width"]), int(meta["height"])
-                px = _fake_pixels(payload, w, h).astype(np.float64)
+                    payload = bytes(payload)
+                    if payload[:2] != b"BM":
+                        raise NotImplementedError(
+                            "only uncompressed 24-bit BMP decodes in-container; "
+                            "install pillow for other formats"
+                        )
+                    px = decode_bmp(payload).astype(np.float64)
+                    h, w = px.shape[0], px.shape[1]
+                else:
+                    w, h = int(meta["width"]), int(meta["height"])
+                    px = _fake_pixels(payload, w, h).astype(np.float64)
                 gray = px.mean(axis=2)
                 # 1px-wide image: no horizontal gradient, sharpness 0
                 sharp = float(np.abs(np.diff(gray, axis=1)).mean()) if w > 1 else 0.0
@@ -146,13 +160,33 @@ RESIZE_SCHEMA = T.StructType(
 def resize_images(
     media: DataFrame, target_w: int = 64, target_h: int = 64, use_codec: bool = False
 ) -> DataFrame:
-    """Resize stub: re-emit payloads with target dimensions. The real body
-    would decode → resample → re-encode inside the same batch loop."""
+    """Image resize. ``use_codec=True``: decode uncompressed BMP →
+    nearest-neighbor resample (pure-numpy index grid) → re-encode BMP,
+    all inside the Arrow batch loop. Default: passthrough stub re-emitting
+    payloads with target dimensions (plumbing shape without valid media)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.bmpcodec import decode_bmp, encode_bmp
+
         for pdf in batches:
             if use_codec:
-                raise NotImplementedError("image codec not available; resize here")
+                payloads = []
+                for payload in pdf["payload"]:
+                    px = decode_bmp(bytes(payload))
+                    h, w = px.shape[:2]
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    payloads.append(encode_bmp(px[yi][:, xi]))
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": payloads,
+                        "width": np.int32(target_w),
+                        "height": np.int32(target_h),
+                    }
+                )
+                yield out
+                continue
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

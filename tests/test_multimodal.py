@@ -69,3 +69,81 @@ def test_codec_stub_raises(media):
     with pytest.raises(Exception) as ei:
         decode_image_features(media, use_codec=True).limit(1).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_bmp_format_pin_bytelevel():
+    """Decode a hand-constructed BMP (not produced by our encoder) so the
+    decoder is pinned to the public layout: 54-byte header, BGR, bottom-up
+    rows padded to 4 bytes. 2x2 image: top row red,green; bottom blue,white."""
+    import struct
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.bmpcodec import decode_bmp
+
+    w = h = 2
+    stride = 8  # 2*3 = 6, padded to 8
+    # bottom-up: file row 0 is the image's BOTTOM row
+    bottom = bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"  # blue, white (BGR)
+    top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"         # red, green (BGR)
+    data = bottom + top
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    px = decode_bmp(hdr + data)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], np.uint8
+    )  # RGB, top row first
+    assert (px == want).all()
+
+
+def test_bmp_roundtrip_odd_width():
+    """encode->decode identity including the 4-byte row-padding case."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.bmpcodec import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (3, 2), (5, 4), (64, 64)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_real_codec_decode_and_resize(spark):
+    """use_codec=True end to end on REAL payloads: stats match a local
+    numpy computation on the same pixels, and resize emits decodable BMPs
+    with nearest-neighbor values."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.bmpcodec import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(42)
+    images = {i: rng.randint(0, 256, size=(6 + i, 9 + i, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (i, bytearray(encode_bmp(px)),
+         ("image", "image/bmp", px.shape[1], px.shape[0], 0, len(encode_bmp(px))))
+        for i, px in images.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_image_features(df, use_codec=True).collect()}
+    assert set(got) == set(images)
+    for i, px in images.items():
+        f = px.astype(np.float64)
+        gray = f.mean(axis=2)
+        assert got[i]["width"] == px.shape[1] and got[i]["height"] == px.shape[0]
+        assert got[i]["mean_r"] == pytest.approx(f[:, :, 0].mean())
+        assert got[i]["mean_b"] == pytest.approx(f[:, :, 2].mean())
+        assert got[i]["sharpness"] == pytest.approx(float(np.abs(np.diff(gray, axis=1)).mean()))
+
+    out = {r["doc_id"]: r for r in resize_images(df, 4, 5, use_codec=True).collect()}
+    for i, px in images.items():
+        small = decode_bmp(bytes(out[i]["payload"]))
+        assert small.shape == (5, 4, 3)
+        h, w = px.shape[:2]
+        yi = (np.arange(5) * h) // 5
+        xi = (np.arange(4) * w) // 4
+        assert (small == px[yi][:, xi]).all()
