@@ -1812,6 +1812,50 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_TWIN_SEQ = 0
+
+
+@_q(
+    "streaming_tumbling_window",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_events,
+           {_osum('value')} AS sum_value
+    FROM events GROUP BY event_type, bucket_start
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING tumbling-window path, driver-visible: readStream over
+    the events table → watermarked event-time window aggregate
+    (``streaming/windows.py``) → ``trigger(availableNow=True)`` into a
+    memory sink, result returned as the sink table. Same oracle as the
+    batch twin ``events_tumbling_window`` — the gate checks the Structured
+    Streaming execution itself, not a batch re-expression. Running a
+    bounded stream to completion requires an eager action by construction
+    (the same documented exception as the connected-components loop)."""
+    from cql_xmlpipe_spark.streaming.sources import stream_events
+    from cql_xmlpipe_spark.streaming.windows import tumbling_window_counts
+
+    global _STREAM_TWIN_SEQ
+    _STREAM_TWIN_SEQ += 1
+    name = f"streaming_tumbling_window_{_STREAM_TWIN_SEQ}"
+    q = (
+        tumbling_window_counts(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming twin did not finish in 300s")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @_q(
     "events_sliding_window",
     f"""

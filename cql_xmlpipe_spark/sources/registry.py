@@ -60,6 +60,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # integer `div`, NOT `/`: double division loses µs precision on
             # ~1.7e18 ns epoch values (> 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # TIMESTAMP(MICROS) loads as TIMESTAMP_NTZ, which Spark refuses
+            # to cast to numeric types (breaking every epoch-seconds
+            # expression downstream); sessions here pin UTC, so the cast to
+            # instant-typed TimestampType is value-identical
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

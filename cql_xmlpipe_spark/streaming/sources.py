@@ -14,24 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet physical schema. ts is parquet TIMESTAMP(NANOS); under
-#: spark.sql.legacy.parquet.nanosAsLong (set by the session factory) it
-#: reads as LongType and is converted to a µs timestamp below — identical
-#: to the batch registry's handling (sources/registry.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_schema() -> T.StructType:
-    """Logical schema after ns→µs timestamp conversion."""
+    """Logical schema after timestamp normalization."""
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -63,10 +47,32 @@ def _stage_dir(sf_dir: str) -> str:
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """``readStream`` over the events table (file source, replayable)."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    """``readStream`` over the events table (file source, replayable).
+
+    File streams require a user-supplied schema; rather than hardcoding
+    the timestamp physical type (the driver has shipped events.ts as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds), probe the
+    batch reader's schema for the same file — a footer-only read — and
+    normalize ``ts`` to a µs TimestampType either way, identical to
+    ``sources/registry.load_table``.
+    """
+    # vanilla-session safety: without this runtime conf a NANOS file is
+    # unreadable at all — don't depend on the session factory having set it
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked on exotic sessions
+        pass
+    d = _stage_dir(sf_dir)
+    probed = spark.read.parquet(d).schema
+    reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(_stage_dir(sf_dir))
-    # integer `div`: double division loses µs precision on ~1.7e18 ns values
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = reader.parquet(d)
+    for field in probed.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # NANOS-as-long: integer `div`, NOT `/` — double division loses
+            # µs precision on ~1.7e18 ns values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from cql_xmlpipe_spark.operators.skew import salted_agg, with_salt
 from cql_xmlpipe_spark.sources.registry import load_table
 from cql_xmlpipe_spark.streaming.dedup import dedup_stream
-from cql_xmlpipe_spark.streaming.sources import EVENTS_RAW_SCHEMA
+
 
 SF = "/root/testdata/sf0.001"
 DEC = "decimal(30,8)"
@@ -92,16 +92,11 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     dropDuplicatesWithinWatermark must restore exactly-once."""
     src_dir = tmp_path / "dup_events"
     src_dir.mkdir()
-    e = load_table(spark, "events", SF).limit(500)
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF}/events.parquet").limit(500)
-    raw.write.parquet(str(src_dir / "a.parquet"))
-    raw.write.parquet(str(src_dir / "b.parquet"))
+    norm = load_table(spark, "events", SF).limit(500)
+    norm.write.parquet(str(src_dir / "a.parquet"))
+    norm.write.parquet(str(src_dir / "b.parquet"))
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(str(src_dir) + "/*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(norm.schema).parquet(str(src_dir) + "/*")
     q = (
         dedup_stream(stream, keys=["event_id"])
         .writeStream.format("memory")
