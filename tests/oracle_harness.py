@@ -4,6 +4,11 @@ compare row count, column names, and order-insensitive values.
 
 Usage: python tests/oracle_harness.py [sf_dir] [query ...]
 
+Set SPARK_GRAFT_JSON=/path/out.json to additionally write a driver-format
+artifact: {query: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}} — used to commit the full-surface correctness record
+(CORRECTNESS_full_sf0.01.json) the 50-query driver sample can't produce.
+
 Set SPARK_GRAFT_VANILLA=1 to run on a bare SparkSession (no engine confs),
 mimicking the driver's correctness gate — catches any query that silently
 depends on session.py configuration (the round-1 events.parquet failure
@@ -134,6 +139,7 @@ def main():
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
     n_ran = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -143,10 +149,27 @@ def main():
             if name not in oracles:
                 n = df.count()
                 print(f"  [rows-only] {name}: {n} rows")
+                results[name] = {
+                    "rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": n, "oracle_rows": None, "err": "no_oracle",
+                }
                 continue
-            problems = compare(name, df, con.sql(oracles[name]))
+            rel = con.sql(oracles[name])
+            problems = compare(name, df, rel)
+            results[name] = {
+                "rows_match": not any("row count" in p or "columns differ" in p for p in problems),
+                "schema_match": not any("columns differ" in p or "mismatch" in p.lower() for p in problems),
+                "hash_match": not problems,
+                "spark_rows": df.count(),
+                "oracle_rows": len(rel.fetchall()),
+                "err": "; ".join(problems)[:300] or None,
+            }
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(exc).__name__}: {str(exc)[:500]}"]
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": problems[0][:300],
+            }
         if problems:
             failed.append(name)
             print(f"  [FAIL] {name}")
@@ -155,6 +178,13 @@ def main():
         else:
             print(f"  [ok]   {name}")
     print(f"\n{n_ran - len(failed)}/{n_ran} passing ({len(qs)} registered)")
+    out_json = os.environ.get("SPARK_GRAFT_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {out_json}")
     return 1 if failed else 0
 
 
