@@ -52,6 +52,11 @@ HEADLINE = [
     "text_langid_heuristic",
     "text_tfidf_top_terms",
     "doc_pack_sequences",
+    # round-5 additions: A4 array export, B9 token kernel, and the
+    # Structured Streaming execution path (availableNow → memory sink)
+    "xmlpipe_embeddings_export",
+    "token_orders_murmur3",
+    "streaming_tumbling_window",
 ]
 
 
