@@ -221,3 +221,24 @@ def test_full_outer_diff_uses_smj(spark):
     plan = _plan(spark, "full_outer_join_snapshot_diff")
     assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
     assert "text" not in plan.split("SortMergeJoin")[1][:400]
+
+
+def test_embeddings_export_single_spread_then_codegen(spark):
+    """A4 export: pruned scan -> ONE deliberate round-robin spread of the
+    single-row-group testdata file -> the whole XML assembly as one
+    codegen'd Project. Any extra exchange or a Python node is a regression."""
+    plan = _plan(spark, "xmlpipe_embeddings_export")
+    assert plan.count("Exchange") == 2  # one node, printed twice (tree+details)
+    assert "RoundRobinPartitioning" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_token_scan_prunes_to_key_single_python_boundary(spark):
+    """B9: the murmur3 token query must read ONLY o_orderkey (column
+    pruning to 1 of 9 columns) and cross the Python boundary exactly once
+    (one Arrow-batched node), with zero exchanges."""
+    plan = _plan(spark, "token_orders_murmur3")
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderkey" in read and "o_custkey" not in read and "o_totalprice" not in read
+    assert plan.count("ArrowEvalPython") == 2  # one node, tree + details
+    assert "Exchange" not in plan
