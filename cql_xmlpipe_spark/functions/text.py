@@ -55,6 +55,20 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
+def ngrams(tokens: Column, k: int = 2) -> Column:
+    """ALL k-word grams in order (duplicates kept) — the unit for
+    repetition statistics, where multiplicity is the signal that
+    ``shingles``' array_distinct would destroy. Same zipped-shift
+    construction (codegen-safe, O(n))."""
+    n_g = F.greatest(F.size(tokens) - (k - 1), F.lit(0))
+    acc = F.slice(tokens, 1, n_g)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(tokens, i + 1, n_g), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
+
+
 def stopword_hits(tokens: Column, stops: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(stops)))
 

@@ -856,6 +856,85 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, len(toks) AS n_words,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bi,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+      FROM t WHERE len(toks) >= 3),
+    bg AS (
+      SELECT doc_id, n_words, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, n_words, unnest(bi) AS gram FROM b)
+      GROUP BY doc_id, n_words, gram),
+    tg AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(tri) AS gram FROM b)
+      GROUP BY doc_id, gram),
+    bstat AS (
+      SELECT doc_id, n_words,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM bg GROUP BY doc_id, n_words),
+    tstat AS (
+      SELECT doc_id,
+             CAST(SUM(c) FILTER (c > 1) AS DOUBLE) / SUM(c) AS dup_trigram_frac
+      FROM tg GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words,
+           b.top_bigram_frac,
+           COALESCE(t.dup_trigram_frac, 0.0) AS dup_trigram_frac
+    FROM bstat b JOIN tstat t USING (doc_id)
+"""
+
+
+@_q("text_repetition_scores", _REPETITION_ORACLE)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: fraction of all bigrams
+    taken by the single most frequent bigram, and fraction of trigram
+    occurrences that are duplicates (the published repetition-removal
+    rules filter docs above thresholds on exactly these ratios). Shape:
+    one shuffle on (doc_id, gram) for the counts, one re-aggregate per
+    doc — linear in corpus size, no joins back to text."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.words(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    bi = TX.ngrams(F.col("toks"), 2)
+    tri = TX.ngrams(F.col("toks"), 3)
+    grams = base.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.explode(
+            F.concat(
+                F.transform(bi, lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+                F.transform(tri, lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+            )
+        ).alias("e"),
+    ).select("doc_id", "n_words", F.col("e.n").alias("n"), F.col("e.g").alias("gram"))
+    counts = grams.groupBy("doc_id", "n_words", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "n_words", "n").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("tot_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+    )
+    bi_stat = per_doc.filter(F.col("n") == 2).select(
+        "doc_id", "n_words",
+        (F.col("max_c").cast("double") / F.col("tot_c")).alias("top_bigram_frac"),
+    )
+    tri_stat = per_doc.filter(F.col("n") == 3).select(
+        "doc_id",
+        (F.col("dup_c").cast("double") / F.col("tot_c")).alias("dup_trigram_frac"),
+    )
+    return bi_stat.join(tri_stat, "doc_id").select(
+        "doc_id", "n_words", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
 def _langid_oracle() -> str:
     hits = {
         lang: (
