@@ -935,6 +935,67 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSSDOC_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+             i -> array_to_string(toks[i:i+7], ' '))) AS gram
+      FROM t WHERE len(toks) >= 8),
+    dup AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
+      WHERE n_docs >= 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (gram IN (SELECT gram FROM dup)) AS BIGINT)
+             AS cross_dup_grams,
+           CAST(COUNT(*) FILTER (gram IN (SELECT gram FROM dup)) AS DOUBLE)
+             / COUNT(*) AS cross_dup_frac
+    FROM g GROUP BY doc_id
+"""
+
+
+@_q("text_crossdoc_ngram_dup", _CROSSDOC_ORACLE)
+def text_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-substring signal (the fixed-n
+    approximation of exact-substring training-data dedup): per document,
+    how many of its 8-gram positions occur in at least one OTHER
+    document. 100 TB shape: gram strings never shuffle — positions carry
+    an 8-byte xxhash64; the distinct (doc, hash) projection feeds a
+    docs-per-hash count, and only hashes seen in ≥2 docs join back
+    against the position stream (AQE broadcasts that side when the
+    duplicated-gram set is small, the common case)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.words(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    grams = base.select(
+        "doc_id",
+        F.explode(TX.ngrams(F.col("toks"), 8)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    flagged = grams.join(dup_h.withColumn("is_dup", F.lit(1)), "h", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long")).alias("cross_dup_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "cross_dup_grams",
+        (F.col("cross_dup_grams").cast("double") / F.col("n_grams")).alias("cross_dup_frac"),
+    )
+
+
 def _langid_oracle() -> str:
     hits = {
         lang: (
