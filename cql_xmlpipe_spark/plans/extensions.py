@@ -897,7 +897,10 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken by the single most frequent bigram, and fraction of trigram
     occurrences that are duplicates (the published repetition-removal
     rules filter docs above thresholds on exactly these ratios). Shape:
-    one shuffle on (doc_id, gram) for the counts, one re-aggregate per
+    gram strings are hashed to 8-byte xxhash64 BEFORE the shuffle (the
+    same discipline as every dedup operator — counts are over hashes;
+    collisions are ~n²/2⁶⁴ and the corpus is fixed), so the one shuffle
+    on (doc_id, gram-hash) carries only longs; then one re-aggregate per
     doc — linear in corpus size, no joins back to text."""
     d = load_table(spark, "documents", sf_dir)
     toks = TX.words(F.col("text"))
@@ -909,12 +912,12 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_words"),
         F.explode(
             F.concat(
-                F.transform(bi, lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
-                F.transform(tri, lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+                F.transform(bi, lambda g: F.struct(F.lit(2).alias("n"), F.xxhash64(g).alias("g"))),
+                F.transform(tri, lambda g: F.struct(F.lit(3).alias("n"), F.xxhash64(g).alias("g"))),
             )
         ).alias("e"),
-    ).select("doc_id", "n_words", F.col("e.n").alias("n"), F.col("e.g").alias("gram"))
-    counts = grams.groupBy("doc_id", "n_words", "n", "gram").agg(
+    ).select("doc_id", "n_words", F.col("e.n").alias("n"), F.col("e.g").alias("gh"))
+    counts = grams.groupBy("doc_id", "n_words", "n", "gh").agg(
         F.count(F.lit(1)).alias("c")
     )
     per_doc = counts.groupBy("doc_id", "n_words", "n").agg(
