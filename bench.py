@@ -57,6 +57,8 @@ HEADLINE = [
     "xmlpipe_embeddings_export",
     "token_orders_murmur3",
     "streaming_tumbling_window",
+    "text_repetition_scores",
+    "text_crossdoc_ngram_dup",
 ]
 
 
