@@ -29,8 +29,11 @@ def events_schema() -> T.StructType:
 
 
 def _stage_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory*; the testdata table is
-    a single parquet file. Stage a symlink dir (no data copy)."""
+    """The file stream source requires a *directory* of data files; the
+    testdata table is a single parquet file, while Spark-written tables
+    (e.g. the decade-smoke replicas) are directories of part files. Stage
+    a symlink dir over the actual data files either way (no data copy)."""
+    import glob
     import hashlib
     import os
 
@@ -38,9 +41,15 @@ def _stage_dir(sf_dir: str) -> str:
     tag = hashlib.md5(src.encode()).hexdigest()[:12]
     d = os.path.join("/tmp", "spark_graft_stream", tag)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    files = (
+        sorted(glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    for i, f in enumerate(files):
+        link = os.path.join(d, f"events-{i:03d}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f, link)
     return d
 
 
