@@ -468,6 +468,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=10)
 
 
+@_q("similarity_lsh_fullprobe_topk", _COSINE_ORACLE)
+def similarity_lsh_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH machinery under the exact-cosine oracle: with one
+    hyperplane and multiprobe 1 every query probes both buckets, so
+    bucketing → probe-explode → join → rank must reproduce brute-force
+    top-k exactly. Gate-visibility for the LSH code path; the production
+    8-plane variant below stays rows-only with pytest recall checks."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_topk(e, q, k=10, n_planes=1, multiprobe=1)
+
+
 @_q("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF coarse quantizer (KMeans cells +
@@ -479,6 +493,23 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return ivf_topk(e, q, k=10)
+
+
+@_q("similarity_ivf_fullprobe_topk", _COSINE_ORACLE)
+def similarity_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery under the exact-cosine oracle: with
+    ``n_probe == n_cells`` every query probes every cell, so the
+    KMeans-train → matmul-assign → cell-join → rank pipeline must
+    reproduce brute-force top-k EXACTLY (same tie-break: cos desc, id).
+    This makes the IVF code path gate-visible end to end; the production
+    n_probe=3 variant above stays rows-only with pytest recall checks."""
+    from cql_xmlpipe_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(e, q, k=10, n_cells=16, n_probe=16)
 
 
 @_q(
