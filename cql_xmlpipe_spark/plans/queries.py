@@ -1529,7 +1529,12 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pinned to public vectors (h1("foo") and Cassandra token(int 1)) before
 #: generation. Keys 0..149999 cover every testdata sf; the join keeps the
 #: oracle sf-agnostic.
-_MURMUR3_FIXTURE = "/root/repo/tests/fixtures/murmur3_tokens_orders.parquet"
+import os as _os
+
+_MURMUR3_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "murmur3_tokens_orders.parquet",
+)
 
 @_q(
     "token_orders_murmur3",
