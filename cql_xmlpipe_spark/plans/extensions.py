@@ -123,9 +123,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.35)
 
 
-@_q("dedup_simhash")
+import os as _os
+
+_SIMHASH_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "simhash_documents.parquet",
+)
+
+#: SimHash oracle via pinned fixture: signatures recomputed by the
+#: clean-room pure-Python XXH64 in scripts/make_simhash_fixture.py (an
+#: independent implementation, itself asserted against Spark-captured
+#: vectors), keyed by md5(text) so one fixture serves every sf. The
+#: 4×16-bit pigeonhole banding in the operator is EXACT for Hamming ≤ 3,
+#: so the Spark output must equal the plain all-pairs self-join below.
+_SIMHASH_ORACLE = f"""
+    WITH s AS (
+      SELECT d.doc_id, f.simhash
+      FROM documents d
+      JOIN read_parquet('{_SIMHASH_FIXTURE}') f ON md5(d.text) = f.text_md5)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_q("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    """SimHash near-dup pairs within Hamming distance 3. Oracle-backed
+    since round 5 via the pinned signature fixture (independent XXH64
+    reimplementation); banded candidate generation is pigeonhole-exact at
+    this radius, so the output is the full Hamming-≤3 pair set."""
     return DD.simhash_near_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
 
 

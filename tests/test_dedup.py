@@ -164,3 +164,27 @@ def test_lsh_fed_cc_matches_exact_fed_cc_on_planted_corpus(spark):
     }
     DD.unpersist_intermediates(lsh)
     assert got == want
+
+
+def test_simhash_fixture_matches_live_signatures(spark):
+    """The pinned SimHash fixture (clean-room XXH64 reimplementation) must
+    agree with the live Spark operator on every sf0.001 document — this
+    catches a stale fixture after any tokenizer/simhash change."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", SF)
+    got = {
+        r["k"]: r["simhash"]
+        for r in DD.simhash_signatures(d)
+        .join(d, "doc_id")
+        .select(F.md5("text").alias("k"), "simhash")
+        .collect()
+    }
+    fx = dict(
+        duckdb.sql(
+            "SELECT text_md5, simhash FROM "
+            "read_parquet('/root/repo/tests/fixtures/simhash_documents.parquet')"
+        ).fetchall()
+    )
+    assert all(fx.get(k) == v for k, v in got.items())
