@@ -133,14 +133,32 @@ _SIMHASH_FIXTURE = _os.path.join(
 #: SimHash oracle via pinned fixture: signatures recomputed by the
 #: clean-room pure-Python XXH64 in scripts/make_simhash_fixture.py (an
 #: independent implementation, itself asserted against Spark-captured
-#: vectors), keyed by md5(text) so one fixture serves every sf. The
-#: 4×16-bit pigeonhole banding in the operator is EXACT for Hamming ≤ 3,
-#: so the Spark output must equal the plain all-pairs self-join below.
+#: vectors), keyed by md5(text) so one fixture serves every sf it was
+#: generated over (sf0.001 + sf0.01 + sf0.1). The ``guard`` branch emits
+#: an error()-ing row iff any document md5 is absent from the fixture —
+#: a UNION ALL branch, not a WHERE filter, because a WHERE-clause guard
+#: on an inner-join CTE never evaluates when drift empties the join
+#: (exactly the silent-0-pairs failure this guard exists to prevent).
+#: The error message carries the miss count so it is not constant-
+#: foldable at plan time. The 4×16-bit pigeonhole banding in the
+#: operator is EXACT for Hamming ≤ 3, so the Spark output must equal
+#: the plain all-pairs self-join below.
 _SIMHASH_ORACLE = f"""
-    WITH s AS (
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN read_parquet('{_SIMHASH_FIXTURE}') f ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL),
+    s AS (
       SELECT d.doc_id, f.simhash
       FROM documents d
-      JOIN read_parquet('{_SIMHASH_FIXTURE}') f ON md5(d.text) = f.text_md5)
+      JOIN read_parquet('{_SIMHASH_FIXTURE}') f ON md5(d.text) = f.text_md5
+      UNION ALL
+      SELECT CAST(error('simhash fixture missing ' || n ||
+                        ' documents: rerun scripts/make_simhash_fixture.py')
+                  AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS simhash
+      FROM miss WHERE n > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -1224,7 +1224,11 @@ def writetime_ttl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         write_time=F.col("ts"),
         ttl_expiry=F.col("ts") + F.expr("INTERVAL 7 DAYS"),
-        as_of=F.to_timestamp(F.lit("2024-01-15 00:00:00")),
+        # 2024-01-15T00:00:00Z as epoch millis — timestamp_millis is
+        # session-tz-independent, unlike to_timestamp(string literal)
+        # (same hazard class fixed for timeuuid bounds at the
+        # timeuuid_window_filter_events plan below)
+        as_of=F.timestamp_millis(F.lit(1705276800000)),
         cols=["value"],
     )
     return e.select(

@@ -10,8 +10,10 @@ scalar hash is asserted against Spark-produced vectors before generating
 Spark).
 
 Keyed by md5(text) — not doc_id — so one fixture serves every sf whose
-documents appear here (sf0.001 + sf0.01; exact clones share a key and,
-necessarily, a signature).
+documents appear here (sf0.001 + sf0.01 + sf0.1; exact clones share a
+key and, necessarily, a signature). The oracle SQL carries a coverage
+guard that errors loudly if any document md5 is absent, so testdata
+drift produces a diagnosable failure instead of a silently-empty CTE.
 
 Output: tests/fixtures/simhash_documents.parquet (text_md5 VARCHAR,
 simhash BIGINT).
@@ -111,7 +113,7 @@ def main() -> None:
     import duckdb
 
     rows: dict[str, int] = {}
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         for text, in duckdb.sql(
             f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'"
         ).fetchall():

@@ -81,7 +81,10 @@ def _type_problems(spark_df, duck_rel) -> list[str]:
     return out
 
 
-def compare(name, spark_df, duck_rel) -> list[str]:
+def compare(name, spark_df, duck_rel) -> tuple[list[str], int, int]:
+    """Returns (problems, spark_row_count, duck_row_count) — counts come
+    from the single collect/fetchall here so callers never re-execute the
+    query just to fill an artifact."""
     problems = []
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -89,7 +92,7 @@ def compare(name, spark_df, duck_rel) -> list[str]:
     d_rows = duck_rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        return problems
+        return problems, len(s_rows), len(d_rows)
     problems.extend(_type_problems(spark_df, duck_rel))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duck={len(d_rows)}")
@@ -104,7 +107,7 @@ def compare(name, spark_df, duck_rel) -> list[str]:
             f"{len(only_b)} duck-only); first: "
             + repr((sorted(only_a)[:1], sorted(only_b)[:1]))
         )
-    return problems
+    return problems, len(s_rows), len(d_rows)
 
 
 def main():
@@ -155,13 +158,19 @@ def main():
                 }
                 continue
             rel = con.sql(oracles[name])
-            problems = compare(name, df, rel)
+            problems, n_spark, n_duck = compare(name, df, rel)
             results[name] = {
                 "rows_match": not any("row count" in p or "columns differ" in p for p in problems),
-                "schema_match": not any("columns differ" in p or "mismatch" in p.lower() for p in problems),
+                # schema = column-name/type agreement only; a value-hash diff
+                # (which also says "mismatch") must not flip this flag
+                "schema_match": not any(
+                    "columns differ" in p or "integer-class mismatch" in p
+                    or "hash-mismatch the driver" in p or "duplicate column names" in p
+                    for p in problems
+                ),
                 "hash_match": not problems,
-                "spark_rows": df.count(),
-                "oracle_rows": len(rel.fetchall()),
+                "spark_rows": n_spark,
+                "oracle_rows": n_duck,
                 "err": "; ".join(problems)[:300] or None,
             }
         except Exception as exc:  # noqa: BLE001

@@ -42,5 +42,5 @@ def test_query_matches_oracle(name, spark, duck):
         # rows-only contract: must execute and produce a stable schema
         assert df.columns and df.count() >= 0
         return
-    problems = compare(name, df, duck.sql(_ORACLES[name]))
+    problems, _, _ = compare(name, df, duck.sql(_ORACLES[name]))
     assert not problems, f"{name}: {problems}"

@@ -50,5 +50,5 @@ def engines(spark):
 @pytest.mark.parametrize("name,sql", B_SURFACE, ids=[n for n, _ in B_SURFACE])
 def test_b_surface_sql(name, sql, engines):
     spark, con = engines
-    problems = compare(name, spark.sql(sql), con.sql(sql))
+    problems, _, _ = compare(name, spark.sql(sql), con.sql(sql))
     assert not problems, f"{name}: {problems}"
