@@ -76,6 +76,61 @@ def attach_media_columns(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
 
 
+def synth_pixels(text: str) -> np.ndarray:
+    """Deterministic RGB pixel array derived from document text: seed and
+    dimensions come from sha256(text), pixels from a seeded PRNG. This is
+    the INPUT generator for the codec-true gate path (the system under
+    test is encode_bmp/decode_bmp + the feature math, not this) — the
+    fixture script imports it so both sides agree on the input bytes."""
+    d = hashlib.sha256(text.encode("utf-8")).digest()
+    seed = int.from_bytes(d[:8], "big") % (2**32)
+    w, h = 4 + d[8] % 13, 4 + d[9] % 13
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def synthesize_bmp_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media ingest simulator with REAL payloads: derive deterministic
+    pixels from each document's text and encode them as genuine
+    uncompressed 24-bit BMP (``functions/bmpcodec.encode_bmp``), emitting
+    the standard (payload, meta) media schema. Unlike
+    ``attach_media_columns`` (opaque text-bytes fakes), every payload
+    here decodes — this feeds the codec-true ``use_codec=True`` paths.
+    Arrow-batched mapInPandas; payloads are born and stay executor-side."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.bmpcodec import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf["text"]):
+                px = synth_pixels(text)
+                payload = encode_bmp(px)
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "image",
+                            "mime": "image/bmp",
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "duration_ms": 0,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return docs.select(id_col, "text").mapInPandas(_synth, out_schema)
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -230,8 +285,11 @@ def sample_video_frames(
                     raise NotImplementedError("video codec not available; sample here")
                 dur = int(meta["duration_ms"])
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                    # placeholder 'frame': sha256 over UTF-8-safe bytes
+                    # (payload is text here) so an ANSI-SQL oracle can
+                    # recompute it — sha256(text || ':' || ts)
                     digest = hashlib.sha256(
-                        bytes(payload) + ts.to_bytes(4, "big")
+                        bytes(payload) + b":" + str(ts).encode("ascii")
                     ).digest()
                     rows.append(
                         {"doc_id": doc_id, "frame_idx": i, "ts_ms": ts, "frame": digest}

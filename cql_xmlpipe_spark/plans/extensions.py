@@ -1291,10 +1291,23 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media)
 
 
-@_q("multimodal_frame_sample")
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(ts // 5000 AS INTEGER) AS frame_idx,
+           CAST(ts AS INTEGER) AS ts_ms
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, greatest(doc_id % 30000, 1), 5000)) AS ts
+      FROM documents WHERE doc_id % 3 = 2)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame-sampling fan-out via mapInPandas (stubbed codec — rows-only;
-    fan-out counts asserted against metadata in tests)."""
+    """1→N frame-sampling fan-out via mapInPandas. The sampling grid
+    (which timestamps, per-doc fan-out) is fully SQL-expressible, so the
+    oracle recomputes it exactly; the placeholder frame digest is checked
+    separately by ``multimodal_frame_sample_digest``."""
     from cql_xmlpipe_spark.operators.multimodal import (
         attach_media_columns,
         sample_video_frames,
@@ -1302,3 +1315,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media_columns(load_table(spark, "documents", sf_dir))
     return sample_video_frames(media, every_ms=5000).drop("frame")
+
+
+@_q(
+    "multimodal_frame_sample_digest",
+    """
+    SELECT doc_id,
+           CAST(ts // 5000 AS INTEGER) AS frame_idx,
+           CAST(ts AS INTEGER) AS ts_ms,
+           sha256(text || ':' || CAST(ts AS VARCHAR)) AS frame_hex
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(doc_id % 30000, 1), 5000)) AS ts
+      FROM documents WHERE doc_id % 3 = 2)
+    """,
+)
+def multimodal_frame_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling including the deterministic placeholder digest:
+    the stub frame is sha256 over UTF-8-safe bytes (payload ':' ts)
+    precisely so DuckDB's VARCHAR-only sha256 can recompute it — pinning
+    the full mapInPandas output, not just the fan-out grid."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        attach_media_columns,
+        sample_video_frames,
+    )
+
+    media = attach_media_columns(load_table(spark, "documents", sf_dir))
+    frames = sample_video_frames(media, every_ms=5000)
+    return frames.select(
+        "doc_id", "frame_idx", "ts_ms", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
+_BMP_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "bmp_image_features.parquet",
+)
+
+#: Codec-true oracle via pinned fixture (scripts/make_bmp_features_fixture
+#: .py): features computed straight from the synthesized pixels (no codec
+#: round-trip) and payload_md5 from an independent struct-pack BMP
+#: encoder — so the gate byte-pins encode_bmp AND pixel-pins decode_bmp.
+#: Same loud UNION ALL drift guard as the simhash fixture.
+_BMP_CODEC_ORACLE = f"""
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN read_parquet('{_BMP_FIXTURE}') f ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL)
+    SELECT d.doc_id, f.payload_md5, f.width, f.height,
+           f.mean_r, f.mean_g, f.mean_b, f.sharpness
+    FROM documents d
+    JOIN read_parquet('{_BMP_FIXTURE}') f ON md5(d.text) = f.text_md5
+    UNION ALL
+    SELECT CAST(error('bmp features fixture missing ' || n ||
+                      ' documents: rerun scripts/make_bmp_features_fixture.py')
+                AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_image_features_codec", _BMP_CODEC_ORACLE)
+def multimodal_image_features_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-TRUE image feature extraction: deterministic pixels derived
+    from each document's text are encoded as genuine 24-bit BMP
+    (functions/bmpcodec.encode_bmp) and decoded back by the real
+    ``use_codec=True`` path before the feature math runs — no fake
+    decode anywhere. ``payload_md5`` additionally byte-pins the encoder
+    against the fixture's independent encoder. Both mapInPandas passes
+    keep payloads executor-side; the final join is a doc_id equi-join of
+    two narrow feature tables (AQE broadcasts the small side at gate
+    scale; at 100 TB both sides are already co-partitioned by the same
+    upstream scan)."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_bmp_media,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    media = synthesize_bmp_media(d)
+    feats = decode_image_features(media, use_codec=True)
+    sigs = media.select("doc_id", F.md5("payload").alias("payload_md5"))
+    return feats.join(sigs, "doc_id").select(
+        "doc_id", "payload_md5", "width", "height",
+        "mean_r", "mean_g", "mean_b", "sharpness",
+    )
