@@ -558,6 +558,85 @@ def similarity_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return ivf_topk(e, q, k=10, n_cells=16, n_probe=16)
 
 
+_ANN_PINS = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "ann_recall_pins.parquet",
+)
+
+
+def _ann_recall_oracle(algo: str) -> str:
+    """Pinned-recall oracle for a production ANN variant: rows come from
+    the frozen-run fixture (scripts/make_ann_recall_fixture.py — approx
+    side one seeded operator run, exact side DuckDB), selected by a
+    corpus content fingerprint so each sf reads its own pins; errors
+    loudly when the current corpus has no pinned rows (testdata drift)."""
+    return f"""
+    WITH ck AS (
+      SELECT md5(string_agg(vec_id || ':' || label, ',' ORDER BY vec_id)) AS k
+      FROM embeddings),
+    pins AS (
+      SELECT f.q_id, f.recall
+      FROM read_parquet('{_ANN_PINS}') f, ck
+      WHERE f.algo = '{algo}' AND f.corpus_key = ck.k)
+    SELECT q_id, recall FROM pins
+    UNION ALL
+    SELECT CAST(error('no {algo} recall pins for this embeddings corpus: '
+                      || 'rerun scripts/make_ann_recall_fixture.py') AS BIGINT),
+           NULL
+    FROM ck WHERE NOT EXISTS (SELECT 1 FROM pins)
+"""
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, algo: str) -> DataFrame:
+    """recall@10 of a production ANN variant per query, computed live:
+    approximate top-10 ∩ brute-force top-10 (the brute-force baseline is
+    itself oracle-gated by similarity_cosine_topk). Every q_id emits a
+    row even at 0 hits (left join from the query set)."""
+    from cql_xmlpipe_spark.operators.similarity import ivf_topk, lsh_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = (lsh_topk if algo == "lsh" else ivf_topk)(e, q, k=10)
+    exact = brute_force_topk(e, q, k=10)
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@_q("similarity_lsh_recall", _ann_recall_oracle("lsh"))
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the PRODUCTION 8-plane multiprobe-1 sign-LSH: per-query
+    recall@10 vs live brute force must reproduce the pinned frozen-run
+    values bit-for-bit — any drift in plane hashing, probing, tie-breaks
+    or the brute-force baseline fails loudly. Exactness of the LSH
+    machinery itself is separately gated by similarity_lsh_fullprobe_topk."""
+    return _ann_recall(spark, sf_dir, "lsh")
+
+
+@_q("similarity_ivf_recall", _ann_recall_oracle("ivf"))
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the PRODUCTION 16-cell n_probe-3 IVF: per-query recall@10
+    vs live brute force against pinned frozen-run values (seeded KMeans —
+    deterministic). Machinery exactness is separately gated by
+    similarity_ivf_fullprobe_topk (n_probe == n_cells ≡ brute force)."""
+    return _ann_recall(spark, sf_dir, "ivf")
+
+
 @_q(
     "doc_chunk_overlap",
     """
