@@ -1577,37 +1577,52 @@ def token_orders_murmur3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pandas grouped-agg UDAF (§2C UDF/UDAF surface): quantity-weighted
-    mean price per return flag, computed Arrow-batched in numpy. Exactness
-    discipline for the cross-engine hash gate: prices are 2-dp decimals,
-    so the UDAF accumulates integer CENTS × integer quantities in int64 —
-    summation-order-independent — and divides once at the end, mirroring
-    the oracle's BIGINT arithmetic bit-for-bit. At scale a grouped-agg
-    pandas UDF executes as a partial-less ObjectHashAggregate per group —
-    fine for small group counts like this (3 groups), the documented
-    trade-off vs built-in aggregates."""
+    """Pandas grouped-agg UDAF (§2C UDF/UDAF surface), two-level so it
+    survives 100×: a grouped-agg pandas UDF has NO partial aggregation —
+    fed raw rows it would stream each return flag's entire slice (~⅓ of
+    lineitem) through one Python worker. Level 1 therefore pre-aggregates
+    int64 partials (cents×qty, qty, count) per (l_returnflag, salt) with
+    BUILT-IN sums — map-side combine + a shuffle of ≤ 3×64 fixed-width
+    rows — and only those partials cross the Python boundary, where the
+    UDAF combines them. Exactness discipline for the cross-engine hash
+    gate: prices are 2-dp decimals, so level 1 accumulates integer CENTS
+    × integer quantities in int64 (summation-order-independent; the
+    salt does not affect the total) and the UDAF divides once at the
+    end, mirroring the oracle's BIGINT arithmetic bit-for-bit. At larger
+    scales raise the salt count so per-partial int64 stays in range
+    (cents×qty ≈ 5e8/row ⇒ ~1.8e10 rows per (flag, salt) before
+    overflow)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     # functionType passed explicitly: this module uses `from __future__
     # import annotations`, which stringifies type hints and defeats
     # pandas_udf's signature inference
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wavg(price, qty):
-        cents = (price * 100).round().astype("int64")
-        q = qty.astype("int64")
-        return float((cents * q).sum()) / float(q.sum()) / 100.0
+    def wavg_combine(cents_qty, qty):
+        return float(cents_qty.sum()) / float(qty.sum()) / 100.0
 
     # Spark disallows mixing pandas and JVM aggregates in one Aggregate
     # node (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a second
     # pandas aggregate riding the same Arrow batch
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def pcount(qty):
-        return len(qty)
+    def count_combine(cnt):
+        return int(cnt.sum())
 
     l = load_table(spark, "lineitem", sf_dir)
-    return l.groupBy("l_returnflag").agg(
-        wavg("l_extendedprice", "l_quantity").alias("w_avg_price"),
-        pcount("l_quantity").alias("n"),
+    partials = l.groupBy(
+        "l_returnflag",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(64)).alias("salt"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.col("l_quantity").cast("long")
+        ).alias("cents_qty"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return partials.groupBy("l_returnflag").agg(
+        wavg_combine("cents_qty", "qty").alias("w_avg_price"),
+        count_combine("cnt").alias("n"),
     )
 
 
