@@ -1881,6 +1881,66 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_session_window",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+                  OR LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM t)
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(us) AS session_start_us, MAX(us) AS session_end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming path, driver-visible: readStream →
+    ``session_window`` aggregation (``streaming/windows.py`` — merging
+    session state, not a fixed window grid) → availableNow into a memory
+    sink. Oracle = the batch ``events_sessionize`` lag/cumsum semantics
+    (same 10-minute gap), projected without the ordinal session_id the
+    native session window doesn't carry. Spark's ``session_window.end``
+    is last-event + gap, so the gap is subtracted to recover the max
+    event time. Complete mode: correct for a bounded gate run — append
+    mode can never emit a bounded stream's final sessions (their end
+    exceeds any reachable watermark); on a real stream use append +
+    watermark and accept the lateness SLA (SCALE.md)."""
+    from cql_xmlpipe_spark.streaming.sources import stream_events
+    from cql_xmlpipe_spark.streaming.windows import session_window_stats
+
+    global _STREAM_TWIN_SEQ
+    _STREAM_TWIN_SEQ += 1
+    name = f"streaming_session_window_{_STREAM_TWIN_SEQ}"
+    q = (
+        session_window_stats(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming session twin did not finish in 300s")
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        "session_start_us",
+        (F.col("session_end_us") - 600_000_000).alias("session_end_us"),
+    )
+
+
+@_q(
     "events_sliding_window",
     f"""
     WITH e AS (

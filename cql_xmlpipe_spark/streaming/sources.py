@@ -38,17 +38,23 @@ def _stage_dir(sf_dir: str) -> str:
     import os
 
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    d = os.path.join("/tmp", "spark_graft_stream", tag)
-    os.makedirs(d, exist_ok=True)
     files = (
         sorted(glob.glob(os.path.join(src, "*.parquet")))
         if os.path.isdir(src)
         else [src]
     )
+    # tag over the resolved file LIST, not just the table path: a rewritten
+    # Spark table gets new random part-file names, which must map to a fresh
+    # staging dir — otherwise stale links beyond the new file count would
+    # keep feeding old data into the stream
+    tag = hashlib.md5("\0".join([src] + files).encode()).hexdigest()[:12]
+    d = os.path.join("/tmp", "spark_graft_stream", tag)
+    os.makedirs(d, exist_ok=True)
     for i, f in enumerate(files):
         link = os.path.join(d, f"events-{i:03d}.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: exists() follows the symlink, so a link whose
+        # target was replaced reads as absent and symlink() raises EEXIST
+        if not os.path.lexists(link):
             os.symlink(f, link)
     return d
 
