@@ -68,6 +68,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
 
 
+def paragraph_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = r"\n{2,}",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Per-doc cross-document duplicate-paragraph statistics.
+
+    Split each document into paragraphs (blank-line delimited by
+    default), hash each trimmed paragraph, and flag paragraphs whose
+    hash occurs in ≥ 2 DISTINCT documents. Emits per doc: paragraph
+    count, duplicated-paragraph count (every occurrence counts), and
+    the duplicate fraction — the boilerplate/template signal an LLM
+    pretraining pipeline filters on, complementing the 8-gram
+    cross-doc signal (which catches sub-paragraph duplication).
+
+    Scale shape: after the explode, only (doc_id, 32-byte sha256)
+    rows exist — paragraph text never crosses a shuffle. The dup-hash
+    set (one row per cross-doc duplicated paragraph) is the small side
+    of the join-back; AQE broadcasts it below the threshold, exactly
+    like the cross-doc n-gram join-back.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), delim)).alias("para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= min_chars)
+        .select(F.col(id_col), F.sha2(F.trim(F.col("para")), 256).alias("ph"))
+    )
+    dup = (
+        paras.groupBy("ph")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ph")
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        paras.join(dup, "ph", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_paras"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_paras").cast("double") / F.col("n_paras").cast("double"),
+        )
+    )
+
+
 def shingle_hash_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

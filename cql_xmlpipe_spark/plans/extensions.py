@@ -123,6 +123,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.35)
 
 
+@_q(
+    "dedup_paragraphs",
+    r"""
+    WITH p AS (
+      SELECT doc_id, trim(para) AS para
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\n{2,}')) AS para
+            FROM documents)
+      WHERE len(trim(para)) >= 1),
+    h AS (SELECT doc_id, sha256(para) AS ph FROM p),
+    d AS (SELECT ph FROM h GROUP BY ph HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT h.doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN d.ph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_paras,
+           CAST(SUM(CASE WHEN d.ph IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
+    FROM h LEFT JOIN d ON h.ph = d.ph
+    GROUP BY h.doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup: per-doc fraction of paragraphs whose
+    hash appears in ≥ 2 distinct documents. On this corpus documents are
+    single-line, so every doc is one paragraph and the fraction collapses
+    to exact-duplicate membership — the full pipeline (split → explode →
+    hash-group → join-back → fraction) still executes; multi-paragraph
+    splitting is covered by the planted corpus in tests/test_dedup.py."""
+    return DD.paragraph_dup_stats(load_table(spark, "documents", sf_dir))
+
+
 import os as _os
 
 _SIMHASH_FIXTURE = _os.path.join(

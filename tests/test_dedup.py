@@ -188,3 +188,23 @@ def test_simhash_fixture_matches_live_signatures(spark):
         ).fetchall()
     )
     assert all(fx.get(k) == v for k, v in got.items())
+
+
+def test_paragraph_dup_stats_planted(spark):
+    """Multi-paragraph splitting semantics on a planted corpus: shared
+    boilerplate paragraphs across docs are flagged, unique ones are not,
+    within-doc repeats don't count as cross-doc, and blank segments drop."""
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (0, f"alpha unique one\n\n{boiler}\n\nbeta unique two"),
+        (1, f"{boiler}\n\n\n\ngamma unique three"),      # 2+ newlines = one break
+        (2, "delta unique four\n\ndelta unique four"),    # within-doc repeat only
+        (3, "epsilon solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in DD.paragraph_dup_stats(df).collect()}
+    assert got[0]["n_paras"] == 3 and got[0]["n_dup_paras"] == 1
+    assert got[0]["dup_fraction"] == pytest.approx(1 / 3)
+    assert got[1]["n_paras"] == 2 and got[1]["n_dup_paras"] == 1
+    assert got[2]["n_paras"] == 2 and got[2]["n_dup_paras"] == 0
+    assert got[3]["n_paras"] == 1 and got[3]["n_dup_paras"] == 0
