@@ -102,12 +102,24 @@ _MINHASH_ORACLE = """
       ) t
       WHERE len(t.sh) > 0
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35)
+    SELECT id_a, id_b, jaccard FROM pairs
+    UNION ALL
+    -- banding miss-zone guard: verified-LSH output equals this exact pair
+    -- set only while no pair sits where 16x4 banding can miss (J < 0.9,
+    -- per-edge recall 1-(1-J^4)^16). Testdata drift into that zone must
+    -- fail diagnosably, not as an opaque oracle mismatch.
+    SELECT CAST(error('LSH miss zone occupied: ' || n || ' exact pairs with '
+                      || '0.35 <= J < 0.9; banded-LSH/oracle equivalence no '
+                      || 'longer holds for this corpus') AS BIGINT),
+           NULL, NULL
+    FROM (SELECT COUNT(*) AS n FROM pairs WHERE jaccard < 0.9) WHERE n > 0
 """
 
 
@@ -255,7 +267,9 @@ _CLUSTER_ORACLE = f"""
       WHERE len(t.sh) > 0
     ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
@@ -274,6 +288,14 @@ _CLUSTER_ORACLE = f"""
     SELECT v AS doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM lab
+    UNION ALL
+    -- banding miss-zone guard (see _MINHASH_ORACLE): LSH-fed CC equals the
+    -- exact-pair fixpoint only while no edge sits in J ∈ [0.5, 0.9)
+    SELECT CAST(error('LSH miss zone occupied: ' || n || ' exact pairs with '
+                      || '0.5 <= J < 0.9; LSH-fed connected components may '
+                      || 'diverge from the exact-pair oracle') AS BIGINT),
+           NULL, NULL
+    FROM (SELECT COUNT(*) AS n FROM pairs WHERE jaccard < 0.9) WHERE n > 0
 """
 
 

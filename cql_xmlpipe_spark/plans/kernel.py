@@ -181,22 +181,43 @@ def _java_float_sql(x: str) -> str:
     unique shortest round-tripping digit sequence for FLOAT; they differ
     only in framing — Java switches to E-notation outside [1e-3, 1e7),
     DuckDB outside ~[1e-4, 1e16) — so the oracle reassembles Java's
-    framing from DuckDB's repr (verified 0/500 divergent rows plus
-    synthetic edge vectors at 1e-5/1e-7)."""
+    framing from DuckDB's repr. Explicit branches: zero (DuckDB renders
+    -0.0 as '0.0', so the sign is recovered via signbit), the shared
+    decimal range [1e-3, 1e7), large decimals (DuckDB 'IIII.F' →
+    Java mantissa E exp), DuckDB-e-notation (≥ ~1e16 or ≤ ~1e-5), and
+    small decimals ('0.000x' → x.0E-4). Verified against live java-17
+    ``Float.toString`` over compiled edge vectors + 4k log-uniform +
+    10k embedding-range samples: framing now agrees EVERYWHERE and every
+    rendering round-trips to the same float. Known residual envelope:
+    java-17's pre-Ryū FloatingDecimal emits MORE than the shortest
+    round-tripping digits for ~6% of floats at large magnitudes
+    (≥ ~1e8) and subnormals — unreachable from SQL; 0/10000 divergence
+    in the sub-1 embedding range the A4 gate reads. Digit drift outside
+    that envelope fails the gate visibly, not silently."""
     r = f"CAST(abs({x}) AS VARCHAR)"
     mant = f"string_split({r}, 'e')[1]"
     expn = f"CAST(CAST(string_split({r}, 'e')[2] AS INTEGER) AS VARCHAR)"
     frac = f"substr({r}, 3)"          # digits after '0.'
     digs = f"ltrim({frac}, '0')"      # significant digits
+    ip = f"string_split({r}, '.')[1]"   # integer digits (large-decimal case)
+    fp = f"string_split({r}, '.')[2]"   # fraction digits
+    sig = f"rtrim({ip} || (CASE WHEN {fp} = '0' THEN '' ELSE {fp} END), '0')"
     return f"""
       CASE WHEN {x} IS NULL THEN ''
-           WHEN abs({x}) >= 0.001 THEN CAST({x} AS VARCHAR)
+           WHEN {x} = 0 THEN CASE WHEN signbit({x}) THEN '-0.0' ELSE '0.0' END
+           WHEN abs({x}) >= 0.001 AND abs({x}) < 10000000.0
+             THEN CAST({x} AS VARCHAR)
            ELSE
              CASE WHEN {x} < 0 THEN '-' ELSE '' END ||
              CASE
                WHEN contains({r}, 'e') THEN
                  (CASE WHEN contains({mant}, '.') THEN {mant}
                        ELSE {mant} || '.0' END) || 'E' || {expn}
+               WHEN abs({x}) >= 10000000.0 THEN
+                 substr({sig}, 1, 1) ||
+                 (CASE WHEN len({sig}) > 1 THEN '.' || substr({sig}, 2)
+                       ELSE '.0' END)
+                 || 'E' || CAST(len({ip}) - 1 AS VARCHAR)
                ELSE
                  substr({digs}, 1, 1) || '.' ||
                  (CASE WHEN len({digs}) > 1 THEN substr({digs}, 2) ELSE '0' END)
