@@ -59,36 +59,55 @@ HEADLINE = [
     "streaming_tumbling_window",
     "text_repetition_scores",
     "text_crossdoc_ngram_dup",
+    # round-6 additions: stateful streaming (session windows), paragraph
+    # dedup, and the codec-true BMP decode path
+    "streaming_session_window",
+    "dedup_paragraphs",
+    "multimodal_image_features_codec",
 ]
 
+# Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
+# restricts the headline list (e.g. to skip the deliberately super-linear
+# exact-ngram verifier on 100x clone-heavy corpora).
+_only = os.environ.get("SPARK_GRAFT_ONLY")
+if _only:
+    _names = {n.strip() for n in _only.split(",") if n.strip()}
+    HEADLINE = [n for n in HEADLINE if n in _names]
 
-#: Per-query cross-round records at sf0.1 (min across BENCH_r03, BENCH_r04,
-#: and the round-4 verdict's adjudication re-runs; BASELINE.md). Used ONLY
+
+#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r05 and
+#: the round-4 verdict's adjudication re-runs; BASELINE.md). Used ONLY
 #: as the stall-detection threshold — never reported as results.
 RECORDS = {
-    "dedup_cluster_assign": 3.631,
-    "dedup_exact_hash_groups": 0.319,
-    "dedup_minhash_lsh": 3.259,
-    "dedup_ngram_jaccard": 3.94,
+    "dedup_cluster_assign": 3.575,
+    "dedup_exact_hash_groups": 0.212,
+    "dedup_minhash_lsh": 2.82,
+    "dedup_ngram_jaccard": 3.841,
     "distinct_counts": 0.613,
-    "doc_id_sdbm_customer": 0.322,
+    "doc_id_sdbm_customer": 0.302,
     "doc_pack_sequences": 0.287,
     "events_sessionize": 0.388,
-    "outer_join_order_distribution": 0.459,
+    "outer_join_order_distribution": 0.432,
     "q17_small_quantity_revenue": 0.846,
-    "q1_pricing_summary": 1.184,
+    "q1_pricing_summary": 1.021,
     "q3_shipping_priority": 0.612,
-    "q5_local_supplier_volume": 0.974,
-    "q8_market_share": 2.486,
-    "similarity_cosine_topk": 0.597,
+    "q5_local_supplier_volume": 0.696,
+    "q8_market_share": 1.274,
+    "similarity_cosine_topk": 0.52,
     "text_langid_heuristic": 0.454,
-    "text_quality_scores": 0.583,
+    "text_quality_scores": 0.507,
     "text_tfidf_top_terms": 0.849,
-    "topk_orders": 0.182,
+    "topk_orders": 0.165,
     "window_running_revenue": 0.444,
     "window_top3_orders_per_customer": 0.403,
-    "xmlpipe_lineitem_export": 2.307,
+    "xmlpipe_lineitem_export": 1.925,
     "xmlpipe_orders_export": 0.546,
+    # r5 additions (single-round figures)
+    "xmlpipe_embeddings_export": 0.281,
+    "token_orders_murmur3": 0.385,
+    "streaming_tumbling_window": 1.446,
+    "text_repetition_scores": 1.698,
+    "text_crossdoc_ngram_dup": 2.711,
 }
 
 
@@ -147,7 +166,10 @@ def main() -> int:
 
     active = [(n, QUERIES[n]) for n in HEADLINE if n in QUERIES]
     runs: dict[str, list[float]] = {n: [] for n, _ in active}
-    for _pass in range(3):
+    # SPARK_GRAFT_PASSES: scale smokes at 10x/100x data use fewer passes
+    # (a full interleaved triple would take tens of minutes there); the
+    # driver's sf0.1 run keeps the stall-proof default of 3.
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_PASSES", "3"))):
         for name, fn in active:
             runs[name].append(_timed(name, fn))
 
