@@ -64,6 +64,13 @@ HEADLINE = [
     "streaming_session_window",
     "dedup_paragraphs",
     "multimodal_image_features_codec",
+    # round-6 TPC-H completion (plans/tpch.py): the heavier join shapes —
+    # bilateral nation pairing, profit rollup, sole-late-supplier
+    # decorrelation, correlated-min bridge
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_late_suppliers",
+    "q2_min_cost_supplier",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."

@@ -142,10 +142,16 @@ def test_pandas_udf_queries_single_shuffle(spark):
     key) and prune the scan to the referenced columns; the Python
     boundary is one Arrow node (ArrowAggregatePython /
     FlatMapGroupsInPandas), not a per-row PythonUDF."""
+    # udaf_weighted_avg_price is deliberately TWO-level (scale-safe): a
+    # built-in partial aggregate per (flag, salt) shuffles fixed-width
+    # int64 partials, then the flag-level ArrowAggregatePython combines
+    # them — so exactly two shuffles, and the built-in HashAggregate
+    # (with map-side combine) sits below the Python boundary
     plan = _plan(spark, "udaf_weighted_avg_price")
     assert "ArrowAggregatePython" in plan
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
-    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 4
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("ArrowAggregatePython")
     plan = _plan(spark, "grouped_map_rank_lineitems")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
@@ -242,3 +248,28 @@ def test_token_scan_prunes_to_key_single_python_boundary(spark):
     assert "o_orderkey" in read and "o_custkey" not in read and "o_totalprice" not in read
     assert plan.count("ArrowEvalPython") == 2  # one node, tree + details
     assert "Exchange" not in plan
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """TPC-H completion block (plans/tpch.py): dimension lookups must
+    broadcast and nothing may degenerate to a cartesian product; the
+    remaining exchanges are fact-side shuffles keyed on orderkey/partkey.
+    (At sf0.001 size-based planning may broadcast even orders/customer —
+    the pins here are the scale-invariant properties only.)"""
+    for name, min_bhj in [
+        ("q7_volume_shipping", 2),   # supplier + 2× nation at minimum
+        ("q9_product_profit", 3),    # part, supplier, nation
+        ("q21_late_suppliers", 2),   # supplier, nation
+        ("q2_min_cost_supplier", 4), # supplier, nation, region, part
+    ]:
+        plan = _plan(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        assert tree.count("BroadcastHashJoin") >= min_bhj, (
+            f"{name}: expected >= {min_bhj} broadcast joins\n{tree}"
+        )
+    # q11/q15/q22 scalar thresholds: 1-row broadcast, never a shuffle join
+    for name in ["q11_important_stock", "q15_top_supplier", "q22_global_opportunity"]:
+        tree = _plan(spark, name).split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, name
