@@ -71,6 +71,7 @@ HEADLINE = [
     "q9_product_profit",
     "q21_late_suppliers",
     "q2_min_cost_supplier",
+    "text_decontaminate_eval_overlap",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."

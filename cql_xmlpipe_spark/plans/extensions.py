@@ -1537,3 +1537,74 @@ def multimodal_image_features_codec(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id", "payload_md5", "width", "height",
         "mean_r", "mean_g", "mean_b", "sharpness",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — eval-set n-gram overlap flagging
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+             i -> array_to_string(toks[i:i+7], ' '))) AS gram
+      FROM t WHERE len(toks) >= 8),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 4 = 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (gram IN (SELECT gram FROM ev)) AS BIGINT)
+             AS contam_grams,
+           CAST(COUNT(*) FILTER (gram IN (SELECT gram FROM ev)) AS DOUBLE)
+             / COUNT(*) AS contam_frac,
+           COUNT(*) FILTER (gram IN (SELECT gram FROM ev)) > 0
+             AS is_contaminated
+    FROM g WHERE doc_id % 4 <> 0
+    GROUP BY doc_id
+"""
+
+
+@_q("text_decontaminate_eval_overlap", _DECONTAM_ORACLE)
+def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the training-pipeline op that removes
+    eval-set leakage before training): per training document, how many of
+    its 8-gram positions appear in ANY evaluation document, plus the
+    resulting drop flag. The "benchmark" here is the deterministic
+    ``doc_id % 4 == 0`` slice of the corpus (chosen so the slice provably intersects the corpus's duplicate groups at every gate sf — the positive flagging path executes, not just the zero path) — in production it is a
+    separate, tiny table, which only strengthens the shape below.
+
+    100 TB shape: gram strings never cross a shuffle — positions carry
+    xxhash64 longs (collision-free at any realistic corpus size for a
+    64-bit space, and the DuckDB oracle compares the true strings, so a
+    collision would fail the gate rather than hide); the eval side
+    reduces to a DISTINCT hash set (benchmarks are bounded: thousands of
+    docs, not billions) that BROADCASTS to the training-position stream,
+    so the flagging pass is one scan + map-side hash-set probe with zero
+    training-side shuffles before the per-doc aggregate."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", TX.words(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    grams = base.select(
+        "doc_id", F.explode(TX.ngrams(F.col("toks"), 8)).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    eval_h = (
+        grams.filter(F.col("doc_id") % 4 == 0).select("h").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 4 != 0)
+    flagged = train.join(
+        F.broadcast(eval_h.withColumn("hit", F.lit(1))), "h", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("long")).alias("contam_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "contam_grams",
+        (F.col("contam_grams").cast("double") / F.col("n_grams")).alias("contam_frac"),
+        (F.col("contam_grams") > 0).alias("is_contaminated"),
+    )

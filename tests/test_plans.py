@@ -273,3 +273,15 @@ def test_tpch_completion_plan_shapes(spark):
         tree = _plan(spark, name).split("\n\n")[0]
         assert "CartesianProduct" not in tree, name
         assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, name
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """Decontamination: the training-position stream must NOT shuffle
+    before its per-doc aggregate — the eval-gram hash set broadcasts into
+    it (benchmarks are bounded-size at any corpus scale)."""
+    plan = _plan(spark, "text_decontaminate_eval_overlap")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin LeftOuter" in tree
+    # two hash exchanges total: the eval-side DISTINCT and the final
+    # per-doc aggregate — nothing else
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2
