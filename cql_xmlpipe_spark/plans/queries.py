@@ -1941,6 +1941,62 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_watermark_dedup",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start
+    FROM events
+    """,
+)
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming DEDUP state path, driver-visible: readStream →
+    ``dropDuplicatesWithinWatermark`` (``streaming/dedup.py``) →
+    availableNow into a memory sink. Key = (user, type, hour bucket) —
+    the at-least-once collapse a telemetry pipeline runs; only the key
+    columns are emitted, so the survivor row is deterministic (whole-row
+    survivors under streaming dedup are arrival-order-dependent) and the
+    oracle is a plain DISTINCT. The corpus carries real duplicates at
+    every gate sf (6/92/942 at sf0.001/0.01/0.1), so the drop path
+    executes. Watermark horizon 35 days > the corpus's 30-day span: in a
+    bounded replay no key state may expire mid-run or replayed late rows
+    could re-emit their key (nondeterministic vs the oracle). On a real
+    unbounded stream the horizon is the dedup SLA — state stays bounded
+    because keys expire once the watermark passes (SCALE.md)."""
+    from cql_xmlpipe_spark.streaming.dedup import dedup_stream
+    from cql_xmlpipe_spark.streaming.sources import stream_events
+
+    global _STREAM_TWIN_SEQ
+    _STREAM_TWIN_SEQ += 1
+    name = f"streaming_watermark_dedup_{_STREAM_TWIN_SEQ}"
+    keyed = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+        .cast("long")
+        .alias("hour_start"),
+    )
+    deduped = dedup_stream(
+        keyed,
+        keys=("user_id", "event_type", "hour_start"),
+        watermark="35 days",
+    ).select("user_id", "event_type", "hour_start")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming dedup twin did not finish in 300s")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@_q(
     "events_sliding_window",
     f"""
     WITH e AS (
