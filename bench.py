@@ -116,6 +116,15 @@ RECORDS = {
     "streaming_tumbling_window": 1.446,
     "text_repetition_scores": 1.698,
     "text_crossdoc_ngram_dup": 2.711,
+    # r6 additions (single-run local figures, 2026-08-14)
+    "streaming_session_window": 1.756,
+    "dedup_paragraphs": 0.647,
+    "multimodal_image_features_codec": 2.357,
+    "q7_volume_shipping": 0.936,
+    "q9_product_profit": 0.903,
+    "q21_late_suppliers": 2.282,
+    "q2_min_cost_supplier": 1.601,
+    "text_decontaminate_eval_overlap": 1.672,
 }
 
 
