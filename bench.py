@@ -122,7 +122,7 @@ RECORDS = {
     "multimodal_image_features_codec": 2.357,
     "q7_volume_shipping": 0.936,
     "q9_product_profit": 0.903,
-    "q21_late_suppliers": 2.282,
+    "q21_late_suppliers": 1.963,
     "q2_min_cost_supplier": 1.601,
     "text_decontaminate_eval_overlap": 1.672,
 }

@@ -533,38 +533,54 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted — "late" := shipped more than 90 days after
     the order date, since receipt/commit dates don't exist): suppliers in
     one nation who were the *sole* late supplier on a multi-supplier
-    finished order. The EXISTS/NOT-EXISTS pair decorrelates to one
-    per-order aggregate (distinct suppliers, distinct late suppliers)
-    joined back on orderkey — co-partitioned with the ll join, so the
-    whole query is two orderkey shuffles; supplier/nation broadcast."""
+    finished order. The EXISTS/NOT-EXISTS pair decorrelates to per-order
+    aggregates over the (order, supplier) grain; see the in-body comment
+    for why the fact stream is consumed exactly once (49.5 -> 10.0 s at
+    the 100x century smoke vs the naive re-join decorrelation);
+    supplier/nation broadcast."""
+    # single-pass shape: o_orderstatus is constant per order, so the 'F'
+    # filter moves onto orders BEFORE the fact join (non-F orders never
+    # touch lineitem); the stream then collapses ONCE to the (order,
+    # supplier) grain carrying both the late flag and the late-row count
+    # as partials, and every later step (per-order totals, the
+    # sole-late-supplier filter, numwait) runs at that collapsed grain —
+    # the 60M-row join output is consumed exactly once, where the naive
+    # EXISTS/NOT-EXISTS decorrelation re-joined it against its own
+    # aggregate (two full passes + countDistinct expansion)
     l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
-    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus", "o_orderdate")
-    ll = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        "l_orderkey",
-        "l_suppkey",
-        "o_orderstatus",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    o_f = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_supp = (
+        l.join(o_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(late).alias("supp_late"),
+            F.sum(late).alias("n_late_rows"),
+        )
     )
-    per_order = ll.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
     )
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_5").select(
         "n_nationkey"
     )
     return (
-        ll.join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        per_supp.join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
         .filter(
-            F.col("late")
-            & (F.col("o_orderstatus") == "F")
+            (F.col("supp_late") == 1)
             & (F.col("n_supp") > 1)
             & (F.col("n_late_supp") == 1)
         )
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
