@@ -1608,3 +1608,121 @@ def text_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("contam_grams").cast("double") / F.col("n_grams")).alias("contam_frac"),
         (F.col("contam_grams") > 0).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture planning + split leakage audit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_mix_weights",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+             AS token_frac,
+           CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE)
+             AS mix_weight
+    FROM per_src, tot
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning (the op a training pipeline runs to rebalance
+    source domains): per source, token mass and the up/down-sampling
+    weight that equalizes the mixture (weight = uniform-share /
+    actual-share). All counts are exact int64 aggregates; the two output
+    ratios divide the same pair of integers-as-doubles on both engines —
+    bit-stable with no decimal hop needed. 100 TB shape: one map-side-
+    combined aggregate keyed on the (low-cardinality) source column plus
+    a 1-row broadcast cross join for the totals; the weights table this
+    emits is exactly what a sampler broadcasts back against the corpus."""
+    d = load_table(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.ws_tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"))
+        .alias("token_frac"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")).cast("double")
+        ).alias("mix_weight"),
+    )
+
+
+@_q(
+    "dataset_split_leakage",
+    """
+    WITH tagged AS (
+      SELECT md5(text) AS th,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               BETWEEN '0' AND '7' AS in_train
+      FROM documents),
+    groups AS (
+      SELECT th,
+             CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN in_train THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dev
+      FROM tagged GROUP BY th)
+    SELECT CAST(SUM(n_train) AS BIGINT) AS train_docs,
+           CAST(SUM(n_dev) AS BIGINT) AS dev_docs,
+           CAST(COUNT(*) FILTER (n_train > 0 AND n_dev > 0) AS BIGINT)
+             AS leaky_text_groups,
+           CAST(SUM(CASE WHEN n_train > 0 AND n_dev > 0
+                         THEN n_train + n_dev ELSE 0 END) AS BIGINT)
+             AS leaky_docs
+    FROM groups
+    """,
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment + leakage audit (the check a pipeline runs after
+    carving train/dev: did any *identical text* land on both sides of
+    the split?). The split is a cross-engine-portable hash rule —
+    first hex digit of md5(doc_id) in 0-7 → train (~50%) — so both
+    engines assign identically; the audit groups by md5(text) (32-byte
+    shuffle keys, never text) and counts groups straddling the split.
+    Liveness: sf0.001/sf0.01 contain no exact-duplicate texts at all, so
+    zero leakage IS the correct answer there; at sf0.1 the corpus's 8
+    exact-dup groups put 3 groups astride this split and the detector
+    fires (verified in the sf0.1 oracle run). 100 TB shape: one
+    hash-keyed aggregate plus a 1-row rollup — the same discipline as
+    dedup_exact_hash_groups."""
+    d = load_table(spark, "documents", sf_dir)
+    tagged = d.select(
+        F.md5("text").alias("th"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .between("0", "7")
+        .alias("in_train"),
+    )
+    groups = tagged.groupBy("th").agg(
+        F.sum(F.when(F.col("in_train"), 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("in_train"), 0).otherwise(1)).cast("long").alias("n_dev"),
+    )
+    leaky = (F.col("n_train") > 0) & (F.col("n_dev") > 0)
+    return groups.agg(
+        F.sum("n_train").cast("long").alias("train_docs"),
+        F.sum("n_dev").cast("long").alias("dev_docs"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("long").alias("leaky_text_groups"),
+        F.sum(F.when(leaky, F.col("n_train") + F.col("n_dev")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("leaky_docs"),
+    )
