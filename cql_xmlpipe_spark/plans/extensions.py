@@ -133,8 +133,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair in this corpus sits at J ≥ 0.9 where 16×4-band recall
     is 1-4e-8 — so the two coincide deterministically here (xxhash64 is
     seeded and stable). General recall is covered by the planted-corpus
-    tests in tests/test_dedup.py."""
-    return DD.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.35)
+    tests in tests/test_dedup.py. Runs through the exact-duplicate
+    collapse (identical output, O(distinct-texts) LSH cost — see
+    operators/dedup.py::minhash_lsh_pairs_collapsed)."""
+    return DD.minhash_lsh_pairs_collapsed(
+        load_table(spark, "documents", sf_dir), threshold=0.35
+    )
 
 
 @_q(
@@ -324,10 +328,9 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py additionally asserts LSH-fed CC ≡ exact-fed CC
     on planted-duplicate corpora."""
     d = load_table(spark, "documents", sf_dir)
-    pairs = DD.minhash_lsh_pairs(d, threshold=0.5, k=3)
-    out = DD.connected_components(d.select("doc_id"), pairs)
-    DD.unpersist_intermediates(pairs)
-    return out
+    # intermediates stay persisted until the lazy result is consumed;
+    # callers (bench/harness) clearCache between queries
+    return DD.cluster_assign_collapsed(d, threshold=0.5, k=3)
 
 
 @_q(

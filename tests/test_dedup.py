@@ -208,3 +208,51 @@ def test_paragraph_dup_stats_planted(spark):
     assert got[1]["n_paras"] == 2 and got[1]["n_dup_paras"] == 1
     assert got[2]["n_paras"] == 2 and got[2]["n_dup_paras"] == 0
     assert got[3]["n_paras"] == 1 and got[3]["n_dup_paras"] == 0
+
+
+def test_collapsed_pairs_equal_uncollapsed_on_cloned_corpus(spark):
+    """minhash_lsh_pairs_collapsed must return EXACTLY the pair set of the
+    uncollapsed operator — on a corpus where every document carries an
+    exact clone (the case the collapse optimizes) plus the natural
+    near-dups of the real testdata. Also pins the claimed jaccard values
+    (within-group pairs emit literal 1.0; identical sets compute 1.0)."""
+    d = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    cloned = d.unionByName(
+        d.select((F.col("doc_id") + off).alias("doc_id"), "text")
+    )
+    base = sorted(
+        tuple(r)
+        for r in DD.minhash_lsh_pairs(cloned, threshold=0.5).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in DD.minhash_lsh_pairs_collapsed(cloned, threshold=0.5).collect()
+    )
+    assert len(base) >= len(d.collect())  # every doc pairs with its clone
+    assert fast == base
+
+
+def test_collapsed_cluster_assign_equal_uncollapsed(spark):
+    """cluster_assign_collapsed ≡ connected_components(minhash_lsh_pairs)
+    row-for-row on the cloned corpus (labels AND sizes)."""
+    d = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    cloned = d.unionByName(
+        d.select((F.col("doc_id") + off).alias("doc_id"), "text")
+    )
+    pairs = DD.minhash_lsh_pairs(cloned, threshold=0.5)
+    base = sorted(
+        tuple(r)
+        for r in DD.connected_components(cloned.select("doc_id"), pairs).collect()
+    )
+    fast = sorted(
+        tuple(r) for r in DD.cluster_assign_collapsed(cloned, threshold=0.5).collect()
+    )
+    assert fast == base
+    # every cluster now has size >= 2 (each doc has its clone)
+    assert all(row[2] >= 2 for row in fast)
