@@ -1729,3 +1729,88 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("leaky_docs"),
     )
+
+
+@_q(
+    "events_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           epoch_us(v.t1) AS view_us,
+           epoch_us(c.t2) AS click_us,
+           epoch_us(p.t3) AS purchase_us,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     WHEN v.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    FIRST view, the first click strictly after it, and the first
+    purchase strictly after that — the sequential-pattern analytics op
+    (product funnels, consent flows, attribution) the window gauntlets
+    don't cover because each step's predicate depends on the previous
+    step's aggregate. Single-shuffle shape: one hash partition by user
+    feeds three chained Window minimums (the per-user partitioning is
+    reused across all three, no extra exchange), then one per-user
+    aggregate collapses to a row; the oracle decorrelates the same
+    chain into three grouped joins. Timestamps leave as epoch µs."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    # no is-not-null filter: a user with zero views stays as a stage-0
+    # row on BOTH engines (the oracle's v CTE groups every user too)
+    return per_user.select(
+        "user_id",
+        F.unix_micros("t1").alias("view_us"),
+        F.unix_micros("t2").alias("click_us"),
+        F.unix_micros("t3").alias("purchase_us"),
+        stage.cast("int").alias("funnel_stage"),
+    )

@@ -285,3 +285,13 @@ def test_decontamination_broadcasts_eval_grams(spark):
     # two hash exchanges total: the eval-side DISTINCT and the final
     # per-doc aggregate — nothing else
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2
+
+
+def test_funnel_single_shuffle_chained_windows(spark):
+    """The funnel chain (three per-user Window minimums + the per-user
+    collapse) must reuse ONE hash partitioning end to end — the
+    sequential-pattern op stays a single-exchange plan."""
+    plan = _plan(spark, "events_funnel_conversion")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 3
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
