@@ -1814,3 +1814,43 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t3").alias("purchase_us"),
         stage.cast("int").alias("funnel_stage"),
     )
+
+
+@_q(
+    "events_cohort_retention",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    first AS (
+      SELECT user_id, MIN(day) AS day0 FROM d GROUP BY user_id)
+    SELECT CAST(day0 // 7 AS BIGINT) AS cohort_week,
+           CAST((day - day0) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active
+    FROM d JOIN first ON d.user_id = first.user_id
+    GROUP BY day0 // 7, (day - day0) // 7
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the activation/churn matrix every product and
+    data-quality dashboard is built on): users bucketed by the week of
+    their first event, counted as active per week offset since then.
+    All bucket arithmetic is integer floor-division over epoch
+    microseconds — no calendar/week-start or timezone semantics to
+    diverge cross-engine. Shape: one per-user min (map-side combined),
+    re-joined on user (co-partitioned with the per-user shuffle under
+    AQE), then a distinct-count on the tiny (cohort, offset) grid."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    d = e.select(
+        "user_id", F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    )
+    first = d.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (
+        d.join(first, "user_id")
+        .groupBy(
+            F.floor(F.col("day0") / 7).alias("cohort_week"),
+            F.floor((F.col("day") - F.col("day0")) / 7).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
