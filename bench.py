@@ -120,9 +120,9 @@ RECORDS = {
     "streaming_session_window": 1.756,
     "dedup_paragraphs": 0.647,
     "multimodal_image_features_codec": 2.357,
-    "q7_volume_shipping": 0.936,
+    "q7_volume_shipping": 0.898,
     "q9_product_profit": 0.903,
-    "q21_late_suppliers": 1.963,
+    "q21_late_suppliers": 1.412,
     "q2_min_cost_supplier": 1.601,
     "text_decontaminate_eval_overlap": 1.672,
 }
