@@ -72,6 +72,10 @@ HEADLINE = [
     "q21_late_suppliers",
     "q2_min_cost_supplier",
     "text_decontaminate_eval_overlap",
+    # round-6 wave 2: sequence analytics + the streaming dedup state path
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "streaming_watermark_dedup",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
@@ -125,6 +129,9 @@ RECORDS = {
     "q21_late_suppliers": 1.412,
     "q2_min_cost_supplier": 1.601,
     "text_decontaminate_eval_overlap": 1.672,
+    "events_funnel_conversion": 0.623,
+    "events_cohort_retention": 0.561,
+    "streaming_watermark_dedup": 2.026,
 }
 
 
