@@ -295,3 +295,18 @@ def test_funnel_single_shuffle_chained_windows(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Window") == 3
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_round6_pipeline_ops_plan_shapes(spark):
+    """Mixture planning / split audit / cohort: small fixed shuffle
+    budgets, scalar thresholds broadcast (1-row BNLJ cross join), no
+    cartesian products."""
+    for name, max_shuffles in [
+        ("corpus_mix_weights", 3),
+        ("dataset_split_leakage", 2),
+        ("events_cohort_retention", 3),
+    ]:
+        tree = _plan(spark, name).split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        n = tree.count("Exchange") - tree.count("BroadcastExchange")
+        assert n <= max_shuffles, f"{name}: {n} shuffles\n{tree}"
