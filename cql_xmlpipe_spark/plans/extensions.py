@@ -1854,3 +1854,72 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@_q(
+    "corpus_mix_resample",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_src),
+    w AS (
+      SELECT source,
+             CAST(total_tokens AS DOUBLE)
+               / CAST(n_sources * n_tokens AS DOUBLE) AS mix_weight
+      FROM per_src, tot)
+    SELECT d.doc_id, d.source,
+           CAST(FLOOR(w.mix_weight)
+                + CASE WHEN CAST(concat('0x',
+                         substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) / 4294967296.0
+                       < w.mix_weight - FLOOR(w.mix_weight)
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM documents d JOIN w ON d.source = w.source
+    """,
+)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The execution step of mixture planning: per document, how many
+    copies the rebalanced corpus carries — floor(weight) guaranteed
+    copies plus one more with probability frac(weight), decided by a
+    PORTABLE per-doc uniform (first 8 hex digits of md5(doc_id) scaled
+    to [0,1) — both engines derive the identical double, so the
+    stochastic rounding is reproducible run-to-run AND engine-to-engine;
+    E[copies] = weight exactly). 100 TB shape: the 20-row weight table
+    broadcasts into a narrow scan projection — zero shuffles on the
+    corpus side; a downstream epoch writer just explodes
+    sequence(1, n_copies)."""
+    d = load_table(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(TX.ws_tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        F.col("source").alias("w_source"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")).cast("double")
+        ).alias("mix_weight"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    extra = F.when(u < F.col("mix_weight") - F.floor("mix_weight"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(w), d.source == F.col("w_source"))
+        .select(
+            "doc_id",
+            "source",
+            (F.floor("mix_weight") + extra).cast("long").alias("n_copies"),
+        )
+    )
