@@ -310,3 +310,15 @@ def test_round6_pipeline_ops_plan_shapes(spark):
         assert "CartesianProduct" not in tree, name
         n = tree.count("Exchange") - tree.count("BroadcastExchange")
         assert n <= max_shuffles, f"{name}: {n} shuffles\n{tree}"
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips HEADLINE entries missing from QUERIES —
+    a typo would silently shrink the driver's benchmark. Pin that every
+    headline name (and every RECORDS key) resolves."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"headline names not registered: {missing}"
+    stale = [n for n in bench.RECORDS if n not in QUERIES]
+    assert not stale, f"RECORDS keys not registered: {stale}"
