@@ -1843,14 +1843,14 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE), then a distinct-count on the tiny (cohort, offset) grid."""
     e = load_table(spark, "events", sf_dir).select("user_id", "ts")
     d = e.select(
-        "user_id", F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
     )
     first = d.groupBy("user_id").agg(F.min("day").alias("day0"))
     return (
         d.join(first, "user_id")
         .groupBy(
-            F.floor(F.col("day0") / 7).alias("cohort_week"),
-            F.floor((F.col("day") - F.col("day0")) / 7).alias("week_offset"),
+            F.expr("day0 div 7").alias("cohort_week"),
+            F.expr("(day - day0) div 7").alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
