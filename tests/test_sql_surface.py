@@ -52,3 +52,35 @@ def test_b_surface_sql(name, sql, engines):
     spark, con = engines
     problems, _, _ = compare(name, spark.sql(sql), con.sql(sql))
     assert not problems, f"{name}: {problems}"
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """The cross-engine hash gate implicitly assumes results don't depend
+    on physical partitioning (parallel summation order, task count).
+    Make that explicit: representative queries across the families that
+    COULD be order-sensitive (decimal-sum aggregates, window ranks,
+    collapsed near-dedup, stochastic-rounding resample) must produce
+    identical sorted rows at 7 and 32 shuffle partitions."""
+    from cql_xmlpipe_spark.plans import QUERIES
+
+    names = [
+        "q1_pricing_summary",
+        "window_top3_orders_per_customer",
+        "dedup_minhash_lsh",
+        "corpus_mix_resample",
+    ]
+    sf = "/root/testdata/sf0.01"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.catalog.clearCache()
+            results[parts] = {
+                n: sorted(tuple(r) for r in QUERIES[n](spark, sf).collect())
+                for n in names
+            }
+        for n in names:
+            assert results["7"][n] == results["32"][n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
