@@ -1923,3 +1923,46 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor("mix_weight") + extra).cast("long").alias("n_copies"),
         )
     )
+
+
+@_q(
+    "phrase_search_postings",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'fast' AND toks[i+1] = 'table'))
+                AS BIGINT) AS n_hits
+    FROM t
+    WHERE len(list_filter(range(1, len(toks)),
+              i -> toks[i] = 'fast' AND toks[i+1] = 'table')) > 0
+    """,
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval over positional postings — the CONSUMER of the
+    inverted-index family (``inverted_index_postings`` builds term→doc
+    lists; this executes the classic two-term phrase query "fast table"
+    by adjacency-joining per-term position lists). Shape: the position
+    stream is filtered to the two query terms BEFORE any join — two tiny
+    posting sets — then equi-joined on (doc, position+1), which Spark
+    broadcasts; per-doc hit counts aggregate on the join output. At
+    warehouse scale the postings would be a materialized table
+    partitioned by term (this plan's filtered-explode is the build+probe
+    fused form); the join/aggregate shape is identical either way."""
+    d = load_table(spark, "documents", sf_dir)
+    pos = d.select(
+        "doc_id", F.posexplode(TX.words(F.col("text"))).alias("pos", "term")
+    )
+    p1 = pos.filter(F.col("term") == "fast").select("doc_id", F.col("pos").alias("p1"))
+    p2 = pos.filter(F.col("term") == "table").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    return (
+        p1.join(p2, (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("p1") + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
