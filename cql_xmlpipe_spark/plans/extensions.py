@@ -1966,3 +1966,74 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+@_q(
+    "events_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e FROM events),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv),
+    run AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+      FROM deltas)
+    SELECT CAST(MAX(active) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(CASE WHEN active = (SELECT MAX(active) FROM run)
+                         THEN t END) AS BIGINT) AS first_peak_t_us
+    FROM run
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval aggregation: peak number of concurrently
+    active 10-minute activity windows and the first instant it occurs —
+    the algorithmic shape (boundary deltas + global prefix sum) behind
+    concurrency billing, capacity planning, and overlap joins. The
+    oracle uses a plain global running sum; the Spark plan implements
+    the SCALE-SAFE two-phase prefix sum instead, because a global
+    ORDER BY window is a single-partition funnel at 100 TB: deltas
+    bucket by day, each bucket computes its local running sum in
+    parallel (partitionBy(day) window), and the tiny per-day totals
+    broadcast back as cumulative offsets — the only global state is one
+    row per day. Determinism under duplicate timestamps: with ties
+    ordered (t, d), the multiset of running values within a tie group is
+    fixed regardless of intra-group order, so MAX(active) and the first
+    peak instant are order-independent."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).select(F.unix_micros("ts").alias("s"))
+    deltas = e.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        e.select((F.col("s") + 600_000_000).alias("t"), F.lit(-1).alias("d"))
+    ).withColumn("day", F.expr("t div 86400000000"))
+    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets: one row per day — the global window here runs over ~tens
+    # of rows, not the event stream
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("day_sum").over(wd), F.lit(0)).alias("offset")
+    )
+    wl = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = (
+        deltas.withColumn("local", F.sum("d").over(wl))
+        .join(F.broadcast(offsets), "day")
+        .select("t", (F.col("local") + F.col("offset")).alias("active"))
+    )
+    peak = run.agg(F.max("active").alias("peak"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("active").alias("peak_concurrency"),
+            F.min(F.when(F.col("active") == F.col("peak"), F.col("t"))).alias(
+                "first_peak_t_us"
+            ),
+        )
+        .select(
+            F.col("peak_concurrency").cast("long"),
+            F.col("first_peak_t_us").cast("long"),
+        )
+    )
