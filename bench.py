@@ -76,6 +76,9 @@ HEADLINE = [
     "events_funnel_conversion",
     "events_cohort_retention",
     "streaming_watermark_dedup",
+    "corpus_mix_resample",
+    "events_peak_concurrency",
+    "phrase_search_postings",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
@@ -132,6 +135,9 @@ RECORDS = {
     "events_funnel_conversion": 0.623,
     "events_cohort_retention": 0.561,
     "streaming_watermark_dedup": 2.026,
+    "corpus_mix_resample": 0.864,
+    "events_peak_concurrency": 1.416,
+    "phrase_search_postings": 0.733,
 }
 
 
