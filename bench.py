@@ -87,6 +87,11 @@ HEADLINE = [
 _only = os.environ.get("SPARK_GRAFT_ONLY")
 if _only:
     _names = {n.strip() for n in _only.split(",") if n.strip()}
+    _unknown = _names - set(HEADLINE)
+    if _unknown:
+        # fail loudly: silently dropping a typo would publish a phantom
+        # "measurement" with zero queries into the scale record
+        raise SystemExit(f"SPARK_GRAFT_ONLY names not in HEADLINE: {sorted(_unknown)}")
     HEADLINE = [n for n in HEADLINE if n in _names]
 
 

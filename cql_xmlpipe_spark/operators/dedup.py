@@ -241,25 +241,27 @@ def minhash_lsh_pairs(
     )
 
 
-def exact_text_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, rep) membership map over identical texts: rep = min id of the
-    group. One 32-byte-key aggregate + re-join (the exact-dedup shuffle
-    discipline — sha256 keys cross the wire, never text)."""
-    mem, th = _exact_text_groups_cached(df, text_col, id_col)
-    return _track_cached(mem, th)
-
-
-def _exact_text_groups_cached(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """(membership, persisted hash projection) — the projection is scanned
-    twice (aggregate side + join side), so the text scan + sha256 runs
-    once; the caller owns the cache."""
+def _collapse_prelude(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared exact-duplicate collapse staging for the two collapsed
+    operators: returns ``(mem, th, sets, rep_pairs)`` where ``mem`` is
+    the (id, rep) membership map over identical texts (rep = min id of
+    the group; sha256 keys cross the wire, never text), ``th`` the
+    persisted hash projection behind it (scanned twice: aggregate side +
+    join side), ``sets`` the persisted shingle-hash projection of the
+    representatives (feeds the inner LSH AND serves as the eligibility
+    filter — ONE tokenization of the reps), and ``rep_pairs`` the
+    verified near-dup pairs between representatives. The caller owns
+    all three caches (track them via :func:`_track_cached`)."""
     th = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th")).persist()
     reps = th.groupBy("_th").agg(F.min(id_col).alias("rep"))
-    return th.join(reps, "_th").select(F.col(id_col), "rep"), th
+    mem = th.join(reps, "_th").select(F.col(id_col), "rep").persist()
+    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
+    rep_docs = df.join(rep_ids, id_col, "left_semi")
+    sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
+    rep_pairs = minhash_lsh_pairs(rep_docs, text_col, id_col, threshold, k, sets=sets)
+    return mem, th, sets, rep_pairs
 
 
 def minhash_lsh_pairs_collapsed(
@@ -290,14 +292,7 @@ def minhash_lsh_pairs_collapsed(
     produce zero shingles never entered the LSH universe before and are
     excluded from expansion ("eligible" semi-join) — zero-shingle docs
     emit no pairs, exactly as before."""
-    mem, th = _exact_text_groups_cached(df, text_col, id_col)
-    mem = mem.persist()
-    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
-    rep_docs = df.join(rep_ids, id_col, "left_semi")
-    # ONE tokenization of the reps: the persisted shingle-set projection
-    # both feeds the inner LSH and IS the eligibility filter
-    sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
-    rep_pairs = minhash_lsh_pairs(rep_docs, text_col, id_col, threshold, k, sets=sets)
+    mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
     eligible = sets.select(F.col(id_col).alias("rep"))
     em = mem.join(eligible, "rep")
     within = (
@@ -352,13 +347,10 @@ def cluster_assign_collapsed(
     key-only join, sizes come from one count, and docs outside eligible
     groups (zero shingles) fall through to the singleton path exactly as
     in the uncollapsed formulation."""
-    mem, th = _exact_text_groups_cached(df, text_col, id_col)
-    mem = mem.persist()
-    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
-    rep_docs = df.join(rep_ids, id_col, "left_semi")
-    sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
-    rep_pairs = minhash_lsh_pairs(rep_docs, text_col, id_col, threshold, k, sets=sets)
-    cc = connected_components(rep_docs.select(id_col), rep_pairs)
+    mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
+    cc = connected_components(
+        mem.select(F.col("rep").alias(id_col)).distinct(), rep_pairs
+    )
     eligible = sets.select(F.col(id_col).alias("rep"))
     labeled = (
         mem.join(eligible, "rep")

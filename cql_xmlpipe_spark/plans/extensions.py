@@ -1533,7 +1533,11 @@ def multimodal_image_features_codec(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     d = load_table(spark, "documents", sf_dir)
-    media = synthesize_bmp_media(d)
+    # persist: feats and sigs are two independent consumers of the
+    # synthesized payloads; without this the pixel synthesis + BMP
+    # encode (the dominant cost) executes twice. Dropped by the
+    # caller's clearCache once the result is consumed.
+    media = synthesize_bmp_media(d).persist()
     feats = decode_image_features(media, use_codec=True)
     sigs = media.select("doc_id", F.md5("payload").alias("payload_md5"))
     return feats.join(sigs, "doc_id").select(

@@ -48,7 +48,24 @@ def _stage_dir(sf_dir: str) -> str:
     # staging dir — otherwise stale links beyond the new file count would
     # keep feeding old data into the stream
     tag = hashlib.md5("\0".join([src] + files).encode()).hexdigest()[:12]
-    d = os.path.join("/tmp", "spark_graft_stream", tag)
+    root = os.path.join("/tmp", "spark_graft_stream")
+    d = os.path.join(root, tag)
+    # housekeeping: a rewritten source table mints a fresh tag dir, so
+    # prior tags accumulate forever. Remove sibling tag dirs whose links
+    # dangle (lexists but target gone) — broken links cannot be serving
+    # any live stream, so this is safe even with concurrent sessions.
+    if os.path.isdir(root):
+        import shutil
+
+        for sib in os.listdir(root):
+            p = os.path.join(root, sib)
+            if sib == tag or not os.path.isdir(p):
+                continue
+            links = [os.path.join(p, x) for x in os.listdir(p)]
+            if links and any(
+                os.path.lexists(x) and not os.path.exists(x) for x in links
+            ):
+                shutil.rmtree(p, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     for i, f in enumerate(files):
         link = os.path.join(d, f"events-{i:03d}.parquet")

@@ -147,6 +147,11 @@ def main():
         if only and name not in only:
             continue
         n_ran += 1
+        # several operators (collapsed dedup, codec query) persist
+        # intermediates that live until their lazy result is consumed;
+        # drop them between queries so a 131-query sweep doesn't
+        # accumulate one cached frame per call in executor storage
+        spark.catalog.clearCache()
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:

@@ -37,6 +37,10 @@ def test_entry_contract_shape(spark):
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(name, spark, duck):
+    # cache-leaving operators (collapsed dedup etc.) persist until their
+    # result is consumed; clear between parametrized cases so the
+    # session-scoped fixture doesn't accumulate storage
+    spark.catalog.clearCache()
     df = _QUERIES[name](spark, SF)
     if name not in _ORACLES:
         # rows-only contract: must execute and produce a stable schema
