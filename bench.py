@@ -131,7 +131,7 @@ RECORDS = {
     # r6 additions (single-run local figures, 2026-08-14)
     "streaming_session_window": 1.756,
     "dedup_paragraphs": 0.647,
-    "multimodal_image_features_codec": 2.357,
+    "multimodal_image_features_codec": 2.1,
     "q7_volume_shipping": 0.898,
     "q9_product_profit": 0.903,
     "q21_late_suppliers": 1.412,
