@@ -36,3 +36,18 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-to-right fold of (a_i-b_i)^2 in double —
+    bit-matches DuckDB ``list_reduce`` over the same ``list_transform``."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -2041,3 +2041,262 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_peak_t_us").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# clustering / vocabulary / corpus-overlap (round-6 additions)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_kmeans_step",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
+          (a, b) -> a + b) AS dist
+      FROM embeddings e, c),
+    assigned AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM scored),
+    members AS (
+      SELECT a.cid, e.embedding
+      FROM assigned a JOIN embeddings e USING (vec_id) WHERE a.rn = 1),
+    comp AS (
+      SELECT cid, unnest(range(1, len(embedding) + 1)) AS i, embedding
+      FROM members)
+    SELECT cid AS cluster_id, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS new_centroid,
+           COUNT(*) AS n_members
+    FROM comp GROUP BY cid, i
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration (assign + centroid update) with pinned
+    init centroids (vec_id < 8) — the building block behind IVF coarse
+    quantizers and embedding-space corpus clustering.
+
+    Scale shape: the 8 centroids collapse to ONE broadcast row holding a
+    cid-sorted struct array, so assignment is a zero-shuffle map-side
+    argmin fold (left-to-right over cid order, strict `<` ⇒ lowest cid
+    wins distance ties — same ordering as the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, cid)``). The ONLY shuffle is the
+    final (cluster, dim) aggregate of int64 partials with map-side
+    combine — at 100 TB that is K×D partial rows per task, independent
+    of corpus size.
+
+    Determinism of the mean: a cross-partition float sum is
+    order-dependent, so components are first quantized to 1e-6
+    fixed-point via the floor(x*1e6+0.5) half-up trick (IEEE
+    single-rounded, bit-identical cross-engine — same device as
+    ``embedding_quantize_int8``); the integer sums are exact and
+    order-free, and the final /1e6 division is one IEEE op. Distances
+    need no such treatment: the per-row left-to-right fold bit-matches
+    the oracle's ``list_reduce``.
+    """
+    from cql_xmlpipe_spark.functions.vectors import sqdist
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cands",
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(F.col("embedding"), c["cemb"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cid")
+    )
+    assigned = scored.select(
+        F.aggregate(
+            F.col("cands"),
+            init,
+            lambda acc, d: F.when(d["dist"] < acc["dist"], d).otherwise(acc),
+        )["cid"].alias("cluster_id"),
+        F.col("embedding"),
+    )
+    comp = assigned.select(
+        "cluster_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn(
+        "q", F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    return comp.groupBy("cluster_id", "dim").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "new_centroid"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+_VOCAB_OOV_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE.replace("doc_id, lang", "doc_id, source")}),
+    tok AS (
+      SELECT source,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS term
+      FROM w),
+    st AS (SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term),
+    tf AS (SELECT term, SUM(cnt) AS c FROM st GROUP BY term),
+    vocab AS (
+      SELECT term FROM tf
+      QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, term) <= 256)
+    SELECT st.source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS oov_rate
+    FROM st LEFT JOIN vocab v USING (term)
+    GROUP BY st.source
+"""
+
+
+@_q("text_vocab_oov", _VOCAB_OOV_ORACLE)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary audit: build the top-256 word-bigram vocab
+    (count DESC, term ASC tie-break — fully deterministic) and report
+    each source's out-of-vocabulary token count/rate — the coverage
+    check run before freezing a tokenizer or a new-domain data mix.
+
+    Scale shape: tokenize ONCE into per-(source, term) counts (the only
+    corpus-sized shuffle, with map-side combine); the global term
+    frequencies re-aggregate from that compact table, the 256-term vocab
+    is a TakeOrdered over it, and the vocab joins back BROADCAST — the
+    raw token stream is never shuffled twice and never joined. At 100 TB
+    the (source×term) table is bounded by vocabulary, not corpus size.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "source", F.explode(TX.ngrams(TX.words(F.col("text")), 2)).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    st = st.persist()
+    tf = st.groupBy("term").agg(F.sum("cnt").alias("c"))
+    vocab = tf.orderBy(F.col("c").desc(), "term").limit(256).select("term")
+    oov = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    return (
+        st.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            (F.sum(oov).cast("double") / F.sum("cnt")).alias("oov_rate"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE.replace("doc_id, lang", "doc_id, source")}),
+    grams AS (
+      SELECT source,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM w),
+    sh AS (SELECT DISTINCT source, substring(md5(g), 1, 16) AS k FROM grams),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.source = i.source_a
+                 JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@_q("source_overlap_jaccard", _SOURCE_OVERLAP_ORACLE)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap audit: pairwise Jaccard similarity of the distinct
+    word-trigram shingle sets of every source pair — the cross-source
+    contamination matrix checked before mixing corpora into a train set
+    (high overlap ⇒ double-counted content distorting mixture weights).
+
+    Scale shape: shingles hash to fixed-width keys BEFORE the distinct
+    (the corpus-sized shuffle carries (source, 16-char key), never
+    text); the pairwise intersection is an equi-join ON THE KEY — only
+    shingles present in ≥2 sources contribute join rows — and per-source
+    set sizes broadcast back onto the S² pair matrix (S = #sources,
+    tiny). Production note at 100 TB: swap the md5-prefix key for
+    xxhash64 to shuffle int64s; md5 is used here because both engines
+    spell it identically, making the gate byte-exact.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    grams = d.select(
+        "source", F.explode(TX.ngrams(TX.words(F.col("text")), 3)).alias("g")
+    )
+    sh = grams.select(
+        "source", F.substring(F.md5("g"), 1, 16).alias("k")
+    ).distinct()
+    sh = sh.persist()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    b = sh.select(F.col("source").alias("source_b"), F.col("k").alias("kb"))
+    inter = (
+        sh.join(b, (F.col("k") == F.col("kb")) & (F.col("source") < F.col("source_b")))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@_q(
+    "dedup_prefix_hash_groups",
+    """
+    SELECT md5(substr(text, 1, 150)) AS prefix_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_full_variants
+    FROM documents
+    GROUP BY md5(substr(text, 1, 150))
+    """,
+)
+def dedup_prefix_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation dedup: group documents by a hash of their first
+    150 characters — the cheap catch for truncated re-crawls, pagination
+    clones, and boilerplate-headed pages that exact full-text dedup
+    misses (clone edits concentrate in the tail). ``n_full_variants``
+    counts distinct full-text hashes inside each prefix group: >1 means
+    the group holds near-duplicates invisible to ``dedup_exact``.
+
+    Scale shape: identical to ``dedup_exact_hash_groups`` — the shuffle
+    carries a 16-byte prefix hash plus a 32-byte full hash per doc,
+    never text, with map-side combine on the count.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy(
+        F.md5(F.substring(F.col("text"), 1, 150)).alias("prefix_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_full_variants"),
+    )
