@@ -1,0 +1,139 @@
+"""Model-based edge tests for the clustering / vocabulary / overlap
+operators (embedding_kmeans_step, text_vocab_oov, source_overlap_jaccard,
+dedup_prefix_hash_groups) over crafted parquet — the oracle harness covers
+the bulk distribution; these pin boundary semantics the synthetic corpus
+never hits (distance ties, bigram-less docs, disjoint sources, prefix
+groups hiding tail edits)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from cql_xmlpipe_spark.plans.extensions import (
+    dedup_prefix_hash_groups,
+    embedding_kmeans_step,
+    source_overlap_jaccard,
+    text_vocab_oov,
+)
+
+
+def _write_embeddings(spark, path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
+
+
+def _write_documents(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+def test_kmeans_step_matches_numpy_model(spark, tmp_path):
+    sf = str(tmp_path)
+    rng = np.random.default_rng(11)
+    vecs = [[float(np.float32(v)) for v in rng.normal(0, 1, 4)] for _ in range(20)]
+    _write_embeddings(spark, sf, [(i, v, 0) for i, v in enumerate(vecs)])
+
+    a = np.array(vecs, dtype=np.float64)
+    cents = a[:8]
+    d2 = ((a[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # argmin keeps the lowest index on ties
+    got = {
+        (r["cluster_id"], r["dim"]): (r["new_centroid"], r["n_members"])
+        for r in embedding_kmeans_step(spark, sf).collect()
+    }
+    for cid in range(8):
+        members = a[assign == cid]
+        if len(members) == 0:
+            assert not any(k[0] == cid for k in got)
+            continue
+        q = np.floor(members * 1e6 + 0.5).astype(np.int64)
+        for dim in range(4):
+            want = q[:, dim].sum() / (len(members) * 1e6)
+            mean, n = got[(cid, dim)]
+            assert n == len(members)
+            assert mean == want
+
+
+def test_kmeans_distance_tie_prefers_lowest_cluster_id(spark, tmp_path):
+    sf = str(tmp_path)
+    # centroids 0..7; centroid 3 duplicates centroid 1, so every vector
+    # is equidistant from cids 1 and 3 — assignment must pick cid 1
+    base = [[float(i), 0.0] for i in range(8)]
+    base[3] = base[1][:]
+    rows = [(i, v, 0) for i, v in enumerate(base)]
+    rows.append((8, [1.1, 0.0], 0))  # nearest: cids 1 and 3 at 0.01
+    _write_embeddings(spark, sf, rows)
+    out = embedding_kmeans_step(spark, sf).collect()
+    members = {r["cluster_id"]: r["n_members"] for r in out if r["dim"] == 0}
+    assert members[1] == 3  # centroid 1 itself + duplicate 3 + vector 8
+    assert 3 not in members
+
+
+def test_vocab_oov_counts_bigrams_per_source(spark, tmp_path):
+    sf = str(tmp_path)
+    _write_documents(
+        spark,
+        sf,
+        [
+            (1, "red fish blue fish", "en", "sa", 18),  # 3 bigrams
+            (2, "red fish", "en", "sa", 8),             # 1 bigram
+            (3, "one", "en", "sb", 3),                  # 0 bigrams -> no row
+            (4, "green eggs and ham", "en", "sc", 18),  # 3 bigrams
+        ],
+    )
+    got = {r["source"]: r for r in text_vocab_oov(spark, sf).collect()}
+    assert set(got) == {"sa", "sc"}  # bigram-less source emits nothing
+    assert got["sa"]["n_tokens"] == 4
+    assert got["sc"]["n_tokens"] == 3
+    # every bigram fits the top-256 vocab here: zero OOV by construction
+    assert got["sa"]["n_oov"] == 0 and got["sa"]["oov_rate"] == 0.0
+
+
+def test_source_overlap_exact_jaccard(spark, tmp_path):
+    sf = str(tmp_path)
+    _write_documents(
+        spark,
+        sf,
+        [
+            (1, "a b c d", "en", "s1", 7),   # trigrams {a b c, b c d}
+            (2, "a b c x", "en", "s2", 7),   # trigrams {a b c, b c x}
+            (3, "p q r", "en", "s3", 5),     # disjoint {p q r}
+        ],
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): (r["n_common"], r["jaccard"])
+        for r in source_overlap_jaccard(spark, sf).collect()
+    }
+    # only overlapping pairs emit rows; |A∩B|=1, |A∪B|=3
+    assert rows == {("s1", "s2"): (1, 1.0 / 3.0)}
+
+
+def test_prefix_dedup_flags_tail_edits(spark, tmp_path):
+    sf = str(tmp_path)
+    head = "x" * 150
+    _write_documents(
+        spark,
+        sf,
+        [
+            (1, head + "tail-one", "en", "s", 158),
+            (2, head + "tail-two", "en", "s", 158),  # same prefix, edited tail
+            (3, "exact dup", "en", "s", 9),
+            (4, "exact dup", "en", "s", 9),
+            (5, "unique", "en", "s", 6),
+        ],
+    )
+    got = {
+        r["keep_id"]: (r["n_docs"], r["n_full_variants"])
+        for r in dedup_prefix_hash_groups(spark, sf).collect()
+    }
+    assert got[1] == (2, 2)  # near-dup invisible to exact dedup: 2 variants
+    assert got[3] == (2, 1)  # true exact dup collapses to 1 variant
+    assert got[5] == (1, 1)
