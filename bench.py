@@ -79,6 +79,11 @@ HEADLINE = [
     "corpus_mix_resample",
     "events_peak_concurrency",
     "phrase_search_postings",
+    # round-6 wave 3: clustering, vocab audit, corpus overlap, prefix dedup
+    "embedding_kmeans_step",
+    "text_vocab_oov",
+    "source_overlap_jaccard",
+    "dedup_prefix_hash_groups",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
