@@ -2102,13 +2102,28 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     need no such treatment: the per-row left-to-right fold bit-matches
     the oracle's ``list_reduce``.
     """
+    e = load_table(spark, "embeddings", sf_dir)
+    return _lloyd_update(e, _kmeans_init_centroids(e))
+
+
+def _kmeans_init_centroids(e: DataFrame) -> DataFrame:
+    """Pinned init: the 8 lowest-id vectors, components widened to
+    double (exact) so every later iteration folds over double arrays."""
+    return e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cemb"),
+    )
+
+
+def _lloyd_assign(e: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Map-side argmin assignment against broadcast centroids: collapses
+    the centroid table to one cid-sorted struct array, broadcasts it,
+    and folds left-to-right with strict `<` so the lowest cid wins
+    distance ties. Zero shuffle on the corpus side."""
     from cql_xmlpipe_spark.functions.vectors import sqdist
 
-    e = load_table(spark, "embeddings", sf_dir)
-    cents = (
-        e.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
+    cents = cent_df.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cents")
     )
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "cands",
@@ -2123,7 +2138,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = F.struct(
         F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cid")
     )
-    assigned = scored.select(
+    return scored.select(
         F.aggregate(
             F.col("cands"),
             init,
@@ -2131,6 +2146,14 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )["cid"].alias("cluster_id"),
         F.col("embedding"),
     )
+
+
+def _lloyd_update(e: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Assign + centroid update: (cluster_id, dim, new_centroid,
+    n_members). The mean is a 1e-6 fixed-point integer sum (exact,
+    order-free) divided once in double — deterministic across engines
+    and partitionings."""
+    assigned = _lloyd_assign(e, cent_df)
     comp = assigned.select(
         "cluster_id", F.posexplode("embedding").alias("dim", "x")
     ).withColumn(
@@ -2141,6 +2164,17 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_centroid"
         ),
         F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _update_to_centroids(upd: DataFrame) -> DataFrame:
+    """Reshape an update result back into (cid, cemb double-array) rows,
+    components ordered by dim."""
+    return upd.groupBy(F.col("cluster_id").alias("cid")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "new_centroid"))),
+            lambda s: s["new_centroid"],
+        ).alias("cemb")
     )
 
 
@@ -2300,3 +2334,79 @@ def dedup_prefix_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.sha2("text", 256)).alias("n_full_variants"),
     )
+
+
+def _kmeans_iter_oracle(n_iter: int) -> str:
+    """Unrolled-CTE oracle for ``n_iter`` exact Lloyd iterations: the
+    fixed-point centroid means make every iteration's centroids
+    bit-identical across engines, so the whole loop stays hash-exact —
+    each iteration is the same scored/assigned/members/update block
+    chained on the previous centroid list."""
+
+    def fold_dist(emb: str, cemb: str) -> str:
+        return f"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len({emb}) + 1),
+            i -> (CAST({emb}[i] AS DOUBLE) - CAST({cemb}[i] AS DOUBLE))
+               * (CAST({emb}[i] AS DOUBLE) - CAST({cemb}[i] AS DOUBLE)))),
+          (a, b) -> a + b)"""
+
+    ctes = [
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb"
+        " FROM embeddings WHERE vec_id < 8)"
+    ]
+    for it in range(n_iter):
+        ctes.append(f"""s{it} AS (
+      SELECT e.vec_id, c.cid, {fold_dist('e.embedding', 'c.cemb')} AS dist
+      FROM embeddings e, c{it} c)""")
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM s{it})""")
+        ctes.append(f"""m{it} AS (
+      SELECT a.cid, e.embedding FROM a{it} a JOIN embeddings e USING (vec_id)
+      WHERE a.rn = 1)""")
+        ctes.append(f"""u{it} AS (
+      SELECT cid, i - 1 AS dim,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS val,
+             COUNT(*) AS n_members
+      FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS i, embedding
+            FROM m{it})
+      GROUP BY cid, i)""")
+        ctes.append(f"""c{it + 1} AS (
+      SELECT cid, list(val ORDER BY dim) AS cemb FROM u{it} GROUP BY cid)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cid AS cluster_id, CAST(dim AS INTEGER) AS dim,
+           val AS new_centroid, n_members
+    FROM u{n_iter - 1}"""
+    )
+
+
+@_q("embedding_kmeans_iter3", _kmeans_iter_oracle(3))
+def embedding_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact Lloyd iterations — the ITERATIVE algorithm shape
+    (loop-carried state, lineage truncation per round) under a
+    hash-exact oracle, which is only possible because each iteration's
+    centroid means are deterministic fixed-point values: iteration N's
+    distances fold over bit-identical centroids on both engines, so the
+    whole trajectory matches, not just one step. Memberships genuinely
+    move (e.g. cluster 0: 56 → 53 members at sf0.01), so the loop is
+    exercised, not decorative.
+
+    Scale shape per iteration: one broadcast of K centroid rows out,
+    one (cluster, dim) int64-partial shuffle back — the same pattern
+    MLlib's KMeans uses, expressed declaratively. The tiny centroid
+    table is ``localCheckpoint``ed each round (8 rows) so lineage stays
+    flat instead of exponentiating through nested broadcast subqueries —
+    the same device as the connected-components loop in
+    ``operators/dedup.py``. Cost is linear: one corpus pass per
+    iteration.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = _kmeans_init_centroids(e)
+    for _ in range(2):
+        cent = _update_to_centroids(_lloyd_update(e, cent)).localCheckpoint()
+    return _lloyd_update(e, cent)

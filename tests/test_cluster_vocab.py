@@ -13,6 +13,7 @@ import numpy as np
 
 from cql_xmlpipe_spark.plans.extensions import (
     dedup_prefix_hash_groups,
+    embedding_kmeans_iter3,
     embedding_kmeans_step,
     source_overlap_jaccard,
     text_vocab_oov,
@@ -60,6 +61,40 @@ def test_kmeans_step_matches_numpy_model(spark, tmp_path):
             mean, n = got[(cid, dim)]
             assert n == len(members)
             assert mean == want
+
+
+def test_kmeans_iter3_matches_numpy_trajectory(spark, tmp_path):
+    sf = str(tmp_path)
+    rng = np.random.default_rng(23)
+    vecs = [[float(np.float32(v)) for v in rng.normal(0, 1, 3)] for _ in range(30)]
+    _write_embeddings(spark, sf, [(i, v, 0) for i, v in enumerate(vecs)])
+
+    a = np.array(vecs, dtype=np.float64)
+    labels = list(range(8))  # original cids aligned with centroid rows;
+    cents = a[:8].copy()     # emptied clusters drop out between rounds
+    for _ in range(3):
+        d2 = ((a[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        dense = d2.argmin(axis=1)  # ties -> lowest row == lowest cid (sorted)
+        assign = np.array([labels[i] for i in dense])
+        new = {}
+        for cid in sorted(set(assign.tolist())):
+            m = a[assign == cid]
+            q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+            new[cid] = (q.sum(axis=0) / (len(m) * 1e6), len(m))
+        labels = sorted(new)
+        cents = np.array([new[c][0] for c in labels])
+
+    got = {
+        (r["cluster_id"], r["dim"]): (r["new_centroid"], r["n_members"])
+        for r in embedding_kmeans_iter3(spark, sf).collect()
+    }
+    assert {k[0] for k in got} == set(labels)
+    for cid in labels:
+        want_vec, want_n = new[cid]
+        for dim in range(3):
+            mean, n = got[(cid, dim)]
+            assert n == want_n
+            assert mean == want_vec[dim]
 
 
 def test_kmeans_distance_tie_prefers_lowest_cluster_id(spark, tmp_path):
