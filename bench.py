@@ -81,6 +81,7 @@ HEADLINE = [
     "phrase_search_postings",
     # round-6 wave 3: clustering, vocab audit, corpus overlap, prefix dedup
     "embedding_kmeans_step",
+    "embedding_kmeans_iter3",
     "text_vocab_oov",
     "source_overlap_jaccard",
     "dedup_prefix_hash_groups",
@@ -148,6 +149,12 @@ RECORDS = {
     "corpus_mix_resample": 0.864,
     "events_peak_concurrency": 1.416,
     "phrase_search_postings": 0.733,
+    # r6 wave-3 additions (single-run local figures, 2026-08-14)
+    "embedding_kmeans_step": 0.666,
+    "embedding_kmeans_iter3": 1.623,
+    "text_vocab_oov": 1.613,
+    "source_overlap_jaccard": 2.715,
+    "dedup_prefix_hash_groups": 0.366,
 }
 
 
