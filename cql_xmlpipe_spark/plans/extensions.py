@@ -2410,3 +2410,119 @@ def embedding_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):
         cent = _update_to_centroids(_lloyd_update(e, cent)).localCheckpoint()
     return _lloyd_update(e, cent)
+
+
+_DEGREE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(t.sh) AS sh
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+          FROM documents)
+      ) t
+      WHERE len(t.sh) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT id_a AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS v FROM pairs)
+      GROUP BY v)
+    SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY degree
+    UNION ALL
+    -- same banding miss-zone guard as _MINHASH_ORACLE: the LSH pair set
+    -- equals the exact pair set only outside J in [0.35, 0.85)
+    SELECT CAST(error('LSH miss zone occupied: ' || n || ' exact pairs with '
+                      || '0.35 <= J < 0.85; banded-LSH/oracle equivalence is '
+                      || 'no longer reliable for this corpus') AS BIGINT),
+           NULL
+    FROM (SELECT COUNT(*) AS n FROM pairs WHERE jaccard < 0.85) WHERE n > 0
+"""
+
+
+@_q("dedup_graph_degree", _DEGREE_ORACLE)
+def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph profile: the degree histogram of the verified
+    MinHash+LSH pair graph (how many documents have exactly N near
+    duplicates) — the shape checked before choosing a dedup survivor
+    policy (a long tail of high-degree nodes means clone FAMILIES, where
+    keep-first beats pairwise removal; isolated edges mean true pairs).
+
+    Scale shape: consumes the same banded-LSH pair stream as
+    ``dedup_cluster_assign`` (fixed-width key shuffles only), then two
+    map-side-combining aggregates over bare longs — degrees, then the
+    histogram. Documents with zero near-dups don't appear (no join
+    against the corpus needed)."""
+    pairs = DD.minhash_lsh_pairs_collapsed(
+        load_table(spark, "documents", sf_dir), threshold=0.35
+    )
+    ends = pairs.select(F.col("id_a").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("v"))
+    )
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_q(
+    "events_user_ewma",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           list_reduce(list_prepend(0.0::DOUBLE,
+             list(COALESCE(CAST(value AS DOUBLE), 0.0)
+                  ORDER BY epoch_us(ts), event_id)),
+             (acc, v) -> acc * 0.9 + v * 0.1) AS ewma_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted activity score per user (decay 0.9 per
+    event): the recency-weighted engagement metric behind churn scoring
+    and rate limiting. The interesting part is DETERMINISM: an EWMA is a
+    left fold over a float sequence, so the result depends on both
+    order and association — this plan pins a total order (event time,
+    then the unique event id) and folds left-to-right with single IEEE
+    ops per step (acc*0.9 + v*0.1), which bit-matches the oracle's
+    ``list_reduce`` over an identically-ordered ``list(... ORDER BY)``.
+    No pow()/exp() anywhere — libm functions are NOT bit-stable across
+    engines, repeated multiplication is.
+
+    Scale shape: one shuffle on user_id with the sequence collected
+    per user — state is bounded by a user's event count (the same bound
+    any sessionization carries); on an unbounded stream this becomes the
+    incremental form acc' = acc*0.9 + v*0.1 under
+    ``applyInPandasWithState`` (streaming/stateful.py), which needs no
+    collected sequence at all."""
+    e = load_table(spark, "events", sf_dir)
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("eid"),
+                    F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+    ewma = F.aggregate(
+        F.col("seq"),
+        F.lit(0.0),
+        lambda acc, s: acc * F.lit(0.9) + s["v"] * F.lit(0.1),
+    )
+    return seq.select(
+        "user_id", F.size("seq").alias("n_events"), ewma.alias("ewma_value")
+    )

@@ -172,3 +172,62 @@ def test_prefix_dedup_flags_tail_edits(spark, tmp_path):
     assert got[1] == (2, 2)  # near-dup invisible to exact dedup: 2 variants
     assert got[3] == (2, 1)  # true exact dup collapses to 1 variant
     assert got[5] == (1, 1)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+
+
+def test_user_ewma_fold_order_and_value(spark, tmp_path):
+    from datetime import datetime
+
+    from cql_xmlpipe_spark.plans.extensions import events_user_ewma
+
+    sf = str(tmp_path)
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    # user 1: values arrive out of id order; fold must follow (ts, eid)
+    _write_events(
+        spark,
+        sf,
+        [
+            (3, t(30), 1, "a", 4.0, "{}"),
+            (1, t(10), 1, "a", 1.0, "{}"),
+            (2, t(20), 1, "a", 2.0, "{}"),
+            (5, t(10), 2, "b", 7.0, "{}"),  # same ts as eid 4: eid breaks tie
+            (4, t(10), 2, "b", 5.0, "{}"),
+        ],
+    )
+    got = {r["user_id"]: r for r in events_user_ewma(spark, sf).collect()}
+    acc = 0.0
+    for v in (1.0, 2.0, 4.0):
+        acc = acc * 0.9 + v * 0.1
+    assert got[1]["n_events"] == 3 and got[1]["ewma_value"] == acc
+    acc2 = 0.0
+    for v in (5.0, 7.0):  # eid 4 before eid 5 at the tied timestamp
+        acc2 = acc2 * 0.9 + v * 0.1
+    assert got[2]["n_events"] == 2 and got[2]["ewma_value"] == acc2
+
+
+def test_graph_degree_on_clone_family(spark, tmp_path):
+    from cql_xmlpipe_spark.plans.extensions import dedup_graph_degree
+
+    sf = str(tmp_path)
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    _write_documents(
+        spark,
+        sf,
+        [
+            (1, fam, "en", "s", len(fam)),
+            (2, fam, "en", "s", len(fam)),
+            (3, fam, "en", "s", len(fam)),  # 3-clone family: degree 2 each
+            (4, "completely different text about spark plans", "en", "s", 44),
+        ],
+    )
+    got = {r["degree"]: r["n_docs"] for r in dedup_graph_degree(spark, sf).collect()}
+    assert got == {2: 3}  # three docs, each with two near-dups; doc 4 absent
