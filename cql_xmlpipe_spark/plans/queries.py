@@ -1997,6 +1997,63 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_user_profile_state",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           MAX(epoch_us(ts)) AS last_seen_us,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARBITRARY-STATE streaming API (``applyInPandasWithState``),
+    driver-visible: readStream → per-user running profile
+    (``streaming/stateful.py``) → availableNow into a memory sink. This
+    is the one streaming path the built-in windowed aggregates cannot
+    express — custom state schema, custom merge logic — previously
+    pytest-only. Determinism across trigger boundaries comes from the
+    state design: the value sum accumulates PER-ROW integer cents
+    (pandas round() is half-even; the oracle says round_even), last-seen
+    is a max, and event types a set — all order- and batch-independent.
+    Each user may emit once per micro-batch it appears in (update mode),
+    so the gate takes the FINAL emission per user: n_events grows
+    monotonically, making max(n_events) the last state — a deterministic
+    selector, not an arrival-order survivor. At scale state is O(users)
+    on the key-partitioned executors and the memory sink swaps for a
+    compacted topic/table keyed by user."""
+    from pyspark.sql import Window
+
+    from cql_xmlpipe_spark.streaming.sources import stream_events
+    from cql_xmlpipe_spark.streaming.stateful import running_user_stats
+
+    global _STREAM_TWIN_SEQ
+    _STREAM_TWIN_SEQ += 1
+    name = f"streaming_user_profile_{_STREAM_TWIN_SEQ}"
+    profiles = running_user_stats(stream_events(spark, sf_dir))
+    q = (
+        profiles.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stateful profile twin did not finish in 300s")
+    finally:
+        q.stop()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_q(
     "events_sliding_window",
     f"""
     WITH e AS (
