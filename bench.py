@@ -85,6 +85,9 @@ HEADLINE = [
     "text_vocab_oov",
     "source_overlap_jaccard",
     "dedup_prefix_hash_groups",
+    "dedup_graph_degree",
+    "events_user_ewma",
+    "streaming_user_profile_state",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
@@ -155,6 +158,9 @@ RECORDS = {
     "text_vocab_oov": 1.613,
     "source_overlap_jaccard": 2.715,
     "dedup_prefix_hash_groups": 0.366,
+    "dedup_graph_degree": 5.141,
+    "events_user_ewma": 0.459,
+    "streaming_user_profile_state": 2.034,
 }
 
 
