@@ -2530,3 +2530,152 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", F.size("seq").alias("n_events"), ewma.alias("ewma_value")
     )
+
+
+@_q(
+    "events_session_paths",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+                  OR LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, us, event_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM t),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM s GROUP BY user_id, session_id)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) <= 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 20 most frequent within-session event-type
+    paths (10-minute-gap sessions, same rule as ``events_sessionize``),
+    each session rendered as an ordered 'type>type>...' string. The
+    product question behind funnel design: which journeys actually occur.
+
+    Determinism: the path string is built over the pinned (ts, event_id)
+    total order (collect → array_sort → join, matching the oracle's
+    ``string_agg(... ORDER BY)``), and the top-20 tie-breaks on the path
+    string itself.
+
+    Scale shape: sessionization is one hash partitioning by user (two
+    window functions over it, no extra exchange); per-session state is
+    one collected event-type list bounded by session length — the same
+    bound sessionization itself carries; path frequencies are a
+    map-side-combining aggregate on the path string and the top-20 is a
+    TakeOrdered, never a global sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flag = F.when(gap.isNull() | (gap > 600_000_000), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+_COOC_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE}),
+    dt AS (
+      SELECT DISTINCT doc_id, unnest(toks) AS term FROM w),
+    cnt AS (SELECT term, COUNT(*) AS c FROM dt GROUP BY term),
+    vocab AS (
+      SELECT term, c FROM cnt
+      QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, term) <= 64),
+    dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs_both
+      FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term)
+    SELECT p.term_a, p.term_b, CAST(p.n_docs_both AS BIGINT) AS n_docs_both,
+           CAST(nd.n * p.n_docs_both AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs p, nd
+    JOIN vocab ca ON ca.term = p.term_a
+    JOIN vocab cb ON cb.term = p.term_b
+    QUALIFY ROW_NUMBER() OVER (ORDER BY p.n_docs_both DESC, p.term_a, p.term_b)
+      <= 50
+"""
+
+
+@_q("text_term_cooccurrence", _COOC_ORACLE)
+def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: the 50 strongest term co-occurrences at the
+    document level, with LIFT = N·c_ab / (c_a·c_b) — the PMI family
+    WITHOUT the logarithm, because libm log is not bit-stable across
+    engines while integer products and one IEEE division are. lift > 1
+    means the pair co-occurs more than independence predicts.
+
+    Scale shape: candidate terms are capped to the top-64 vocabulary
+    FIRST (count DESC, term ASC — deterministic), broadcast, and
+    semi-joined onto the per-doc distinct-term stream, so the per-doc
+    self-join is bounded by 64² pairs per document regardless of corpus
+    vocabulary; pair counts aggregate with map-side combine, the N and
+    per-term counts arrive by broadcast, and the top-50 is a
+    TakeOrdered."""
+    d = load_table(spark, "documents", sf_dir)
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.words(F.col("text")))).alias("term"),
+    )
+    cnt = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.orderBy(F.col("c").desc(), "term").limit(64)
+    dtv = dt.join(F.broadcast(vocab.select("term")), "term").persist()
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    b = dtv.select(F.col("doc_id").alias("d2"), F.col("term").alias("term_b"))
+    pairs = (
+        dtv.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("term") < F.col("term_b")))
+        .groupBy(F.col("term").alias("term_a"), "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+    )
+    ca = vocab.select(F.col("term").alias("term_a"), F.col("c").alias("ca"))
+    cb = vocab.select(F.col("term").alias("term_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "term_a")
+        .join(F.broadcast(cb), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "n_docs_both",
+            (
+                (F.col("n") * F.col("n_docs_both")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_docs_both").desc(), "term_a", "term_b")
+        .limit(50)
+    )
