@@ -2679,3 +2679,88 @@ def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs_both").desc(), "term_a", "term_b")
         .limit(50)
     )
+
+
+_SURVIVOR_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, list_distinct(t.sh) AS sh
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        FROM ({_TOKS_CTE})
+      ) t
+      WHERE len(t.sh) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.w AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.v
+    ),
+    lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM lab l JOIN documents d USING (doc_id))
+    SELECT cluster_id, doc_id AS survivor_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS survivor_n_chars
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    -- same banding miss-zone guard as the cluster oracle
+    SELECT CAST(error('LSH miss zone occupied: ' || n || ' exact pairs with '
+                      || '0.5 <= J < 0.85; LSH-fed clusters may diverge from '
+                      || 'the exact-pair oracle') AS BIGINT), NULL, NULL, NULL
+    FROM (SELECT COUNT(*) AS n FROM pairs WHERE jaccard < 0.85) WHERE n > 0
+"""
+
+
+@_q("dedup_survivor_selection", _SURVIVOR_ORACLE)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST step of the dedup pipeline, closing the arc the other
+    operators open (pairs → clusters → THIS): pick one survivor per
+    near-dup cluster under an explicit policy — longest document wins,
+    ties to the lowest doc_id — and report it with the cluster size.
+    Keep-longest is the common LLM-corpus policy (truncated clones lose
+    to their fullest copy); the policy is one ORDER BY away from
+    keep-first or keep-highest-quality.
+
+    Scale shape: reuses the banded-LSH + collapsed connected components
+    stream (fixed-width shuffles, |distinct-texts| loop state), joins the
+    per-doc length by id, and selects per-cluster winners with one
+    ROW_NUMBER window over the cluster partitioning — no new corpus-sized
+    state. Singleton docs survive trivially (cluster of one)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    cc = DD.cluster_assign_collapsed(d, threshold=0.5, k=3)
+    joined = cc.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "cluster_size",
+            F.col("n_chars").cast("long").alias("survivor_n_chars"),
+        )
+    )

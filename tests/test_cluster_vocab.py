@@ -231,3 +231,27 @@ def test_graph_degree_on_clone_family(spark, tmp_path):
     )
     got = {r["degree"]: r["n_docs"] for r in dedup_graph_degree(spark, sf).collect()}
     assert got == {2: 3}  # three docs, each with two near-dups; doc 4 absent
+
+
+def test_survivor_selection_keeps_longest(spark, tmp_path):
+    from cql_xmlpipe_spark.plans.extensions import dedup_survivor_selection
+
+    sf = str(tmp_path)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    _write_documents(
+        spark,
+        sf,
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base + " extra tail words", "en", "s", len(base) + 17),
+            (3, base, "en", "s", len(base)),  # ties with 1 on length -> id 1
+            (4, "unrelated text entirely different topic", "en", "s", 40),
+        ],
+    )
+    got = {
+        r["cluster_id"]: (r["survivor_doc_id"], r["cluster_size"])
+        for r in dedup_survivor_selection(spark, sf).collect()
+    }
+    # docs 1-3 cluster (near-dups); longest (doc 2) survives
+    assert got[1] == (2, 3)
+    assert got[4] == (4, 1)  # singleton survives itself
