@@ -88,6 +88,10 @@ HEADLINE = [
     "dedup_graph_degree",
     "events_user_ewma",
     "streaming_user_profile_state",
+    # round-6 wave 4: journey mining, association lift, dedup survivors
+    "events_session_paths",
+    "text_term_cooccurrence",
+    "dedup_survivor_selection",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
@@ -161,6 +165,10 @@ RECORDS = {
     "dedup_graph_degree": 5.141,
     "events_user_ewma": 0.459,
     "streaming_user_profile_state": 2.034,
+    # r6 wave-4 additions (single-run local figures, 2026-08-14)
+    "events_session_paths": 2.393,
+    "text_term_cooccurrence": 2.485,
+    "dedup_survivor_selection": 10.477,
 }
 
 
