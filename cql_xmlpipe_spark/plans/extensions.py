@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from cql_xmlpipe_spark.functions import text as TX
 from cql_xmlpipe_spark.operators import dedup as DD
 from cql_xmlpipe_spark.operators.similarity import brute_force_topk, lsh_topk
-from cql_xmlpipe_spark.plans.queries import _q, dsum
+from cql_xmlpipe_spark.plans.queries import DEC, _q, dsum
 from cql_xmlpipe_spark.sources.registry import load_table
 
 # ---------------------------------------------------------------------------
@@ -2763,4 +2763,135 @@ def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             F.col("n_chars").cast("long").alias("survivor_n_chars"),
         )
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ",".join(f"'{s}'" for s in stops)
+            + "], x)))"
+        )
+        for lang, stops in TX.LANG_STOPWORDS.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang AS declared_lang,
+             CASE
+               WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+                    AND {hits['en']} >= {hits['es']} THEN 'en'
+               WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']}
+                    THEN 'de'
+               WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+               ELSE 'es'
+             END AS predicted_lang
+      FROM t)
+    SELECT declared_lang, predicted_lang, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) /
+             SUM(COUNT(*)) OVER (PARTITION BY declared_lang) AS share_of_declared
+    FROM p GROUP BY declared_lang, predicted_lang
+    """
+
+
+@_q("text_lang_confusion", _lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-quality audit: the confusion matrix between each
+    document's DECLARED language tag and the stopword-heuristic
+    prediction (``text_langid_heuristic``'s rule), with each cell's
+    share of its declared row — the check that catches mislabeled
+    corpora before per-language processing trusts the tag. Disagreement
+    cells are the re-review queue.
+
+    Scale shape: the per-doc prediction is pure Column arithmetic on the
+    token array (no shuffle), the matrix is one map-side-combining
+    aggregate over (declared, predicted) — at most |langs|² cells — and
+    the row shares reuse the same tiny partitioning."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        F.col("lang").alias("declared_lang"), TX.words(F.col("text")).alias("toks")
+    )
+    s = {k: TX.stopword_hits(F.col("toks"), v) for k, v in TX.LANG_STOPWORDS.items()}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en"
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    cells = (
+        base.select("declared_lang", predicted.alias("predicted_lang"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "share_of_declared"
+        ),
+    )
+
+
+@_q(
+    "events_value_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mean,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS ex2
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mean) / sqrt(s.ex2 - s.mean * s.mean) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS((e.value - s.mean) / sqrt(s.ex2 - s.mean * s.mean)) >= 2.5
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits ≥2.5σ from
+    their type's mean — the monitoring primitive behind alerting and
+    fraud triage. The statistical moments are exact and ENGINE-STABLE:
+    sums accumulate in DECIMAL (order-free), hop through VARCHAR to
+    double (correctly-rounded strtod on both engines — the q8 lesson in
+    BASELINE.md), and every following step (mean, E[x²]−mean², sqrt,
+    the z division, the 2.5 threshold compare) is a single
+    correctly-rounded IEEE op — so even boundary events classify
+    identically on both engines, with no tolerance anywhere.
+
+    Scale shape: one map-side-combining aggregate produces the per-type
+    moments (|types| rows), which BROADCAST back onto the scan for a
+    shuffle-free filter — the two-pass shape exact z-scores force (a
+    one-pass approximation would trade exactness); at 100 TB both
+    passes are full scans but neither shuffles the event stream."""
+    e = load_table(spark, "events", sf_dir)
+    v = F.col("value").cast(DEC)
+    s = e.groupBy("event_type").agg(
+        (F.sum(v).cast("string").cast("double") / F.count(F.lit(1))).alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast(DEC))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("ex2"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(
+        F.col("ex2") - F.col("mean") * F.col("mean")
+    )
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "event_type", "value", "z")
     )
