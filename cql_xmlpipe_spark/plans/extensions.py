@@ -2895,3 +2895,113 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 2.5)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+@_q(
+    "events_type_transitions",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE) /
+             SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p_next
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (prev → next) event-type pair, the transition count and the
+    row-normalized probability — the model behind next-action
+    prediction and the statistical summary of the session-path operator
+    (paths enumerate journeys; this gives their one-step dynamics).
+
+    Determinism: the lag follows the pinned (ts, event_id) total order;
+    the probability is one division of exact counts. Scale shape: ONE
+    hash partitioning by user for the lag, then a map-side-combining
+    aggregate onto at most |types|² cells; row normalization reuses the
+    tiny cell partitioning."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = t.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wn)).alias(
+            "p_next"
+        ),
+    )
+
+
+@_q(
+    "events_interarrival_histogram",
+    """
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CASE WHEN gap_us < 1000000 THEN '<1s'
+                  WHEN gap_us < 60000000 THEN '1s-1m'
+                  WHEN gap_us < 600000000 THEN '1m-10m'
+                  WHEN gap_us < 3600000000 THEN '10m-1h'
+                  WHEN gap_us < 86400000000 THEN '1h-1d'
+                  ELSE '>=1d' END AS gap_bucket,
+             gap_us
+      FROM t WHERE gap_us IS NOT NULL)
+    SELECT event_type, gap_bucket, COUNT(*) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM b GROUP BY event_type, gap_bucket
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile: per-user inter-event gaps bucketed into
+    human-scale bands per event type — the traffic-shape check behind
+    sessionization thresholds (the 10-minute gap rule used by
+    ``events_sessionize`` should sit in a histogram valley, and this
+    measures it) and rate-limit tuning. Band edges are integer
+    microsecond comparisons, not float math — bit-stable by
+    construction.
+
+    Scale shape: the same single per-user hash partitioning as every
+    sequence operator here, then a map-side-combining aggregate onto
+    |types|×6 cells."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = F.col("us") - F.lag("us").over(w)
+    gaps = e.select("event_type", g.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    bucket = (
+        F.when(F.col("gap_us") < 1_000_000, "<1s")
+        .when(F.col("gap_us") < 60_000_000, "1s-1m")
+        .when(F.col("gap_us") < 600_000_000, "1m-10m")
+        .when(F.col("gap_us") < 3_600_000_000, "10m-1h")
+        .when(F.col("gap_us") < 86_400_000_000, "1h-1d")
+        .otherwise(">=1d")
+    )
+    return gaps.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
