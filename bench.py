@@ -92,6 +92,11 @@ HEADLINE = [
     "events_session_paths",
     "text_term_cooccurrence",
     "dedup_survivor_selection",
+    # round-6 wave 5: metadata audit, anomaly detection, sequence stats
+    "text_lang_confusion",
+    "events_value_outliers",
+    "events_type_transitions",
+    "events_interarrival_histogram",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
@@ -169,6 +174,11 @@ RECORDS = {
     "events_session_paths": 2.393,
     "text_term_cooccurrence": 2.485,
     "dedup_survivor_selection": 10.477,
+    # r6 wave-5 additions (single-run local figures, 2026-08-14)
+    "text_lang_confusion": 0.88,
+    "events_value_outliers": 0.72,
+    "events_type_transitions": 0.67,
+    "events_interarrival_histogram": 0.686,
 }
 
 
