@@ -68,6 +68,13 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "window_top3_orders_per_customer",
         "dedup_minhash_lsh",
         "corpus_mix_resample",
+        # round-6 additions whose determinism claims are exactly this
+        # property: fixed-point centroid means, left-fold EWMA, decimal
+        # z-score moments, ordered path strings
+        "embedding_kmeans_iter3",
+        "events_user_ewma",
+        "events_value_outliers",
+        "events_session_paths",
     ]
     sf = "/root/testdata/sf0.01"
     before = spark.conf.get("spark.sql.shuffle.partitions")
