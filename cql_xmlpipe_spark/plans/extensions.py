@@ -3005,3 +3005,42 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@_q(
+    "variant_extraction_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extraction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` converts the JSON string column to the binary variant
+    encoding ONCE, then ``variant_get`` extracts typed paths without
+    re-parsing — the engine-native answer to repeated
+    ``get_json_object`` calls, which re-parse the string per extraction
+    (``json_extraction_events`` keeps the string-parse twin for
+    comparison; same oracle semantics). At warehouse scale the variant
+    column is what you'd persist (shredded parquet), making every later
+    path extraction a columnar read instead of a parse.
+    """
+    e = load_table(spark, "events", sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
