@@ -661,3 +661,96 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cos"),
         bucketed,
     )
+
+
+def _lsh_prep(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH staging for one side of a probe join: persisted
+    shingle-hash sets plus banded (id, band, bucket) keys — the same
+    signature math as :func:`minhash_lsh_pairs`, factored so asymmetric
+    (probe × index) joins can stage each side independently."""
+    sets = shingle_hash_sets(df, text_col, id_col, k).persist()
+    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
+    ).persist()
+    return sets, buckets
+
+
+def incremental_probe_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs between a NEW batch and
+    an EXISTING corpus, without ever forming corpus×corpus (or
+    batch×batch) candidates — the shape a production crawl pipeline
+    runs on every ingest, where the corpus side is orders of magnitude
+    larger and its self-pairs were already resolved.
+
+    Both sides stage independently through the same banded-LSH signature
+    math as :func:`minhash_lsh_pairs`; the candidate join is
+    increment-buckets × corpus-buckets on (band, bucket) — probe-side
+    skew is AQE-split, and at warehouse scale the corpus side's buckets
+    are a precomputed, bucketed-by-(band,bucket) table so only the small
+    increment is signed per ingest. Verification is the same id-join +
+    exactness-preserving length filter + true-Jaccard check.
+
+    Returns (inc_id, corpus_id, jaccard) with jaccard >= threshold.
+    """
+    i_sets, i_buckets = _lsh_prep(increment, text_col, id_col, k)
+    c_sets, c_buckets = _lsh_prep(corpus, text_col, id_col, k)
+    cands = (
+        i_buckets.select(F.col(id_col).alias("inc_id"), "band", "bucket")
+        .join(
+            c_buckets.select(F.col(id_col).alias("corpus_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("inc_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            i_sets.select(F.col(id_col).alias("inc_id"), F.col("hs").alias("sh_a")),
+            "inc_id",
+        )
+        .join(
+            c_sets.select(
+                F.col(id_col).alias("corpus_id"), F.col("hs").alias("sh_b")
+            ),
+            "corpus_id",
+        )
+        .filter(
+            (F.size("sh_a") >= threshold * F.size("sh_b"))
+            & (F.size("sh_b") >= threshold * F.size("sh_a"))
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return _track_cached(
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("inc_id", "corpus_id", "jaccard"),
+        i_sets,
+        i_buckets,
+        c_sets,
+        c_buckets,
+    )

@@ -3044,3 +3044,54 @@ def variant_extraction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_INCREMENTAL_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(t.sh) AS sh
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+          FROM documents)
+      ) t
+      WHERE len(t.sh) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS inc_id, b.doc_id AS corpus_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM toks a JOIN toks b
+        ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35)
+    SELECT inc_id, corpus_id, jaccard FROM pairs
+    UNION ALL
+    SELECT CAST(error('LSH miss zone occupied: ' || n || ' exact pairs with '
+                      || '0.35 <= J < 0.85; banded-LSH/oracle equivalence is '
+                      || 'no longer reliable for this corpus') AS BIGINT),
+           NULL, NULL
+    FROM (SELECT COUNT(*) AS n FROM pairs WHERE jaccard < 0.85) WHERE n > 0
+"""
+
+
+@_q("dedup_incremental_probe", _INCREMENTAL_ORACLE)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup, gate-visible: documents split into an
+    existing corpus (doc_id % 5 != 0) and a new batch (doc_id % 5 == 0),
+    and the operator finds every near-dup (J >= 0.35) the BATCH has
+    against the CORPUS — without forming corpus×corpus or batch×batch
+    candidates (``operators/dedup.py::incremental_probe_pairs``). This
+    is the shape every recurring crawl runs: the corpus's own pairs were
+    resolved in prior ingests, so only probe-side work should scale with
+    the batch. The oracle is the exact cross-set pair list under the
+    same miss-zone guard as the symmetric operators."""
+    d = load_table(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    increment = d.filter(F.col("doc_id") % 5 == 0)
+    return DD.incremental_probe_pairs(corpus, increment, threshold=0.35)

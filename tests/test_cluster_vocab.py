@@ -255,3 +255,32 @@ def test_survivor_selection_keeps_longest(spark, tmp_path):
     # docs 1-3 cluster (near-dups); longest (doc 2) survives
     assert got[1] == (2, 3)
     assert got[4] == (4, 1)  # singleton survives itself
+
+
+def test_incremental_probe_only_cross_set_pairs(spark, tmp_path):
+    from cql_xmlpipe_spark.plans.extensions import dedup_incremental_probe
+
+    sf = str(tmp_path)
+    a = "one two three four five six seven eight nine ten"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    _write_documents(
+        spark,
+        sf,
+        [
+            (1, a, "en", "s", len(a)),               # corpus
+            (5, a, "en", "s", len(a)),               # increment: dup of 1
+            (2, b, "en", "s", len(b)),               # corpus
+            (10, b + " tail", "en", "s", len(b) + 5),  # increment: near-dup of 2
+            (15, a, "en", "s", len(a)),              # increment: dup of 1 AND 5
+            (3, "totally unrelated content here", "en", "s", 30),  # corpus
+        ],
+    )
+    got = {
+        (r["inc_id"], r["corpus_id"]): r["jaccard"]
+        for r in dedup_incremental_probe(spark, sf).collect()
+    }
+    # cross-set pairs only: (5,1), (15,1), (10,2) — never (15,5) (both
+    # increment) and nothing for corpus-only doc 3
+    assert set(got) == {(5, 1), (15, 1), (10, 2)}
+    assert got[(5, 1)] == 1.0 and got[(15, 1)] == 1.0
+    assert 0.35 <= got[(10, 2)] < 1.0
