@@ -97,6 +97,9 @@ HEADLINE = [
     "events_value_outliers",
     "events_type_transitions",
     "events_interarrival_histogram",
+    # round-6 wave 6: variant extraction, incremental-ingest dedup
+    "variant_extraction_events",
+    "dedup_incremental_probe",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
@@ -179,6 +182,9 @@ RECORDS = {
     "events_value_outliers": 0.72,
     "events_type_transitions": 0.67,
     "events_interarrival_histogram": 0.686,
+    # r6 wave-6 additions (single-run local figures, 2026-08-14)
+    "variant_extraction_events": 0.731,
+    "dedup_incremental_probe": 4.84,
 }
 
 
