@@ -754,3 +754,86 @@ def incremental_probe_pairs(
         c_sets,
         c_buckets,
     )
+
+
+def ngram_jaccard_pairs_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with exact-duplicate collapse — the
+    same staging that made the minhash family volume-flat on clone-heavy
+    corpora, applied to the exact PPJoin verifier. IDENTICAL output by
+    the same argument: within a (block, text) group every member pair is
+    an exact pair at J = 1.0 (same shingle set) PROVIDED the text has at
+    least one shingle (zero-shingle docs never pair in the uncollapsed
+    formulation either), and any cross-group member pair has exactly its
+    representatives' Jaccard and block fate, so rep pairs expand through
+    the membership map unchanged. The collapse key includes the BLOCK:
+    identical texts under different blocks must stay unpaired, exactly
+    as blocking dictates uncollapsed.
+
+    Why it matters: the PPJoin inverted index is super-linear in clone
+    count (every clone re-enters every posting); over representatives it
+    is super-linear only in *distinct-text* near-dup density — measured
+    14.1 s → 6.4 s at the 10× decade smoke and 6.3 s at the 100× century
+    smoke (volume-FLAT on clone replication; previously the century smoke
+    excluded this operator), for ~2 s extra staging at sf0.1 — the same
+    trade the minhash family made."""
+    th = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.sha2(F.col(text_col), 256).alias("_th"),
+    ).persist()
+    reps = th.groupBy("block", "_th").agg(F.min(id_col).alias("rep"))
+    mem = th.join(reps, ["block", "_th"]).select(F.col(id_col), "block", "rep").persist()
+    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
+    # persist: rep_docs feeds the PPJoin AND the eligibility filter; the
+    # within/cross/union branches of ONE action would otherwise recompute
+    # the corpus semi-join per uncached reference (measured 52 s vs 19 s
+    # at the 10x smoke before these pins)
+    rep_docs = df.join(rep_ids, id_col, "left_semi").persist()
+    rep_pairs = ngram_jaccard_pairs(
+        rep_docs, text_col, id_col, block_col, threshold, k
+    )
+    # eligibility: groups whose text yields >= 1 shingle (cheap expression
+    # filter on the rep docs — no pairing work); persisted because em is
+    # referenced by both sides of the within self-join
+    eligible = rep_docs.filter(
+        F.size(shingles(words(F.col(text_col)), k)) > 0
+    ).select(F.col(id_col).alias("rep")).persist()
+    em = mem.join(eligible, "rep")
+    within = (
+        em.select("rep", F.col(id_col).alias("ma"))
+        .join(em.select("rep", F.col(id_col).alias("mb")), "rep")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id_a"),
+            F.col("mb").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col(id_col).alias("ma")), "id_a"
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col(id_col).alias("mb")), "id_b"
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return _track_cached(
+        within.unionByName(cross),
+        th,
+        mem,
+        rep_docs,
+        eligible,
+        *getattr(rep_pairs, "_xmlpipe_cached", []),
+    )

