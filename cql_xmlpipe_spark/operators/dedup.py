@@ -158,6 +158,35 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_sigs(sets: DataFrame, id_col: str) -> DataFrame:
+    """(id, mh_0..mh_{N_MINHASH-1}) from a shingle-hash-set projection —
+    THE single definition of the signature math (seeded xxhash64 re-hash,
+    fused min-aggregates); both the symmetric self-join path and the
+    asymmetric incremental-probe path build on this so the banding scheme
+    can never silently diverge between them."""
+    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def _band_keys():
+    """The banded bucket-key array over mh_* columns — the single
+    definition of the N_BANDS × rows_per_band layout (pairs with
+    :func:`_minhash_sigs`; change banding math here and only here)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    return F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -187,24 +216,12 @@ def minhash_lsh_pairs(
     caller_sets = sets is not None
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k).persist()
-    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
-    ]
     # persist: the banded buckets feed BOTH sides of the candidate
     # self-join; without this the 64-min aggregation executes twice
     # (measured 6× wall at sf0.1). One row per doc, 65 longs — tiny.
-    sigs = exploded.groupBy(id_col).agg(*aggs).persist()
-    rows_per_band = N_MINHASH // N_BANDS
-    band_keys = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(N_BANDS)
-        ]
-    )
+    sigs = _minhash_sigs(sets, id_col).persist()
     buckets = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
+        F.col(id_col), F.posexplode(_band_keys()).alias("band", "bucket")
     )
     cands = (
         buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -669,26 +686,15 @@ def _lsh_prep(
     """Shared LSH staging for one side of a probe join: persisted
     shingle-hash sets plus banded (id, band, bucket) keys — the same
     signature math as :func:`minhash_lsh_pairs`, factored so asymmetric
-    (probe × index) joins can stage each side independently."""
+    (probe × index) joins can stage each side independently. Signature
+    and banding math are :func:`_minhash_sigs` + :func:`_band_keys` —
+    shared with :func:`minhash_lsh_pairs`, one definition for both."""
     sets = shingle_hash_sets(df, text_col, id_col, k).persist()
-    exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
-    ]
-    sigs = exploded.groupBy(id_col).agg(*aggs)
-    rows_per_band = N_MINHASH // N_BANDS
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-            for b in range(N_BANDS)
-        ]
+    buckets = (
+        _minhash_sigs(sets, id_col)
+        .select(F.col(id_col), F.posexplode(_band_keys()).alias("band", "bucket"))
+        .persist()
     )
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
-    ).persist()
     return sets, buckets
 
 
@@ -705,6 +711,14 @@ def incremental_probe_pairs(
     batch×batch) candidates — the shape a production crawl pipeline
     runs on every ingest, where the corpus side is orders of magnitude
     larger and its self-pairs were already resolved.
+
+    Precondition: ``increment`` and ``corpus`` are DISJOINT id sets (the
+    increment has not yet been appended to the corpus — the normal
+    ingest ordering). Identity pairs (inc_id == corpus_id) are filtered
+    defensively below, but a genuinely overlapping document (same text
+    under two ids present on both sides) will legitimately pair with
+    itself's twin — callers who re-probe an already-merged batch must
+    anti-join the increment out of the corpus first.
 
     Both sides stage independently through the same banded-LSH signature
     math as :func:`minhash_lsh_pairs`; the candidate join is
@@ -724,6 +738,9 @@ def incremental_probe_pairs(
             c_buckets.select(F.col(id_col).alias("corpus_id"), "band", "bucket"),
             ["band", "bucket"],
         )
+        # defensive: never emit (x, x) even if a caller violates the
+        # disjointness precondition documented above
+        .filter(F.col("inc_id") != F.col("corpus_id"))
         .select("inc_id", "corpus_id")
         .distinct()
     )

@@ -52,8 +52,10 @@ def _update_user(
     for pdf in batches:
         n += len(pdf)
         # per-ROW cents, then integer sum: order- and batching-independent
-        # (summing doubles first would tie the result to trigger boundaries)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # (summing doubles first would tie the result to trigger
+        # boundaries). dropna first — SQL SUM skips NULLs, and the int64
+        # cast would raise on NaN instead of diverging loudly.
+        cents += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
         ts_us = (pdf["ts"].astype("int64") // 1000).max()
         last_us = max(last_us, int(ts_us))
         types.update(pdf["event_type"].dropna().tolist())
