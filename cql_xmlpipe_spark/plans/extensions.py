@@ -2486,54 +2486,121 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+#: Segment size of the EWMA fold: the largest array any plan node
+#: materializes per (user, segment) group. 32 keeps per-task state tiny
+#: AND guarantees the testdata corpus (45-99 events/user) exercises the
+#: multi-segment combine path in the gate, not just in pytest. At a
+#: 10⁹-event hot user the second level holds n/32 segment structs —
+#: raise the segment size (or apply the same segmentation recursively;
+#: the affine maps compose associatively) before that becomes hot.
+_EWMA_SEG = 32
+
+
 @_q(
     "events_user_ewma",
-    """
-    SELECT user_id, COUNT(*) AS n_events,
-           list_reduce(list_prepend(0.0::DOUBLE,
-             list(COALESCE(CAST(value AS DOUBLE), 0.0)
-                  ORDER BY epoch_us(ts), event_id)),
-             (acc, v) -> acc * 0.9 + v * 0.1) AS ewma_value
-    FROM events GROUP BY user_id
+    f"""
+    WITH r AS (
+      SELECT user_id,
+             COALESCE(CAST(value AS DOUBLE), 0.0) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) - 1 AS rn
+      FROM events),
+    seg AS (
+      SELECT user_id, rn // {_EWMA_SEG} AS seg,
+             COUNT(*) AS n,
+             list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY rn)),
+                         (acc, x) -> acc * 0.9 + x * 0.1) AS partial,
+             list_reduce(list_prepend(1.0::DOUBLE, list(v ORDER BY rn)),
+                         (acc, x) -> acc * 0.9) AS p9
+      FROM r GROUP BY user_id, rn // {_EWMA_SEG})
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           struct_extract(list_reduce(
+               list_prepend(struct_pack(p := 1.0::DOUBLE, q := 0.0::DOUBLE),
+                            list(struct_pack(p := p9, q := partial)
+                                 ORDER BY seg)),
+               (acc, s) -> struct_pack(p := acc.p * s.p,
+                                       q := acc.q * s.p + s.q)),
+             'q') AS ewma_value
+    FROM seg GROUP BY user_id
     """,
 )
 def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted activity score per user (decay 0.9 per
-    event): the recency-weighted engagement metric behind churn scoring
-    and rate limiting. The interesting part is DETERMINISM: an EWMA is a
-    left fold over a float sequence, so the result depends on both
-    order and association — this plan pins a total order (event time,
-    then the unique event id) and folds left-to-right with single IEEE
-    ops per step (acc*0.9 + v*0.1), which bit-matches the oracle's
-    ``list_reduce`` over an identically-ordered ``list(... ORDER BY)``.
-    No pow()/exp() anywhere — libm functions are NOT bit-stable across
-    engines, repeated multiplication is.
+    event) via a SEGMENTED fold — the scale-safe association. A straight
+    EWMA fold needs the user's whole history in order; collecting it as
+    one array value ties per-task memory to the hottest user (a 10⁹-event
+    user at 100 TB is one un-spillable array → executor OOM). Instead:
 
-    Scale shape: one shuffle on user_id with the sequence collected
-    per user — state is bounded by a user's event count (the same bound
-    any sessionization carries); on an unbounded stream this becomes the
-    incremental form acc' = acc*0.9 + v*0.1 under
-    ``applyInPandasWithState`` (streaming/stateful.py), which needs no
-    collected sequence at all."""
+    * rank events per user (window ROW_NUMBER — WindowExec buffers
+      spill to disk, unlike a collect_list array value, so the per-user
+      total order costs bounded memory);
+    * fold fixed-size segments of ``_EWMA_SEG`` events independently —
+      each segment yields the affine map x → p·x + q (p = 0.9ⁿ by
+      repeated multiplication — no libm pow(), which is not bit-stable
+      across engines; q = the fold from 0), so per-group state is ≤
+      ``_EWMA_SEG`` structs (testdata users carry 45-99 events, so the
+      gate runs REAL multi-segment combines, not a degenerate 1-segment
+      case);
+    * compose the segment maps in order with the affine monoid
+      (p, q)∘(p', q') = (p·p', q·p' + q') and read the final q —
+      exactly the full fold in real arithmetic, and bit-identical to
+      the oracle because both engines run the same IEEE op sequence
+      (the {1, 0} identity init is float-exact: 1.0·p is p, 0.0·p + q
+      is q for the p > 0, non-negative-zero q this fold produces).
+
+    DETERMINISM still holds: the order is pinned by (event time, unique
+    event id) and every step is single IEEE ops. On an unbounded stream
+    this becomes the incremental acc' = acc·0.9 + v·0.1 under
+    ``applyInPandasWithState`` (streaming/stateful.py)."""
+    from pyspark.sql import Window as W
+
     e = load_table(spark, "events", sf_dir)
-    seq = e.groupBy("user_id").agg(
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    segs = (
+        r.withColumn("seg", F.expr(f"rn div {_EWMA_SEG}"))
+        .groupBy("user_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("rn").alias("r"), F.col("v").alias("v"))
+                )
+            ).alias("sv"),
+        )
+        .select(
+            "user_id",
+            "seg",
+            "n",
+            F.aggregate(
+                "sv",
+                F.lit(0.0),
+                lambda a, s: a * F.lit(0.9) + s["v"] * F.lit(0.1),
+            ).alias("q"),
+            F.aggregate("sv", F.lit(1.0), lambda a, s: a * F.lit(0.9)).alias("p"),
+        )
+    )
+    combined = F.aggregate(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.unix_micros("ts").alias("t"),
-                    F.col("event_id").alias("eid"),
-                    F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("v"),
+                    F.col("seg").alias("s"), F.col("p").alias("p"), F.col("q").alias("q")
                 )
             )
-        ).alias("seq")
+        ),
+        F.struct(F.lit(1.0).alias("p"), F.lit(0.0).alias("q")),
+        lambda a, s: F.struct(
+            (a["p"] * s["p"]).alias("p"), (a["q"] * s["p"] + s["q"]).alias("q")
+        ),
+        lambda a: a["q"],
     )
-    ewma = F.aggregate(
-        F.col("seq"),
-        F.lit(0.0),
-        lambda acc, s: acc * F.lit(0.9) + s["v"] * F.lit(0.1),
-    )
-    return seq.select(
-        "user_id", F.size("seq").alias("n_events"), ewma.alias("ewma_value")
+    return segs.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"), combined.alias("ewma_value")
     )
 
 

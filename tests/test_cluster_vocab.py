@@ -214,6 +214,42 @@ def test_user_ewma_fold_order_and_value(spark, tmp_path):
     assert got[2]["n_events"] == 2 and got[2]["ewma_value"] == acc2
 
 
+def test_user_ewma_multi_segment_combine(spark, tmp_path):
+    """100 events (> 3× _EWMA_SEG) force the affine segment-combine path;
+    the result must bit-match a pure-Python model of the SAME segmented
+    association (per-segment fold + (p,q)-monoid composition) — and stay
+    within float tolerance of the straight fold (identical in ℝ)."""
+    from datetime import datetime
+
+    from cql_xmlpipe_spark.plans.extensions import _EWMA_SEG, events_user_ewma
+
+    sf = str(tmp_path)
+    vals = [((i * 37) % 101) / 7.0 for i in range(100)]
+    _write_events(
+        spark,
+        sf,
+        [
+            (i, datetime(2024, 1, 1, i // 3600, (i // 60) % 60, i % 60), 1, "a", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+    )
+    got = events_user_ewma(spark, sf).collect()[0]
+    segs = [vals[i : i + _EWMA_SEG] for i in range(0, len(vals), _EWMA_SEG)]
+    assert len(segs) >= 3
+    P, Q = 1.0, 0.0
+    for seg in segs:
+        p, q = 1.0, 0.0
+        for v in seg:
+            q = q * 0.9 + v * 0.1
+            p = p * 0.9
+        P, Q = P * p, Q * p + q
+    assert got["n_events"] == 100 and got["ewma_value"] == Q
+    straight = 0.0
+    for v in vals:
+        straight = straight * 0.9 + v * 0.1
+    assert abs(got["ewma_value"] - straight) < 1e-9
+
+
 def test_graph_degree_on_clone_family(spark, tmp_path):
     from cql_xmlpipe_spark.plans.extensions import dedup_graph_degree
 
