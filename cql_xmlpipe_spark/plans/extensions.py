@@ -568,10 +568,44 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
-@_q("similarity_lsh_topk")
+_ANN_TOPK_PINS = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "ann_topk_pins.parquet",
+)
+
+
+def _ann_topk_oracle(algo: str) -> str:
+    """Pinned-top-k oracle for a production ANN variant: the exact
+    (q_id, vec_id, rank, cos) rows of one frozen operator run
+    (scripts/make_ann_topk_fixture.py — stability-asserted across
+    shuffle-partition settings before pinning), keyed by the corpus
+    fingerprint; errors loudly when the corpus has no pins."""
+    return f"""
+    WITH ck AS (
+      SELECT md5(string_agg(vec_id || ':' || label, ',' ORDER BY vec_id)) AS k
+      FROM embeddings),
+    pins AS (
+      SELECT f.q_id, f.vec_id, f.rank, f.cos
+      FROM read_parquet('{_ANN_TOPK_PINS}') f, ck
+      WHERE f.algo = '{algo}' AND f.corpus_key = ck.k)
+    SELECT q_id, vec_id, rank, cos FROM pins
+    UNION ALL
+    SELECT CAST(error('no {algo} top-k pins for this embeddings corpus: '
+                      || 'rerun scripts/make_ann_topk_fixture.py') AS BIGINT),
+           NULL, NULL, NULL
+    FROM ck WHERE NOT EXISTS (SELECT 1 FROM pins)
+"""
+
+
+@_q("similarity_lsh_topk", _ann_topk_oracle("lsh"))
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-random-projection buckets + multiprobe
-    (rows-only; tests measure recall ≥ 0.6 vs brute force)."""
+    """Approximate top-10 via sign-random-projection buckets + multiprobe.
+    Hash-gated since round 7 against the pinned frozen-run fixture: the
+    planes are hash-derived (deterministic, no model state), so the full
+    production output — candidates, tie-breaks, cosines — must reproduce
+    bit-for-bit; recall vs brute force is separately gated by
+    similarity_lsh_recall and exactness of the machinery by the
+    fullprobe twin."""
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -593,10 +627,14 @@ def similarity_lsh_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return lsh_topk(e, q, k=10, n_planes=1, multiprobe=1)
 
 
-@_q("similarity_ivf_topk")
+@_q("similarity_ivf_topk", _ann_topk_oracle("ivf"))
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF coarse quantizer (KMeans cells +
-    n_probe search — rows-only; tests measure recall vs brute force)."""
+    n_probe search). Hash-gated since round 7 against the pinned
+    frozen-run fixture (seeded KMeans is deterministic —
+    stability-asserted across shuffle settings before pinning); recall
+    is separately gated by similarity_ivf_recall and machinery exactness
+    by the fullprobe twin."""
     from cql_xmlpipe_spark.operators.similarity import ivf_topk
 
     e = load_table(spark, "embeddings", sf_dir)
@@ -1422,10 +1460,47 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_image_features")
+_FAKE_IMG_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "fake_image_features.parquet",
+)
+
+#: Oracle for the DEFAULT (codec-free) decode path via pinned fixture
+#: (scripts/make_fake_image_features_fixture.py): the fake pixels are a
+#: deterministic spec (RandomState seeded from sha256(payload)), so the
+#: fixture recomputes the features out-of-band — straight from the
+#: parquet, no Spark — and the gate pins the mapInPandas plumbing
+#: (modality routing, Arrow batching, schema, per-row math). Keyed by
+#: (doc_id, md5(text)) because width/height derive from doc_id; same
+#: loud UNION ALL drift guard as the simhash fixture.
+_FAKE_IMG_ORACLE = f"""
+    WITH imgs AS (
+      SELECT doc_id, md5(text) AS tmd5 FROM documents WHERE doc_id % 3 = 0),
+    miss AS (
+      SELECT COUNT(*) AS n FROM imgs i
+      LEFT JOIN read_parquet('{_FAKE_IMG_FIXTURE}') f
+        ON i.doc_id = f.doc_id AND i.tmd5 = f.text_md5
+      WHERE f.doc_id IS NULL)
+    SELECT i.doc_id, f.width, f.height, f.mean_r, f.mean_g, f.mean_b,
+           f.sharpness
+    FROM imgs i JOIN read_parquet('{_FAKE_IMG_FIXTURE}') f
+      ON i.doc_id = f.doc_id AND i.tmd5 = f.text_md5
+    UNION ALL
+    SELECT CAST(error('fake image features fixture missing ' || n ||
+                      ' documents: rerun '
+                      || 'scripts/make_fake_image_features_fixture.py')
+                AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_image_features", _FAKE_IMG_ORACLE)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode path (stubbed codec — rows-only;
-    determinism + batch-shape asserted in tests/test_multimodal.py)."""
+    """Arrow-batched mapInPandas decode path, DEFAULT (codec-free)
+    variant: deterministic hash-derived pixel stats. Hash-gated since
+    round 7 against an out-of-band recompute of the pixel spec (see
+    _FAKE_IMG_ORACLE); the codec-TRUE path is separately gated by
+    multimodal_image_features_codec."""
     from cql_xmlpipe_spark.operators.multimodal import (
         attach_media_columns,
         decode_image_features,
