@@ -118,6 +118,7 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
+    from cql_xmlpipe_spark.operators.dedup import unpersist_intermediates
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import TABLES
 
@@ -149,13 +150,15 @@ def main():
         n_ran += 1
         # several operators (collapsed dedup, codec query) persist
         # intermediates that live until their lazy result is consumed;
-        # drop them between queries so a 131-query sweep doesn't
-        # accumulate one cached frame per call in executor storage
+        # the documented cleanup API (operators.dedup.unpersist_
+        # intermediates) is called per-query below — this clearCache is
+        # the backstop for non-tracked persists (e.g. codec staging)
         spark.catalog.clearCache()
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:
                 n = df.count()
+                unpersist_intermediates(df)
                 print(f"  [rows-only] {name}: {n} rows")
                 results[name] = {
                     "rows_match": None, "schema_match": None, "hash_match": None,
@@ -164,6 +167,7 @@ def main():
                 continue
             rel = con.sql(oracles[name])
             problems, n_spark, n_duck = compare(name, df, rel)
+            unpersist_intermediates(df)
             results[name] = {
                 "rows_match": not any("row count" in p or "columns differ" in p for p in problems),
                 # schema = column-name/type agreement only; a value-hash diff

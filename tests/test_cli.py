@@ -69,3 +69,36 @@ def test_cli_scale_out_sink(spark, tmp_path):
             lines += [ln for ln in fh.read().split("\n") if ln]
     assert len(lines) == 25  # one document per nation row
     assert all(ln.startswith('<sphinx:document id="') for ln in lines)
+
+
+def test_cli_golden_byte_parity(spark):
+    """Full-stdout golden: the exact byte stream for a mixed-type export
+    (int, string→mem, double, date, blob→CDATA) at sf0.001, pinned
+    against the empirically-verified StAX framing facts (SURVEY Appendix:
+    prolog without standalone, no xmlns on sphinx:docset, '\\n' before
+    each document, final '\\n</sphinx:docset>', no self-closing tags).
+    Guards the parity sink against any rendering/framing drift."""
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "cli_golden_orders.xml"
+    )
+    with open(golden_path, encoding="utf-8", newline="") as fh:
+        golden = fh.read()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["-keys", "o_orderkey",
+             "-cql", "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+                     "o_orderdate, o_orderpriority, "
+                     "CAST(o_orderstatus AS BINARY) AS status_blob "
+                     "FROM orders ORDER BY o_orderkey LIMIT 5",
+             "--data-dir", SF]
+        )
+    assert rc == 0
+    out = buf.getvalue()
+    assert out == golden
+    # re-assert the StAX facts directly so a stale regenerated golden
+    # can't silently codify a framing regression
+    assert out.startswith('<?xml version="1.0" encoding="utf-8"?><sphinx:docset>\n')
+    assert "xmlns" not in out and "/>" not in out
+    assert out.endswith("</sphinx:document>\n</sphinx:docset>")
+    assert "<![CDATA[" in out and "Jan" in out  # blob branch + Date.toString

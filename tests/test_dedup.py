@@ -256,3 +256,22 @@ def test_collapsed_cluster_assign_equal_uncollapsed(spark):
     assert fast == base
     # every cluster now has size >= 2 (each doc has its clone)
     assert all(row[2] >= 2 for row in fast)
+
+
+def test_unpersist_intermediates_releases_tracked_caches(spark):
+    """The documented cleanup contract: a pairs operator's persisted
+    intermediates stay cached until the lazy result is consumed, and
+    unpersist_intermediates() actually releases every tracked frame —
+    the API the oracle harness now exercises per query."""
+    docs = load_table(spark, "documents", SF)
+    spark.catalog.clearCache()
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5, k=3)
+    pairs.count()  # materialize: persists are now populated
+    tracked = getattr(pairs, "_xmlpipe_cached", [])
+    assert tracked, "minhash_lsh_pairs should track its persisted intermediates"
+    assert all(t.storageLevel.useMemory or t.storageLevel.useDisk for t in tracked)
+    DD.unpersist_intermediates(pairs, blocking=True)
+    assert getattr(pairs, "_xmlpipe_cached", None) == []
+    assert all(
+        not (t.storageLevel.useMemory or t.storageLevel.useDisk) for t in tracked
+    )
