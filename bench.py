@@ -116,75 +116,69 @@ if _only:
     HEADLINE = [n for n in HEADLINE if n in _names]
 
 
-#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r05 and
-#: the round-4 verdict's adjudication re-runs; BASELINE.md). Used ONLY
-#: as the stall-detection threshold — never reported as results.
+#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r06
+#: and the adjudication re-runs; BASELINE.md). Used ONLY as the
+#: stall-detection threshold — never reported as results.
 RECORDS = {
+    "corpus_mix_resample": 0.489,
     "dedup_cluster_assign": 3.575,
     "dedup_exact_hash_groups": 0.212,
+    "dedup_graph_degree": 4.273,
+    "dedup_incremental_probe": 3.689,
     "dedup_minhash_lsh": 2.82,
     "dedup_ngram_jaccard": 3.841,
+    "dedup_paragraphs": 0.609,
+    "dedup_prefix_hash_groups": 0.356,
+    "dedup_survivor_selection": 5.88,
     "distinct_counts": 0.613,
     "doc_id_sdbm_customer": 0.302,
     "doc_pack_sequences": 0.287,
+    "embedding_kmeans_iter3": 1.527,
+    "embedding_kmeans_step": 0.634,
+    "events_cohort_retention": 0.56,
+    "events_funnel_conversion": 0.597,
+    "events_interarrival_histogram": 0.564,
+    "events_peak_concurrency": 1.02,
+    "events_session_paths": 0.888,
     "events_sessionize": 0.388,
+    "events_type_transitions": 0.555,
+    "events_user_ewma": 0.415,
+    "events_value_outliers": 0.536,
+    "multimodal_image_features_codec": 1.908,
     "outer_join_order_distribution": 0.432,
+    "phrase_search_postings": 0.661,
     "q17_small_quantity_revenue": 0.846,
     "q1_pricing_summary": 1.021,
+    "q21_late_suppliers": 1.412,
+    "q2_min_cost_supplier": 1.532,
     "q3_shipping_priority": 0.612,
     "q5_local_supplier_volume": 0.696,
+    "q7_volume_shipping": 0.898,
     "q8_market_share": 1.274,
+    "q9_product_profit": 0.877,
     "similarity_cosine_topk": 0.52,
+    "source_overlap_jaccard": 2.683,
+    "streaming_session_window": 1.522,
+    "streaming_tumbling_window": 1.446,
+    "streaming_user_profile_state": 1.691,
+    "streaming_watermark_dedup": 1.629,
+    "text_crossdoc_ngram_dup": 2.711,
+    "text_decontaminate_eval_overlap": 1.672,
+    "text_lang_confusion": 0.671,
     "text_langid_heuristic": 0.454,
     "text_quality_scores": 0.507,
+    "text_repetition_scores": 1.698,
+    "text_term_cooccurrence": 1.27,
     "text_tfidf_top_terms": 0.849,
+    "text_vocab_oov": 1.562,
+    "token_orders_murmur3": 0.385,
     "topk_orders": 0.165,
+    "variant_extraction_events": 0.475,
     "window_running_revenue": 0.444,
     "window_top3_orders_per_customer": 0.403,
+    "xmlpipe_embeddings_export": 0.281,
     "xmlpipe_lineitem_export": 1.925,
     "xmlpipe_orders_export": 0.546,
-    # r5 additions (single-round figures)
-    "xmlpipe_embeddings_export": 0.281,
-    "token_orders_murmur3": 0.385,
-    "streaming_tumbling_window": 1.446,
-    "text_repetition_scores": 1.698,
-    "text_crossdoc_ngram_dup": 2.711,
-    # r6 additions (single-run local figures, 2026-08-14)
-    "streaming_session_window": 1.756,
-    "dedup_paragraphs": 0.647,
-    "multimodal_image_features_codec": 2.1,
-    "q7_volume_shipping": 0.898,
-    "q9_product_profit": 0.903,
-    "q21_late_suppliers": 1.412,
-    "q2_min_cost_supplier": 1.601,
-    "text_decontaminate_eval_overlap": 1.672,
-    "events_funnel_conversion": 0.623,
-    "events_cohort_retention": 0.561,
-    "streaming_watermark_dedup": 2.026,
-    "corpus_mix_resample": 0.864,
-    "events_peak_concurrency": 1.416,
-    "phrase_search_postings": 0.733,
-    # r6 wave-3 additions (single-run local figures, 2026-08-14)
-    "embedding_kmeans_step": 0.666,
-    "embedding_kmeans_iter3": 1.623,
-    "text_vocab_oov": 1.613,
-    "source_overlap_jaccard": 2.715,
-    "dedup_prefix_hash_groups": 0.366,
-    "dedup_graph_degree": 5.141,
-    "events_user_ewma": 0.459,
-    "streaming_user_profile_state": 2.034,
-    # r6 wave-4 additions (single-run local figures, 2026-08-14)
-    "events_session_paths": 2.393,
-    "text_term_cooccurrence": 2.485,
-    "dedup_survivor_selection": 10.477,
-    # r6 wave-5 additions (single-run local figures, 2026-08-14)
-    "text_lang_confusion": 0.88,
-    "events_value_outliers": 0.72,
-    "events_type_transitions": 0.67,
-    "events_interarrival_histogram": 0.686,
-    # r6 wave-6 additions (single-run local figures, 2026-08-14)
-    "variant_extraction_events": 0.731,
-    "dedup_incremental_probe": 4.84,
 }
 
 

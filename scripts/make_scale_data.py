@@ -1,6 +1,7 @@
 """Synthesize an sf1-scale dataset by key-offset replication of sf0.1.
 
 Usage: python scripts/make_scale_data.py [copies] [src_sf_dir] [out_dir]
+                                         [--jitter] [--skew]
 
 The driver provides sf{0.001,0.01,0.1} only; the scaling story at 100 TB is
 an extrapolation unless we measure at least one decade. This replicates the
@@ -10,6 +11,19 @@ a real sf1 would — and leaves the dimension tables (region/nation) alone.
 Text/embedding payloads repeat verbatim, so dedup finds each document's
 N-1 clones: a deliberately adversarial (near-dup-heavy) corpus for the
 candidate-pair path.
+
+``--jitter`` makes the replicated corpus COLLAPSE-RESISTANT: each copy
+i > 0 rewrites every 17th token of each document (append a copy marker),
+so clones become near-duplicates (3-shingle Jaccard ≈ 0.6-0.8) instead of
+exact duplicates. The exact-collapse staging then buys nothing — this
+measures the dedup family's worst case, guarding against the collapse
+having overfit the clone-replication benchmark.
+
+``--skew`` plants hot keys AFTER replication: one user receives ~10% of
+all events (hot window/sessionization partition) and one document text
+is shared by ~10% of all docs (hot LSH band bucket + giant dup group).
+This is the skewed-key hazard SCALE.md names — the smoke that measures
+it instead of arguing about it.
 
 Writes parquet OUTSIDE the read-only testdata tree (default /tmp). Not part
 of the test suite — a measurement tool for SCALE.md / BASELINE.md numbers.
@@ -42,10 +56,27 @@ KEY_OFFSETS = {
 PASSTHROUGH = ["region", "nation"]
 
 
+def _jitter_text(part, i: int):
+    """Rewrite every 17th token with a copy marker — deterministic,
+    engine-side (no Python), turning copy i's documents into NEAR
+    duplicates of the originals (most shingles survive, ~18% change)."""
+    toks = F.split(F.col("text"), " ")
+    edited = F.transform(
+        toks,
+        lambda t, j: F.when(j % 17 == 0, F.concat(t, F.lit(f"j{i}"))).otherwise(t),
+    )
+    return part.withColumn("text", F.array_join(edited, " "))
+
+
 def main() -> int:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sparkgraft_sf_x{copies}"
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jitter = "--jitter" in flags
+    skew = "--skew" in flags
+    copies = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    suffix = ("_jit" if jitter else "") + ("_skew" if skew else "")
+    out = args[2] if len(args) > 2 else f"/tmp/sparkgraft_sf_x{copies}{suffix}"
 
     spark = get_spark("make-scale-data")
     os.makedirs(out, exist_ok=True)
@@ -65,10 +96,32 @@ def main() -> int:
                 part = df
                 for k in keys:
                     part = part.withColumn(k, F.col(k) + F.lit(i * strides[k]))
+                if jitter and name == "documents" and i > 0:
+                    part = _jitter_text(part, i)
                 parts.append(part)
             scaled = parts[0]
             for part in parts[1:]:
                 scaled = scaled.unionByName(part)
+            if skew and name == "events":
+                # ~10% of ALL events land on one hot user (user_id 0)
+                scaled = scaled.withColumn(
+                    "user_id",
+                    F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(
+                        F.col("user_id")
+                    ),
+                )
+            if skew and name == "documents":
+                # ~10% of ALL docs share one text: a giant exact-dup
+                # family = one hot LSH bucket + one hot sha256 group
+                hot = scaled.filter(F.col("doc_id") == 0).select(
+                    F.col("text").alias("_hot")
+                )
+                scaled = scaled.crossJoin(F.broadcast(hot)).withColumn(
+                    "text",
+                    F.when(F.col("doc_id") % 10 == 0, F.col("_hot")).otherwise(
+                        F.col("text")
+                    ),
+                ).drop("_hot")
         dest = os.path.join(out, f"{name}.parquet")
         scaled.write.mode("overwrite").parquet(dest)
         print(f"{name}: -> {dest}")
