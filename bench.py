@@ -225,7 +225,25 @@ def main() -> int:
     # for text_quality_scores; the real figure on unchanged code was
     # 0.73 s). Interleaving puts the whole suite (~30-80 s) between a
     # query's attempts, so one stall can no longer poison all of them.
+    # SPARK_GRAFT_RESTART_EVERY=N (scale smokes only, default off): stop
+    # and recreate the session every N timed queries, outside the timed
+    # window. At the 100× century smoke the 59-query suite accumulates
+    # JVM residue a blanket clearCache can't touch (Janino/codegen class
+    # cache, broadcast cleanup backlog, Python-worker pools) — measured
+    # as the lineitem export costing 64.7 s in suite context vs 16.1 s
+    # standalone (SCALE.md). A periodic restart bounds that residue the
+    # way a real cluster's per-job executors do; the driver's sf0.1 run
+    # keeps it off so recorded numbers stay comparable.
+    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "0"))
+    timed_count = 0
+
     def _timed(name, fn) -> float:
+        nonlocal spark, timed_count
+        if restart_every and timed_count and timed_count % restart_every == 0:
+            spark.stop()
+            spark = get_spark("bench")
+            spark.range(1).count()
+        timed_count += 1
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         # checksum over EVERY column: forces full computation of all
