@@ -505,38 +505,83 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation: 4 bands of 16 bits (pigeonhole: any pair within
-    Hamming 3 agrees exactly on ≥1 band) — joins on 16-bit band values,
-    never O(n²).
+    Candidate generation is Manku-style block banding (Manku, Jain &
+    Sarma, "Detecting near-duplicates for web crawling", WWW'07): the
+    64-bit signature splits into ``b = max_hamming + 3`` blocks, and
+    docs join on every C(b, 3) combination of THREE block values packed
+    into one ≈32-48-bit key. Pigeonhole-exact: ≤ max_hamming flipped
+    bits land in ≤ max_hamming blocks, leaving ≥ 3 clean blocks whose
+    combination both docs index identically — so recall is 100% at the
+    radius, same contract as an all-pairs scan.
+
+    Why 3-block keys and not single 16-bit bands (the pre-round-7
+    scheme): 16-bit buckets saturate at ~10⁵ docs — random (non-near)
+    collisions grow ~4·N²/2¹⁶, which measured 345× wall at the 100×
+    jittered corpus (SCALE.md). A ~2³³⁺ key space makes random
+    collisions negligible at any N this engine targets (10⁹ docs × 20
+    keys into 2³³ buckets ≈ 2 entries/bucket), so surviving candidates
+    are overwhelmingly true near-dups: cost becomes output-bound, the
+    PPJoin property the rest of the dedup family already has. The trade
+    is C(h+3,3) index entries per doc (20 at h=3) vs 4 — fixed-width
+    shuffle rows, linear in corpus.
     """
     # persist: the banded rows feed BOTH sides of the candidate self-join;
     # without it the 64-vote aggregate (and tokenization) runs twice.
     sigs = simhash_signatures(df, text_col, id_col).persist()
-    bands = F.array(
+    # max(4, ·) keeps block widths ≤ 16 bits (the packing lanes below)
+    # even for max_hamming = 0; extra blocks only add recall headroom
+    nblocks = max(4, max_hamming + 3)
+    widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
+    offsets = [sum(widths[:i]) for i in range(nblocks)]
+    blocks = [
+        F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+        for i in range(nblocks)
+    ]
+    # widths ≤ 16 for nblocks ≥ 4 (always, since max_hamming ≥ 1), so three
+    # blocks pack losslessly into fixed 16-bit lanes of one long
+    keys = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
-            for b in range(4)
+            blocks[i]
+            .bitwiseOR(F.shiftleft(blocks[j], 16))
+            .bitwiseOR(F.shiftleft(blocks[k], 32))
+            for i, j, k in _combinations3(nblocks)
         ]
     )
     exploded = sigs.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(bands).alias("band", "bval")
+        F.col(id_col), F.col("simhash"), F.posexplode(keys).alias("combo", "ckey")
     )
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bval"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "combo", "ckey"
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bval"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "combo", "ckey"
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return _track_cached(
-        a.join(b, ["band", "bval"])
+        a.join(b, ["combo", "ckey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming BEFORE the pair-dedup: bit_count is a per-row codegen'd
+        # instruction, while dropDuplicates is a shuffled aggregate — its
+        # state must be the true-pair set, not the candidate multiset
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming"),
         sigs,
     )
+
+
+def _combinations3(n: int) -> list:
+    """All (i, j, k) with i < j < k < n — itertools.combinations(range(n), 3)
+    spelled out so the banding layout is auditable next to its consumer."""
+    return [
+        (i, j, k)
+        for i in range(n)
+        for j in range(i + 1, n)
+        for k in range(j + 1, n)
+    ]
 
 
 def connected_components(

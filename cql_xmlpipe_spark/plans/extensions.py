@@ -194,9 +194,9 @@ _SIMHASH_FIXTURE = _os.path.join(
 #: on an inner-join CTE never evaluates when drift empties the join
 #: (exactly the silent-0-pairs failure this guard exists to prevent).
 #: The error message carries the miss count so it is not constant-
-#: foldable at plan time. The 4×16-bit pigeonhole banding in the
-#: operator is EXACT for Hamming ≤ 3, so the Spark output must equal
-#: the plain all-pairs self-join below.
+#: foldable at plan time. The Manku 6-block/3-clean banding in the
+#: operator is EXACT for Hamming ≤ 3 (pigeonhole), so the Spark output
+#: must equal the plain all-pairs self-join below.
 _SIMHASH_ORACLE = f"""
     WITH miss AS (
       SELECT COUNT(*) AS n
