@@ -677,40 +677,41 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_bands: int = 24,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup via BANDED sign-LSH.
 
-    A single exact-match bucket over p planes has recall (1-θ/π)^p — at
-    cosine 0.95 (θ≈18°) and p=8 that's only ~0.43. Banding fixes it: with
-    16 planes in 4 bands of 4, a pair is a candidate if ANY band matches:
-    recall 1-(1-0.9⁴)⁴ ≈ 0.99 at cosine 0.95. Candidate generation joins
-    bare (id, band, bucket) ints; embeddings are fetched by id only for
+    A single exact-match bucket over p planes has recall (1-θ/π)^p — far
+    too low at any p wide enough to avoid collisions. Banding fixes it: a
+    pair is a candidate if ANY of ``n_bands`` independent ``band_bits``-
+    plane sign patterns matches exactly; at the 24×16 defaults recall is
+    ≈0.992 at cosine 0.95 and ≈1-2e-7 at 0.99. Candidate generation joins
+    bare (id, band, bkey) ints; embeddings are fetched by id only for
     the verify step (same shuffle discipline as minhash_lsh_pairs).
+
+    Why 16-bit band keys, not the 4-bit ones this used before round 7:
+    key space bounds the junk-candidate volume at n_bands·C(N,2)/2^bits —
+    4-bit keys (16 buckets/band) make candidate generation N²/8 on ANY
+    corpus, a quadratic wall at ~10⁵ vectors; 16-bit keys push the floor
+    to 10⁶⁺ and ``band_bits`` scales further as a parameter (see
+    :func:`~cql_xmlpipe_spark.operators.similarity.banded_sign_keys`,
+    which also explains why 384 planes need the Arrow path, not inline
+    Column folds). Exact verification is unchanged, so false positives
+    remain impossible at every setting.
     """
     from cql_xmlpipe_spark.functions.vectors import cosine
-    from cql_xmlpipe_spark.operators.similarity import with_sign_bucket
+    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
 
-    bits_per_band = n_planes // n_bands
-    bucketed = with_sign_bucket(emb, emb_col, n_planes).persist()
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("bucket"), b * bits_per_band).bitwiseAND(
-                F.lit((1 << bits_per_band) - 1)
-            )
-            for b in range(n_bands)
-        ]
-    )
-    keys = bucketed.select(F.col(id_col), F.posexplode(bands).alias("band", "bval"))
+    keys = banded_sign_keys(emb, emb_col, id_col, n_bands, band_bits).persist()
     cands = (
-        keys.select(F.col(id_col).alias("id_a"), "band", "bval")
-        .join(keys.select(F.col(id_col).alias("id_b"), "band", "bval"), ["band", "bval"])
+        keys.select(F.col(id_col).alias("id_a"), "band", "bkey")
+        .join(keys.select(F.col(id_col).alias("id_b"), "band", "bkey"), ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = bucketed.select(F.col(id_col), F.col(emb_col))
+    vecs = emb.select(F.col(id_col), F.col(emb_col))
     return _track_cached(
         cands.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a")), "id_a"
@@ -721,7 +722,7 @@ def embedding_near_dup_pairs(
         .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos"),
-        bucketed,
+        keys,
     )
 
 

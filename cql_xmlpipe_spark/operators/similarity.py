@@ -54,6 +54,98 @@ def with_sign_bucket(df: DataFrame, emb_col: str, n_planes: int = 8) -> DataFram
     return df.withColumn("bucket", bucket)
 
 
+def _plane_matrix(dim: int, n_planes: int):
+    """Deterministic d×p hyperplane weight matrix in [-0.5, 0.5).
+
+    Weights derive from splitmix64 (public-domain finalizer; Steele et
+    al., OOPSLA'14) over the flat plane·dim index — no stored model, no
+    RNG-library version dependence, identical on every executor and
+    every run. uint64 arithmetic wraps mod 2⁶⁴ natively in numpy."""
+    import numpy as np
+
+    idx = np.arange(dim * n_planes, dtype=np.uint64)
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    w = (z % np.uint64(1000)).astype(np.float64) / 1000.0 - 0.5
+    return w.reshape(n_planes, dim).T
+
+
+def banded_sign_keys(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 24,
+    band_bits: int = 16,
+) -> DataFrame:
+    """(id, band, bkey) LSH index rows: ``n_bands`` keys per vector, each
+    key the packed sign pattern of ``band_bits`` hyperplane dots.
+
+    This is the many-planes sibling of :func:`with_sign_bucket` for
+    CANDIDATE-PAIR generation rather than point lookup. The two differ
+    deliberately: with_sign_bucket inlines each plane dot as a Column
+    expression (fine at ≤16 planes, and its outputs are pinned by the
+    similarity fixtures), while this one needs n_bands×band_bits planes
+    (384 at the defaults) — per-row codegen of 384 fold-aggregates would
+    dwarf the query, so the dots are one Arrow-batched numpy matmul
+    against a splitmix64-derived weight matrix built per batch on the
+    executor (d×384 floats, microseconds).
+
+    Scale law (document, don't hide): a random non-near pair collides on
+    one band with probability 2^-band_bits, so expected junk candidates
+    are n_bands·C(N,2)/2^band_bits — at the 16-bit default and N=10⁶
+    that is ~10⁸ cheap int-join rows, and band_bits should grow ~2·log₂N
+    beyond that (a parameter, not a rewrite). Recall at cosine t is
+    1-(1-p^band_bits)^n_bands with p = 1-arccos(t)/π: ≈0.992 at t=0.95,
+    ≈1-2e-7 at t=0.99 with the defaults.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    n_planes = n_bands * band_bits
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bkey", T.LongType()),
+        ]
+    )
+    powers = None
+
+    def gen(batches):
+        nonlocal powers
+        if powers is None:
+            powers = np.left_shift(np.int64(1), np.arange(band_bits, dtype=np.int64))
+        w_cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            dim = mat.shape[1]
+            planes = w_cache.get(dim)
+            if planes is None:
+                planes = _plane_matrix(dim, n_planes)
+                w_cache[dim] = planes
+            bits = (mat @ planes) >= 0.0
+            keys = np.empty((len(pdf), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                block = bits[:, b * band_bits : (b + 1) * band_bits]
+                keys[:, b] = block.astype(np.int64) @ powers
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "bkey": keys.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(gen, schema=out_schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
