@@ -275,3 +275,47 @@ def test_unpersist_intermediates_releases_tracked_caches(spark):
     assert all(
         not (t.storageLevel.useMemory or t.storageLevel.useDisk) for t in tracked
     )
+
+
+def test_banded_sign_keys_deterministic_and_band_shaped(spark):
+    """The Arrow-batched sign sketch must be run-to-run deterministic
+    (splitmix64 weights, fixed numpy pairwise-sum order) and emit exactly
+    n_bands fixed-width keys per vector — the properties the candidate
+    join's shuffle discipline relies on."""
+    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    n_bands, band_bits = 6, 16
+    a = banded_sign_keys(df, "embedding", "vec_id", n_bands, band_bits).collect()
+    b = banded_sign_keys(df, "embedding", "vec_id", n_bands, band_bits).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_vec = {}
+    for r in a:
+        per_vec.setdefault(r["vec_id"], []).append((r["band"], r["bkey"]))
+        assert 0 <= r["bkey"] < (1 << band_bits)
+    assert all(
+        sorted(band for band, _ in v) == list(range(n_bands))
+        for v in per_vec.values()
+    )
+
+
+def test_plane_matrix_is_stable_fixture():
+    """Pin a few splitmix64-derived weights so a silent change to the
+    plane derivation (which would reshuffle every LSH bucket) fails
+    loudly rather than as a recall drift."""
+    from cql_xmlpipe_spark.operators.similarity import _plane_matrix
+
+    w = _plane_matrix(4, 2)  # dim=4, planes=2 -> 4x2
+    assert w.shape == (4, 2)
+    expected = []
+    for i in range(8):  # flat plane*dim index, row-major (plane, dim)
+        z = (i + 0x9E3779B97F4A7C15) % (1 << 64)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        z = z ^ (z >> 31)
+        expected.append(round((z % 1000) / 1000.0 - 0.5, 3))
+    assert [round(float(x), 3) for x in w.T.reshape(-1)] == expected
