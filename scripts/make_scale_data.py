@@ -17,7 +17,13 @@ i > 0 rewrites every 17th token of each document (append a copy marker),
 so clones become near-duplicates (3-shingle Jaccard ≈ 0.6-0.8) instead of
 exact duplicates. The exact-collapse staging then buys nothing — this
 measures the dedup family's worst case, guarding against the collapse
-having overfit the clone-replication benchmark.
+having overfit the clone-replication benchmark. Embeddings get the
+analogous treatment: copy i > 0 adds deterministic per-component noise
+(ε = 0.3 relative RMS, uniform [-1, 1] from xxhash64(vec_id, j, i)),
+putting original↔copy cosine ≈ 0.985 and copy↔copy ≈ 0.97 — every
+replica pair is a TRUE near-dup above the 0.95 threshold, but with
+~5-8% of hyperplane signs flipped, so the banded sign-LSH has to earn
+its recall instead of matching identical signatures.
 
 ``--skew`` plants hot keys AFTER replication: one user receives ~10% of
 all events (hot window/sessionization partition) and one document text
@@ -68,6 +74,34 @@ def _jitter_text(part, i: int):
     return part.withColumn("text", F.array_join(edited, " "))
 
 
+def _jitter_embedding(part, i: int):
+    """Perturb copy i's embeddings into near-duplicates of the originals:
+    x_j += 0.3 · rms(v) · u_j with u_j deterministic uniform [-1, 1] from
+    xxhash64(vec_id, j, i). E[u²] = 1/3, so |δ|/|v| ≈ 0.3/√3 ≈ 0.17 and
+    cos(v, v') ≈ 0.985; two independent copies sit at ≈ 0.97 — all
+    replica pairs stay above the 0.95 near-dup threshold while flipping
+    ~5-8% of sign-LSH hyperplane votes. Engine-side Column exprs only."""
+    rms = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+        / F.size("embedding")
+    )
+    edited = F.transform(
+        "embedding",
+        lambda x, j: (
+            x.cast("double")
+            + F.lit(0.3)
+            * rms
+            * ((F.pmod(F.xxhash64(F.col("vec_id"), j, F.lit(i)), F.lit(2001)) - 1000)
+               / 1000.0)
+        ).cast("float"),
+    )
+    return part.withColumn("embedding", edited)
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -98,6 +132,8 @@ def main() -> int:
                     part = part.withColumn(k, F.col(k) + F.lit(i * strides[k]))
                 if jitter and name == "documents" and i > 0:
                     part = _jitter_text(part, i)
+                if jitter and name == "embeddings" and i > 0:
+                    part = _jitter_embedding(part, i)
                 parts.append(part)
             scaled = parts[0]
             for part in parts[1:]:

@@ -208,3 +208,45 @@ def test_ewma_correct_under_hot_user_skew(spark, tmp_path):
             p = p * 0.9
         P, Q = P * p, Q * p + q
     assert got["n_events"] == n and got["ewma_value"] == Q
+
+
+def test_jitter_embedding_makes_true_near_dups(spark):
+    """The --jitter corpus mode's embedding perturbation (the corpus that
+    measures sign-LSH recall on genuinely different signatures, SCALE.md)
+    must be deterministic and must land replicas in the near-dup cosine
+    band: above the 0.95 pipeline threshold but with real sign flips."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_scale_data import _jitter_embedding
+
+    from cql_xmlpipe_spark.functions.vectors import cosine
+
+    base = load_table(spark, "embeddings", SF).limit(50)
+    j1 = _jitter_embedding(base, 1)
+    j1b = _jitter_embedding(base, 1)
+    j2 = _jitter_embedding(base, 2)
+
+    # deterministic: same copy index -> identical vectors
+    a = {r["vec_id"]: r["embedding"] for r in j1.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in j1b.collect()}
+    assert a == b
+    # different copy index -> different vectors
+    c = {r["vec_id"]: r["embedding"] for r in j2.collect()}
+    assert all(a[k] != c[k] for k in a)
+
+    # cosine bands: orig<->copy ~0.985, copy<->copy ~0.971, all >= 0.95
+    def cos_pairs(x, y):
+        joined = (
+            x.select("vec_id", F.col("embedding").alias("ea"))
+            .join(y.select("vec_id", F.col("embedding").alias("eb")), "vec_id")
+            .select(cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        )
+        return [r["cos"] for r in joined.collect()]
+
+    oc = cos_pairs(base, j1)
+    cc = cos_pairs(j1, j2)
+    assert all(0.95 <= v < 0.9999 for v in oc), (min(oc), max(oc))
+    assert all(0.93 <= v < 0.999 for v in cc), (min(cc), max(cc))
+    assert sum(v >= 0.95 for v in cc) / len(cc) > 0.95
