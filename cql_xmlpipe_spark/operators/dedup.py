@@ -139,23 +139,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) — one row per doc with ≥1 shingle.
 
-    The n minhash families derive from each 8-byte shingle hash via seeded
-    re-hash. The n minima are computed as explode + one groupBy with n
-    fused min-aggregates; keeping collect_set OUT of this aggregate is
-    deliberate — any typed-collection aggregate downgrades the whole node
-    to ObjectHashAggregate (no codegen, ~3× slower measured at sf0.01).
-    With plain mins it compiles to a whole-stage-codegen HashAggregate
-    with map-side partial aggregation. Verification sets come from
+    Public text-in wrapper over :func:`_minhash_sigs`, which owns the
+    signature math (seeded xxhash64 re-hash, fused codegen'd
+    min-aggregates — see its docstring for why collect_set stays out of
+    that aggregate). Verification sets come from
     :func:`shingle_hash_sets` as a shuffle-free projection instead.
     """
-    exploded = shingle_hash_sets(df, text_col, id_col, k).select(
-        F.col(id_col), F.explode("hs").alias("h")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return _minhash_sigs(shingle_hash_sets(df, text_col, id_col, k), id_col)
 
 
 def _minhash_sigs(sets: DataFrame, id_col: str) -> DataFrame:
@@ -163,7 +153,11 @@ def _minhash_sigs(sets: DataFrame, id_col: str) -> DataFrame:
     THE single definition of the signature math (seeded xxhash64 re-hash,
     fused min-aggregates); both the symmetric self-join path and the
     asymmetric incremental-probe path build on this so the banding scheme
-    can never silently diverge between them."""
+    can never silently diverge between them. Keeping collect_set OUT of
+    this aggregate is deliberate — any typed-collection aggregate
+    downgrades the whole node to ObjectHashAggregate (no codegen, ~3×
+    slower measured at sf0.01); with plain mins it compiles to a
+    whole-stage-codegen HashAggregate with map-side partials."""
     exploded = sets.select(F.col(id_col), F.explode("hs").alias("h"))
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
@@ -574,14 +568,10 @@ def simhash_near_pairs(
 
 
 def _combinations3(n: int) -> list:
-    """All (i, j, k) with i < j < k < n — itertools.combinations(range(n), 3)
-    spelled out so the banding layout is auditable next to its consumer."""
-    return [
-        (i, j, k)
-        for i in range(n)
-        for j in range(i + 1, n)
-        for k in range(j + 1, n)
-    ]
+    """All (i, j, k) with i < j < k < n."""
+    import itertools
+
+    return list(itertools.combinations(range(n), 3))
 
 
 def connected_components(

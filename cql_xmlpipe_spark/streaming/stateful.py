@@ -48,14 +48,17 @@ def _update_user(
         n, cents, last_us, types = state.get
         types = set(types)
     else:
-        n, cents, last_us, types = 0, 0, 0, set()
+        n, cents, last_us, types = 0, None, 0, set()
     for pdf in batches:
         n += len(pdf)
         # per-ROW cents, then integer sum: order- and batching-independent
         # (summing doubles first would tie the result to trigger
-        # boundaries). dropna first — SQL SUM skips NULLs, and the int64
-        # cast would raise on NaN instead of diverging loudly.
-        cents += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
+        # boundaries). SQL SUM skips NULLs but returns NULL when every
+        # input is NULL — so cents stays None until the first non-null
+        # value, and dropna only skips rows once the sum exists.
+        vals = pdf["value"].dropna()
+        if len(vals):
+            cents = (cents or 0) + int((vals * 100).round().astype("int64").sum())
         ts_us = (pdf["ts"].astype("int64") // 1000).max()
         last_us = max(last_us, int(ts_us))
         types.update(pdf["event_type"].dropna().tolist())

@@ -152,6 +152,13 @@ def main() -> int:
                 hot = scaled.filter(F.col("doc_id") == 0).select(
                     F.col("text").alias("_hot")
                 )
+                # the crossJoin below yields ZERO rows if doc_id 0 is
+                # absent (e.g. an id-offset source corpus) — fail loudly
+                # instead of writing an empty table and printing success
+                if hot.limit(1).count() == 0:
+                    raise SystemExit(
+                        f"--skew needs doc_id == 0 in {src}/documents; none found"
+                    )
                 scaled = scaled.crossJoin(F.broadcast(hot)).withColumn(
                     "text",
                     F.when(F.col("doc_id") % 10 == 0, F.col("_hot")).otherwise(

@@ -128,3 +128,32 @@ def test_xmlpipe_stream_sink_equals_batch(spark, tmp_path):
     assert sorted(lines) == want
     # envelope parts present for consumer-side concatenation
     assert glob.glob(f"{out}/_PROLOG") and glob.glob(f"{out}/_CLOSE")
+
+
+def test_stateful_all_null_values_user_matches_sql_sum(spark, tmp_path):
+    """SQL SUM over only NULLs is NULL, not 0 — a user whose every event
+    has value=NULL must surface sum_value_cents as NULL so the stateful
+    profile stays hash-identical to its aggregate oracle."""
+    import os
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "click", 2.5, "{}"),
+        (1, t0, 1, "view", None, "{}"),
+        (2, t0, 2, "click", None, "{}"),
+        (3, t0, 2, "view", None, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = _run_to_memory(
+        running_user_stats(stream_events(spark, sf)), "t_state_nulls", "update", spark
+    )
+    by_user = {r["user_id"]: r for r in got.collect()}
+    assert by_user[1]["sum_value_cents"] == 250
+    assert by_user[2]["sum_value_cents"] is None
+    assert by_user[2]["n_events"] == 2
