@@ -522,27 +522,7 @@ def simhash_near_pairs(
     # persist: the banded rows feed BOTH sides of the candidate self-join;
     # without it the 64-vote aggregate (and tokenization) runs twice.
     sigs = simhash_signatures(df, text_col, id_col).persist()
-    # max(4, ·) keeps block widths ≤ 16 bits (the packing lanes below)
-    # even for max_hamming = 0; extra blocks only add recall headroom
-    nblocks = max(4, max_hamming + 3)
-    widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
-    offsets = [sum(widths[:i]) for i in range(nblocks)]
-    blocks = [
-        F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1).cast("long")
-        )
-        for i in range(nblocks)
-    ]
-    # widths ≤ 16 for nblocks ≥ 4 (always, since max_hamming ≥ 1), so three
-    # blocks pack losslessly into fixed 16-bit lanes of one long
-    keys = F.array(
-        *[
-            blocks[i]
-            .bitwiseOR(F.shiftleft(blocks[j], 16))
-            .bitwiseOR(F.shiftleft(blocks[k], 32))
-            for i, j, k in _combinations3(nblocks)
-        ]
-    )
+    keys = _simhash_combo_keys(F.col("simhash"), max_hamming)
     exploded = sigs.select(
         F.col(id_col), F.col("simhash"), F.posexplode(keys).alias("combo", "ckey")
     )
@@ -572,6 +552,36 @@ def _combinations3(n: int) -> list:
     import itertools
 
     return list(itertools.combinations(range(n), 3))
+
+
+def _simhash_combo_keys(sig, max_hamming: int):
+    """array<long> of the Manku block-banding join keys for one signature.
+
+    The single definition of the banding layout, shared by
+    :func:`simhash_near_pairs` and testable on injected signatures
+    (tests/test_dedup.py pins the pigeonhole completeness directly).
+    """
+    # max(4, ·) keeps block widths ≤ 16 bits (the packing lanes below)
+    # even for max_hamming = 0; extra blocks only add recall headroom
+    nblocks = max(4, max_hamming + 3)
+    widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
+    offsets = [sum(widths[:i]) for i in range(nblocks)]
+    blocks = [
+        F.shiftrightunsigned(sig, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+        for i in range(nblocks)
+    ]
+    # widths ≤ 16 for nblocks ≥ 4 (always, since max_hamming ≥ 1), so three
+    # blocks pack losslessly into fixed 16-bit lanes of one long
+    return F.array(
+        *[
+            blocks[i]
+            .bitwiseOR(F.shiftleft(blocks[j], 16))
+            .bitwiseOR(F.shiftleft(blocks[k], 32))
+            for i, j, k in _combinations3(nblocks)
+        ]
+    )
 
 
 def connected_components(

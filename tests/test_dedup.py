@@ -319,3 +319,40 @@ def test_plane_matrix_is_stable_fixture():
         z = z ^ (z >> 31)
         expected.append(round((z % 1000) / 1000.0 - 0.5, 3))
     assert [round(float(x), 3) for x in w.T.reshape(-1)] == expected
+
+
+def test_simhash_combo_keys_pigeonhole_complete(spark):
+    """Direct pin of the Manku-banding exactness contract on injected
+    signatures: for ANY pair within Hamming <= max_hamming, at least one
+    3-block combo key must match at the same combo position (the join is
+    on (combo, ckey)). 400 seeded random signatures, flip counts 0..h."""
+    import random
+
+    from cql_xmlpipe_spark.operators.dedup import _simhash_combo_keys
+
+    rng = random.Random(0xC0FFEE)
+    for max_hamming in (1, 3, 6):
+        rows = []
+        for i in range(400):
+            x = rng.getrandbits(64)
+            d = i % (max_hamming + 1)
+            y = x
+            for bit in rng.sample(range(64), d):
+                y ^= 1 << bit
+            # store as signed int64 the way simhash signatures are
+            to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+            rows.append((i, to_i64(x), to_i64(y)))
+        df = spark.createDataFrame(rows, "pid long, sig_x long, sig_y long")
+        kx = _simhash_combo_keys(F.col("sig_x"), max_hamming)
+        ky = _simhash_combo_keys(F.col("sig_y"), max_hamming)
+        misses = df.select(
+            "pid",
+            F.size(
+                F.filter(
+                    F.zip_with(kx, ky, lambda a, b: a == b), lambda m: m
+                )
+            ).alias("shared"),
+        ).filter(F.col("shared") == 0)
+        assert misses.count() == 0, (
+            f"pigeonhole violated at max_hamming={max_hamming}"
+        )
