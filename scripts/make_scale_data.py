@@ -26,8 +26,10 @@ replica pair is a TRUE near-dup above the 0.95 threshold, but with
 its recall instead of matching identical signatures.
 
 ``--skew`` plants hot keys AFTER replication: one user receives ~10% of
-all events (hot window/sessionization partition) and one document text
-is shared by ~10% of all docs (hot LSH band bucket + giant dup group).
+all events (hot window/sessionization partition), one document text is
+shared by ~10% of all docs (hot LSH band bucket + giant dup group), and
+one embedding is shared by ~10% of all vectors (hot sign-LSH family —
+the C(hot,2) irreducible-output shape measured in SCALE.md).
 This is the skewed-key hazard SCALE.md names — the smoke that measures
 it instead of arguing about it.
 
@@ -163,6 +165,22 @@ def main() -> int:
                     "text",
                     F.when(F.col("doc_id") % 10 == 0, F.col("_hot")).otherwise(
                         F.col("text")
+                    ),
+                ).drop("_hot")
+            if skew and name == "embeddings":
+                # ~10% of ALL vectors share one embedding: a giant
+                # identical family = one hot sign-LSH bucket per band
+                hot = scaled.filter(F.col("vec_id") == 0).select(
+                    F.col("embedding").alias("_hot")
+                )
+                if hot.limit(1).count() == 0:
+                    raise SystemExit(
+                        f"--skew needs vec_id == 0 in {src}/embeddings; none found"
+                    )
+                scaled = scaled.crossJoin(F.broadcast(hot)).withColumn(
+                    "embedding",
+                    F.when(F.col("vec_id") % 10 == 0, F.col("_hot")).otherwise(
+                        F.col("embedding")
                     ),
                 ).drop("_hot")
         dest = os.path.join(out, f"{name}.parquet")
