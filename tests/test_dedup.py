@@ -190,6 +190,34 @@ def test_simhash_fixture_matches_live_signatures(spark):
     assert all(fx.get(k) == v for k, v in got.items())
 
 
+def test_minhash_band_fixture_matches_live_band_keys(spark):
+    """The pinned MinHash band-key fixture (clean-room XXH64, numeric
+    input paths) must agree with the live operator's banding on every
+    sf0.001 document — the LSH-fed family's oracles model the banded
+    candidate join from this fixture, so a stale or divergent fixture
+    must fail HERE, loudly, not as an opaque oracle mismatch."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", SF)
+    sets = DD.shingle_hash_sets(d)
+    live = (
+        DD._minhash_sigs(sets, "doc_id")
+        .withColumn("bk", DD._band_keys())
+        .join(d, "doc_id")
+        .select(F.md5("text").alias("k"), F.posexplode("bk").alias("band", "key"))
+        .collect()
+    )
+    fx = {
+        (md5, band): key
+        for md5, band, key in duckdb.sql(
+            "SELECT text_md5, band, key FROM "
+            "read_parquet('/root/repo/tests/fixtures/minhash_bands.parquet')"
+        ).fetchall()
+    }
+    assert live and all(fx.get((r["k"], r["band"])) == r["key"] for r in live)
+
+
 def test_paragraph_dup_stats_planted(spark):
     """Multi-paragraph splitting semantics on a planted corpus: shared
     boilerplate paragraphs across docs are flagged, unique ones are not,
