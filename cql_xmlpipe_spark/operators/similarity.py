@@ -120,9 +120,24 @@ def banded_sign_keys(
             powers = np.left_shift(np.int64(1), np.arange(band_bits, dtype=np.int64))
         w_cache: dict = {}
         for pdf in batches:
+            # NULL embeddings carry no sign pattern — drop them here (the
+            # Column-expression paths propagate NULLs the same way: a null
+            # vector can never become a candidate)
+            pdf = pdf[pdf[emb_col].notna()]
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            try:
+                mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            except ValueError as exc:
+                seen = pdf[emb_col].map(len)
+                mode = seen.mode().iloc[0]
+                bad = pdf.loc[seen != mode, id_col].tolist()[:5]
+                raise ValueError(
+                    f"banded_sign_keys: ragged '{emb_col}' lengths "
+                    f"{sorted(seen.unique().tolist())} in one batch "
+                    f"(off-dimension {id_col}s: {bad}); embeddings must "
+                    "share one dimension"
+                ) from exc
             dim = mat.shape[1]
             planes = w_cache.get(dim)
             if planes is None:

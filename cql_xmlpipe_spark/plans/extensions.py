@@ -203,9 +203,11 @@ _MINHASH_RECALL_ORACLE = f"""
            (SELECT COUNT(*) FROM pairs) AS n_lsh,
            (SELECT COUNT(*) FROM pairs p JOIN exact_pairs e
               ON p.id_a = e.id_a AND p.id_b = e.id_b) AS n_found,
-           CAST((SELECT COUNT(*) FROM pairs p JOIN exact_pairs e
-                   ON p.id_a = e.id_a AND p.id_b = e.id_b) AS DOUBLE)
-             / (SELECT COUNT(*) FROM exact_pairs) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM exact_pairs) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM pairs p JOIN exact_pairs e
+                             ON p.id_a = e.id_a AND p.id_b = e.id_b) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM exact_pairs)
+           END AS recall
 """
 
 
@@ -237,7 +239,13 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_exact.crossJoin(F.broadcast(n_lsh))
         .crossJoin(F.broadcast(n_found))
-        .withColumn("recall", F.col("n_found") / F.col("n_exact"))
+        # NULL (not 0/0's engine-dependent NULL/NaN/inf) on a pair-free
+        # corpus: pinned on BOTH sides so the gate reports "trivially no
+        # pairs" instead of a cross-engine division-semantics mismatch
+        .withColumn(
+            "recall",
+            F.when(F.col("n_exact") > 0, F.col("n_found") / F.col("n_exact")),
+        )
     )
 
 
@@ -633,6 +641,19 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+#: Corpus fingerprint keying the frozen-run ANN pin fixtures. Covers the
+#: embedding VALUES (fixed-precision %.6e rendering), not just (vec_id,
+#: label): a regenerated corpus with identical ids/labels but different
+#: vectors must miss the pin key and hit the loud 'rerun the fixture
+#: script' error, not surface as an opaque hash-mismatch. One definition,
+#: imported by both make_ann_*_fixture.py scripts.
+EMB_CORPUS_FINGERPRINT_SQL = """
+      SELECT md5(string_agg(vec_id || ':' || label || ':' ||
+               array_to_string(list_transform(embedding,
+                 x -> printf('%.6e', CAST(x AS DOUBLE))), ';'),
+               ',' ORDER BY vec_id)) AS k
+      FROM embeddings"""
+
 _ANN_TOPK_PINS = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "tests", "fixtures", "ann_topk_pins.parquet",
@@ -646,9 +667,7 @@ def _ann_topk_oracle(algo: str) -> str:
     shuffle-partition settings before pinning), keyed by the corpus
     fingerprint; errors loudly when the corpus has no pins."""
     return f"""
-    WITH ck AS (
-      SELECT md5(string_agg(vec_id || ':' || label, ',' ORDER BY vec_id)) AS k
-      FROM embeddings),
+    WITH ck AS ({EMB_CORPUS_FINGERPRINT_SQL}),
     pins AS (
       SELECT f.q_id, f.vec_id, f.rank, f.cos
       FROM read_parquet('{_ANN_TOPK_PINS}') f, ck
@@ -739,9 +758,7 @@ def _ann_recall_oracle(algo: str) -> str:
     corpus content fingerprint so each sf reads its own pins; errors
     loudly when the current corpus has no pinned rows (testdata drift)."""
     return f"""
-    WITH ck AS (
-      SELECT md5(string_agg(vec_id || ':' || label, ',' ORDER BY vec_id)) AS k
-      FROM embeddings),
+    WITH ck AS ({EMB_CORPUS_FINGERPRINT_SQL}),
     pins AS (
       SELECT f.q_id, f.recall
       FROM read_parquet('{_ANN_PINS}') f, ck
@@ -2597,33 +2614,38 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-#: Segment size of the EWMA fold: the largest array any plan node
-#: materializes per (user, segment) group. 32 keeps per-task state tiny
-#: AND guarantees the testdata corpus (45-99 events/user) exercises the
-#: multi-segment combine path in the gate, not just in pytest. At a
-#: 10⁹-event hot user the second level holds n/32 segment structs —
-#: raise the segment size (or apply the same segmentation recursively;
-#: the affine maps compose associatively) before that becomes hot.
-_EWMA_SEG = 32
+def _ewma_seg_size(n: int) -> int:
+    """Python model of the per-user EWMA segment size: ⌈√n⌉, so the
+    per-segment event arrays AND the per-user segment array are both
+    O(√n) — no plan node ever holds an O(user-history) value. Exactness
+    across engines: n < 2⁵³ casts to double exactly and IEEE 754 requires
+    sqrt correctly rounded, so Spark/DuckDB/Python agree on ⌈√n⌉
+    bit-for-bit. Used by the tests' reference models; the SQL/Column
+    twins below inline the same expression."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n)))
 
 
 @_q(
     "events_user_ewma",
-    f"""
+    """
     WITH r AS (
       SELECT user_id,
              COALESCE(CAST(value AS DOUBLE), 0.0) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY epoch_us(ts), event_id) - 1 AS rn
+                                ORDER BY epoch_us(ts), event_id) - 1 AS rn,
+             CAST(CEIL(SQRT(CAST(COUNT(*) OVER (PARTITION BY user_id)
+                                 AS DOUBLE))) AS BIGINT) AS ss
       FROM events),
     seg AS (
-      SELECT user_id, rn // {_EWMA_SEG} AS seg,
+      SELECT user_id, rn // ss AS seg,
              COUNT(*) AS n,
              list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY rn)),
                          (acc, x) -> acc * 0.9 + x * 0.1) AS partial,
              list_reduce(list_prepend(1.0::DOUBLE, list(v ORDER BY rn)),
                          (acc, x) -> acc * 0.9) AS p9
-      FROM r GROUP BY user_id, rn // {_EWMA_SEG})
+      FROM r GROUP BY user_id, rn // ss)
     SELECT user_id,
            CAST(SUM(n) AS BIGINT) AS n_events,
            struct_extract(list_reduce(
@@ -2645,20 +2667,27 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * rank events per user (window ROW_NUMBER — WindowExec buffers
       spill to disk, unlike a collect_list array value, so the per-user
-      total order costs bounded memory);
-    * fold fixed-size segments of ``_EWMA_SEG`` events independently —
-      each segment yields the affine map x → p·x + q (p = 0.9ⁿ by
-      repeated multiplication — no libm pow(), which is not bit-stable
-      across engines; q = the fold from 0), so per-group state is ≤
-      ``_EWMA_SEG`` structs (testdata users carry 45-99 events, so the
-      gate runs REAL multi-segment combines, not a degenerate 1-segment
-      case);
-    * compose the segment maps in order with the affine monoid
-      (p, q)∘(p', q') = (p·p', q·p' + q') and read the final q —
+      total order costs bounded memory); the same window pass carries
+      COUNT(*) OVER (user), from which the per-user segment size
+      ss = ⌈√n⌉ derives (:func:`_ewma_seg_size` — cross-engine exact
+      because IEEE requires sqrt correctly rounded);
+    * fold segments of ``ss`` events independently — each segment yields
+      the affine map x → p·x + q (p = 0.9ⁿ by repeated multiplication —
+      no libm pow(), which is not bit-stable across engines; q = the
+      fold from 0), so per-group state is ≤ ⌈√n⌉ structs (testdata
+      users carry 45-99 events → ss 7-10, so the gate runs REAL
+      multi-segment combines, not a degenerate 1-segment case);
+    * compose the ≤ ⌈n/ss⌉ ≈ √n segment maps in order with the affine
+      monoid (p, q)∘(p', q') = (p·p', q·p' + q') and read the final q —
       exactly the full fold in real arithmetic, and bit-identical to
       the oracle because both engines run the same IEEE op sequence
       (the {1, 0} identity init is float-exact: 1.0·p is p, 0.0·p + q
       is q for the p > 0, non-negative-zero q this fold produces).
+
+    BOTH levels are O(√n): a 10⁹-event hot user costs two ~31623-element
+    arrays (~1 MB each), not one 10⁹-element array (the round-6 shape)
+    nor an n/32-struct second level (the round-7 shape). No plan node
+    holds O(user-history) state at any level.
 
     DETERMINISM still holds: the order is pinned by (event time, unique
     event id) and every step is single IEEE ops. On an unbounded stream
@@ -2668,13 +2697,15 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = W.partitionBy("user_id")
     r = e.select(
         "user_id",
         F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("v"),
         (F.row_number().over(w) - 1).alias("rn"),
+        F.ceil(F.sqrt(F.count(F.lit(1)).over(wall).cast("double"))).alias("ss"),
     )
     segs = (
-        r.withColumn("seg", F.expr(f"rn div {_EWMA_SEG}"))
+        r.withColumn("seg", F.expr("rn div ss"))
         .groupBy("user_id", "seg")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -37,10 +37,11 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_KEY_SQL = (
-    "SELECT md5(string_agg(vec_id || ':' || label, ',' ORDER BY vec_id)) "
-    "FROM embeddings"
-)
+# one definition with the oracle side: the fingerprint covers embedding
+# VALUES (fixed-precision), so a regenerated corpus misses the key loudly
+from cql_xmlpipe_spark.plans.extensions import EMB_CORPUS_FINGERPRINT_SQL
+
+CORPUS_KEY_SQL = EMB_CORPUS_FINGERPRINT_SQL
 
 
 def main() -> None:

@@ -215,13 +215,14 @@ def test_user_ewma_fold_order_and_value(spark, tmp_path):
 
 
 def test_user_ewma_multi_segment_combine(spark, tmp_path):
-    """100 events (> 3× _EWMA_SEG) force the affine segment-combine path;
-    the result must bit-match a pure-Python model of the SAME segmented
-    association (per-segment fold + (p,q)-monoid composition) — and stay
-    within float tolerance of the straight fold (identical in ℝ)."""
+    """100 events (⌈√100⌉ = 10-event segments → 10 segment maps) force
+    the affine segment-combine path; the result must bit-match a
+    pure-Python model of the SAME segmented association (per-segment
+    fold + (p,q)-monoid composition) — and stay within float tolerance
+    of the straight fold (identical in ℝ)."""
     from datetime import datetime
 
-    from cql_xmlpipe_spark.plans.extensions import _EWMA_SEG, events_user_ewma
+    from cql_xmlpipe_spark.plans.extensions import _ewma_seg_size, events_user_ewma
 
     sf = str(tmp_path)
     vals = [((i * 37) % 101) / 7.0 for i in range(100)]
@@ -234,7 +235,8 @@ def test_user_ewma_multi_segment_combine(spark, tmp_path):
         ],
     )
     got = events_user_ewma(spark, sf).collect()[0]
-    segs = [vals[i : i + _EWMA_SEG] for i in range(0, len(vals), _EWMA_SEG)]
+    ss = _ewma_seg_size(len(vals))
+    segs = [vals[i : i + ss] for i in range(0, len(vals), ss)]
     assert len(segs) >= 3
     P, Q = 1.0, 0.0
     for seg in segs:

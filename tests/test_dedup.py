@@ -331,6 +331,32 @@ def test_banded_sign_keys_deterministic_and_band_shaped(spark):
     )
 
 
+def test_banded_sign_keys_null_and_ragged_embeddings(spark):
+    """NULL embeddings must be dropped (matching the Column-expression
+    paths' NULL propagation — a null vector can never be a candidate),
+    and a ragged batch must fail with a message naming the off-dimension
+    ids, not an opaque numpy stack error."""
+    import pytest
+
+    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(10)]
+    rows.append((10, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = banded_sign_keys(df, "embedding", "vec_id", 3, 8).collect()
+    assert {r["vec_id"] for r in got} == set(range(10))
+    assert len(got) == 30
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0]), (2, [1.0, -2.0, 3.0]), (3, [1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        banded_sign_keys(ragged, "embedding", "vec_id", 3, 8).collect()
+    assert "ragged" in str(ei.value) and "vec_id" in str(ei.value)
+
+
 def test_plane_matrix_is_stable_fixture():
     """Pin a few splitmix64-derived weights so a silent change to the
     plane derivation (which would reshuffle every LSH bucket) fails

@@ -179,31 +179,37 @@ def test_aqe_splits_hot_lsh_band_bucket(spark):
 
 
 def test_ewma_correct_under_hot_user_skew(spark, tmp_path):
-    """One user holding a deep history (150+ segments) — the skew shape
+    """One user holding a 10⁶-event history — the skew shape
     events_user_ewma's segmented fold exists for — must still bit-match
-    the pure-Python model of the same association."""
+    the pure-Python model of the same association, and both fold levels
+    stay O(√n): ⌈√n⌉-event segments, ⌈n/⌈√n⌉⌉ segment maps (~1001 each
+    here), never an O(n) array at any level."""
+    import calendar
     import os
-    from datetime import datetime, timedelta
+    from datetime import datetime
 
-    from cql_xmlpipe_spark.plans.extensions import _EWMA_SEG, events_user_ewma
+    from cql_xmlpipe_spark.plans.extensions import _ewma_seg_size, events_user_ewma
 
     sf = str(tmp_path)
-    n = _EWMA_SEG * 150 + 7
-    vals = [((i * 61) % 997) / 13.0 for i in range(n)]
-    t0 = datetime(2024, 1, 1)
-    rows = [
-        (i, t0 + timedelta(seconds=i), 0, "a", v, "{}") for i, v in enumerate(vals)
-    ]
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
+    n = 10**6 + 7
+    t0_us = calendar.timegm(datetime(2024, 1, 1).timetuple()) * 1_000_000
+    # generate distributed (10⁶ driver-side tuples would dominate the test)
+    spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(t0_us) + F.col("id") * 1_000_000).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("a").alias("event_type"),
+        (((F.col("id") * 61) % 997) / F.lit(13.0)).alias("value"),
+        F.lit("{}").alias("props"),
     ).coalesce(4).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
     got = events_user_ewma(spark, sf).collect()[0]
+    ss = _ewma_seg_size(n)
+    assert ss * ss >= n and (ss - 1) * (ss - 1) < n  # both levels O(√n)
+    vals = [((i * 61) % 997) / 13.0 for i in range(n)]
     P, Q = 1.0, 0.0
-    for s in range(0, n, _EWMA_SEG):
+    for s in range(0, n, ss):
         p, q = 1.0, 0.0
-        for v in vals[s : s + _EWMA_SEG]:
+        for v in vals[s : s + ss]:
             q = q * 0.9 + v * 0.1
             p = p * 0.9
         P, Q = P * p, Q * p + q
