@@ -677,8 +677,9 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    n_bands: int = 24,
-    band_bits: int = 16,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup via BANDED sign-LSH.
 
@@ -694,14 +695,28 @@ def embedding_near_dup_pairs(
     key space bounds the junk-candidate volume at n_bands·C(N,2)/2^bits —
     4-bit keys (16 buckets/band) make candidate generation N²/8 on ANY
     corpus, a quadratic wall at ~10⁵ vectors; 16-bit keys push the floor
-    to 10⁶⁺ and ``band_bits`` scales further as a parameter (see
+    to 10⁶⁺ (see
     :func:`~cql_xmlpipe_spark.operators.similarity.banded_sign_keys`,
     which also explains why 384 planes need the Arrow path, not inline
     Column folds). Exact verification is unchanged, so false positives
     remain impossible at every setting.
+
+    Beyond that knee, pass ``n_hint`` (an order-of-magnitude corpus size
+    — a cheap ``COUNT(*)`` or a catalog estimate) and the band geometry
+    auto-derives from
+    :func:`~cql_xmlpipe_spark.operators.similarity.auto_band_config`:
+    band_bits grows ~2·log₂N so junk candidates stay ≤ 32·N (the flat
+    verify floor), with n_bands re-solved to hold recall ≥ 0.99 at the
+    cosine threshold. Explicit ``n_bands``/``band_bits`` always win;
+    with neither given the (24, 16) defaults apply.
     """
     from cql_xmlpipe_spark.functions.vectors import cosine
-    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
+    from cql_xmlpipe_spark.operators.similarity import auto_band_config, banded_sign_keys
+
+    if n_bands is None and band_bits is None and n_hint is not None:
+        n_bands, band_bits = auto_band_config(n_hint, threshold)
+    n_bands = 24 if n_bands is None else n_bands
+    band_bits = 16 if band_bits is None else band_bits
 
     keys = banded_sign_keys(emb, emb_col, id_col, n_bands, band_bits).persist()
     cands = (

@@ -72,6 +72,47 @@ def _plane_matrix(dim: int, n_planes: int):
     return w.reshape(n_planes, dim).T
 
 
+def auto_band_config(
+    n_hint: int,
+    threshold: float = 0.95,
+    recall_target: float = 0.99,
+    cand_per_vec: int = 32,
+) -> tuple[int, int]:
+    """(n_bands, band_bits) for sign-LSH sized to a corpus-size hint.
+
+    Solves the two LSH design equations jointly (SCALE.md's "band_bits
+    grows ~2·log₂N" policy, implemented instead of documented):
+
+    * recall: a true pair at cosine ``threshold`` matches one band with
+      probability p^band_bits, p = 1-arccos(threshold)/π; n_bands =
+      ⌈ln(1-recall_target)/ln(1-p^band_bits)⌉ keeps whole-pipeline
+      recall ≥ recall_target at every width.
+    * junk floor: random non-near pairs collide on one band with
+      probability 2^-band_bits, so expected junk candidates are
+      n_bands·C(N,2)/2^band_bits; the smallest (even) band_bits with
+      junk ≤ ``cand_per_vec``·N bounds verify cost at O(N), the flat
+      floor — this is what makes band_bits ≈ 2·log₂N + O(log log) once
+      N clears the 16-bit default's ~10⁶ knee.
+
+    The price of scale is index width, not a rewrite: (23,16) at 10⁴,
+    ≈(37,20) at 10⁶, ≈(138,32) at 10⁹ — n_bands·N index rows of three
+    ints, the standard sign-LSH cost law at this (threshold, recall)
+    point. band_bits caps at 62 so a packed key stays in a signed int64.
+    Deterministic pure arithmetic — safe to call on executors or driver.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n = max(2, int(n_hint))
+    for bits in range(16, 63, 2):
+        n_bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p**bits)))
+        junk = n_bands * n * (n - 1) / 2.0 / 2.0**bits
+        if junk <= cand_per_vec * n:
+            return n_bands, bits
+    n_bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p**62)))
+    return n_bands, 62
+
+
 def banded_sign_keys(
     df: DataFrame,
     emb_col: str = "embedding",

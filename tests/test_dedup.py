@@ -90,6 +90,65 @@ def test_embedding_near_dup_recovers_planted(spark):
         assert cos >= 0.95
 
 
+def test_auto_band_config_policy():
+    """Pin the auto-derived sign-LSH geometry at three corpus decades:
+    the 16-bit default regime below the ~10⁶ knee, then band_bits
+    growing ~2·log₂N with n_bands re-solved for recall ≥ 0.99, junk
+    candidates bounded ≤ 32·N at every width (the flat verify floor)."""
+    from cql_xmlpipe_spark.operators.similarity import auto_band_config
+
+    assert auto_band_config(10_000) == (23, 16)
+    assert auto_band_config(1_000_000) == (37, 20)
+    assert auto_band_config(1_000_000_000) == (138, 32)
+    p = 1.0 - math.acos(0.95) / math.pi
+    prev_bits = 0
+    for n in (10**4, 10**5, 10**6, 10**7, 10**8, 10**9):
+        n_bands, bits = auto_band_config(n)
+        assert bits >= prev_bits  # width monotone in corpus size
+        prev_bits = bits
+        junk = n_bands * n * (n - 1) / 2 / 2**bits
+        assert junk <= 32 * n  # flat floor held
+        recall = 1.0 - (1.0 - p**bits) ** n_bands
+        assert recall >= 0.99  # recall re-solved, not sacrificed
+
+
+def test_embedding_near_dup_identical_across_band_widths(spark):
+    """The auto-scaled geometry is exactness-preserving where exactness
+    is possible: on a corpus whose true near-dups are exact clones
+    (identical sign patterns ⇒ guaranteed candidates at ANY width), the
+    verified output at the (24,16) default and at the 10⁶-corpus
+    auto-config (37,20) must be identical — width moves the junk floor,
+    never the contract."""
+    rng = random.Random(9)
+    dim = 32
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, unit()) for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # 5 exact clones
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    default = sorted(
+        map(tuple, DD.embedding_near_dup_pairs(df, threshold=0.95).collect())
+    )
+    from cql_xmlpipe_spark.operators.similarity import auto_band_config
+
+    wide = sorted(
+        map(
+            tuple,
+            DD.embedding_near_dup_pairs(df, threshold=0.95, n_hint=10**6).collect(),
+        )
+    )
+    assert auto_band_config(10**6) == (37, 20)
+    assert default == wide
+    assert {(p[0], p[1]) for p in default} >= {(i, 100 + i) for i in range(5)}
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(10, "same"), (3, "same"), (7, "other")], "doc_id long, text string"
