@@ -100,6 +100,9 @@ HEADLINE = [
     # round-6 wave 6: variant extraction, incremental-ingest dedup
     "variant_extraction_events",
     "dedup_incremental_probe",
+    # round-8: the linear-output dedup contract (cluster rosters, not
+    # C(k,2) pairs) and the append-mode production session-window plan
+    "dedup_minhash_groups",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."

@@ -411,6 +411,40 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cluster_assign_collapsed(d, threshold=0.5, k=3)
 
 
+_GROUPS_ORACLE = f"""
+    WITH RECURSIVE {_lsh_band_ctes(0.5)},
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.w AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.v
+    ),
+    lab AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           list(v ORDER BY v) AS members
+    FROM lab GROUP BY cluster_id HAVING COUNT(*) >= 2
+"""
+
+
+@_q("dedup_minhash_groups", _GROUPS_ORACLE)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster rosters — the LINEAR-output dedup contract:
+    (cluster_id, size, sorted member ids) per multi-doc cluster, riding
+    the same collapse→LSH→verify→CC pipeline as ``dedup_cluster_assign``
+    (operators/dedup.py::minhash_groups_collapsed). Registered so the
+    skew-flat production path is itself oracle-green: a k-clone hot
+    family costs one k-element row here versus C(k,2) rows under the
+    pair contract. Oracle = the same recursive-CTE fixpoint over the
+    pinned band-key fixture, aggregated to rosters."""
+    return DD.minhash_groups_collapsed(
+        load_table(spark, "documents", sf_dir), threshold=0.5, k=3
+    )
+
+
 @_q(
     "doc_pack_sequences",
     """

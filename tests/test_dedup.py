@@ -149,6 +149,25 @@ def test_embedding_near_dup_identical_across_band_widths(spark):
     assert {(p[0], p[1]) for p in default} >= {(i, 100 + i) for i in range(5)}
 
 
+def test_minhash_groups_rosters(spark):
+    """The linear-output contract: one roster row per multi-doc cluster
+    with sorted members, singletons omitted — must agree with the pair
+    contract's transitive closure on a planted clone family + chain."""
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, fam),
+        (2, fam),
+        (5, fam),  # clone family {1,2,5}
+        (9, "an unrelated report about spark catalyst optimizer rules"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["cluster_id"]: (r["cluster_size"], list(r["members"]))
+        for r in DD.minhash_groups_collapsed(df, threshold=0.5, k=3).collect()
+    }
+    assert got == {1: (3, [1, 2, 5])}
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(10, "same"), (3, "same"), (7, "other")], "doc_id long, text string"
