@@ -103,6 +103,7 @@ HEADLINE = [
     # round-8: the linear-output dedup contract (cluster rosters, not
     # C(k,2) pairs) and the append-mode production session-window plan
     "dedup_minhash_groups",
+    "streaming_session_window_append",
 ]
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."

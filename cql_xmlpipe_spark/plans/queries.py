@@ -1941,6 +1941,83 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_session_window_append",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+                  OR LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM t),
+    sess AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MIN(us) AS session_start_us, MAX(us) AS session_end_us
+      FROM s GROUP BY user_id, session_id),
+    wm AS (SELECT ((MAX(epoch_us(ts)) // 1000) - 3600000) * 1000 AS w
+           FROM events)
+    SELECT user_id, n_events, session_start_us, session_end_us
+    FROM sess, wm WHERE session_end_us + 600000000 < wm.w
+    """,
+)
+def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION session-window plan: readStream → ``session_window``
+    → **append mode with a 1-hour watermark** → availableNow into a
+    memory sink. Unlike the complete-mode gate twin (whose state carries
+    every user forever — the bounded-gate trade recorded in SCALE.md),
+    append emits each session once when the watermark passes its end and
+    EVICTS its state — the unbounded-stream shape where state holds only
+    open sessions inside the lateness SLA.
+
+    Emission semantics pinned empirically (and modeled in the oracle):
+    Spark truncates the watermark to milliseconds (event-time stats
+    collect µs//1000) and finalizes strictly — a session whose
+    window end (last event + gap) equals the watermark is NOT emitted.
+    So the oracle is the batch lag/cumsum sessionization restricted to
+    sessions with end + gap < (max_ts_ms - 1 h)·1000: on a bounded
+    replay the final sessions stay in state by construction (their end
+    exceeds any reachable watermark); the complete-mode twin covers
+    them. Gate corpora stage as ONE file → one data micro-batch → no
+    event can be late; on a multi-file stream the 1-hour delay is the
+    real lateness SLA (later files' older events drop past it —
+    production semantics, not gate semantics). ``session_end_us`` is
+    last-event time (gap subtracted), matching the complete twin."""
+    from cql_xmlpipe_spark.streaming.sources import stream_events
+    from cql_xmlpipe_spark.streaming.windows import session_window_stats
+
+    global _STREAM_TWIN_SEQ
+    _STREAM_TWIN_SEQ += 1
+    name = f"streaming_session_window_append_{_STREAM_TWIN_SEQ}"
+    q = (
+        session_window_stats(
+            stream_events(spark, sf_dir), gap="10 minutes", watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming append twin did not finish in 300s")
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        "session_start_us",
+        (F.col("session_end_us") - 600_000_000).alias("session_end_us"),
+    )
+
+
+@_q(
     "streaming_watermark_dedup",
     """
     SELECT DISTINCT user_id, event_type,

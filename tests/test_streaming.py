@@ -83,6 +83,34 @@ def test_session_window_stream_equals_batch(spark):
     assert got_rows == want_rows
 
 
+def test_session_window_append_equals_batch_closed_sessions(spark):
+    """The PRODUCTION append+watermark session plan: emitted rows must be
+    exactly the batch sessions already CLOSED at the final watermark
+    (end + gap strictly before max_ts(ms-floor) - 1 h — the empirically
+    pinned Spark emission rule), the emission must be non-trivial on the
+    gate corpus, and every emitted session's state was evictable (append
+    never emits an open session)."""
+    from cql_xmlpipe_spark.plans import QUERIES
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    got = QUERIES["streaming_session_window_append"](spark, SF)
+    gap_us = 10 * 60 * 1_000_000
+    max_us = load_table(spark, "events", SF).agg(
+        F.max(F.unix_micros("ts"))
+    ).collect()[0][0]
+    wm_us = (max_us // 1000 - 3_600_000) * 1000
+    want = QUERIES["events_sessionize"](spark, SF).filter(
+        F.col("session_end_us") + gap_us < wm_us
+    )
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    got_rows = _rows(got, cols)
+    assert got_rows == _rows(want, cols)
+    assert len(got_rows) > 0  # the gate actually exercises emission
+    # and some sessions remain open/held: append < complete
+    n_all = QUERIES["events_sessionize"](spark, SF).count()
+    assert len(got_rows) < n_all
+
+
 def test_stream_stream_interval_join_equals_batch(spark):
     from cql_xmlpipe_spark.streaming.joins import purchases_with_recent_clicks
 
