@@ -80,21 +80,83 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
 
 
-def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
+#: Default DataSource-V2 format of the live connector (jar not baked into
+#: this environment; tests inject a registered Python DataSource instead).
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+
+
+def cassandra_options(
+    keyspace: str,
+    table: str,
+    host: str = "127.0.0.1",
+    port: int = 9042,
+    username: str | None = None,
+    password: str | None = None,
+    read_timeout_ms: int = 40000,
+    fetch_size: int = 1000,
+) -> dict[str, str]:
+    """The reference's connection surface (``Query.java:127-143``) mapped
+    onto the public spark-cassandra-connector option namespace:
+
+    * ``addContactPoints``/``withPort`` → ``connection.host``/``.port``
+      (host accepts the same comma-separated multi-node list);
+    * ``withCredentials`` → ``auth.username``/``auth.password``, emitted
+      only when a username is given — the reference builds a
+      credential-less Cluster in that branch, not empty credentials;
+    * ``SocketOptions.setReadTimeoutMillis(40000)`` → ``read.timeoutMS``;
+    * ``setFetchSize(batchSize)`` (``Query.java:31,152`` — the paging
+      that bounds driver memory) → ``input.fetch.sizeInRows``; in Spark
+      the real constant-memory property is partition-parallel scanning,
+      but the per-request page size still caps coordinator round-trips;
+    * ``ExponentialReconnectionPolicy(500, 300000)`` →
+      ``connection.reconnectionDelayMS.min``/``.max``. (The reference's
+      ``DowngradingConsistencyRetryPolicy`` has no connector equivalent —
+      consistency is a read conf, ``input.consistency.level``, left at
+      the connector default LOCAL_ONE which is where the downgrading
+      policy bottoms out anyway.)
+
+    Split from :func:`read_cassandra` so the option contract is testable
+    without the jar.
+    """
+    opts = {
+        "keyspace": keyspace,
+        "table": table,
+        "spark.cassandra.connection.host": host,
+        "spark.cassandra.connection.port": str(port),
+        "spark.cassandra.read.timeoutMS": str(read_timeout_ms),
+        "spark.cassandra.input.fetch.sizeInRows": str(fetch_size),
+        "spark.cassandra.connection.reconnectionDelayMS.min": "500",
+        "spark.cassandra.connection.reconnectionDelayMS.max": "300000",
+    }
+    if username is not None:
+        opts["spark.cassandra.auth.username"] = username
+        opts["spark.cassandra.auth.password"] = password if password is not None else ""
+    return opts
+
+
+def read_cassandra(
+    spark: SparkSession,
+    keyspace: str,
+    table: str,
+    fmt: str = CASSANDRA_FORMAT,
+    **conn_kwargs,
+) -> DataFrame:
     """Cassandra source (the reference's actual input, ``Query.java:146-153``).
 
-    Requires the spark-cassandra-connector jar on the classpath; not baked
-    into this environment, so this raises with guidance instead of failing
-    deep inside the JVM.
+    The live path requires the spark-cassandra-connector jar on the
+    classpath; not baked into this environment, so it raises with guidance
+    instead of failing deep inside the JVM. The option-passing contract is
+    covered without the jar by ``tests/test_sources.py``, which registers
+    an in-process Python DataSource (DataSource-V2) as ``fmt`` and asserts
+    every ``cassandra_options`` entry arrives through ``spark.read``.
     """
+    opts = cassandra_options(keyspace, table, **conn_kwargs)
     try:
-        return (
-            spark.read.format("org.apache.spark.sql.cassandra")
-            .options(keyspace=keyspace, table=table)
-            .load()
-        )
-    except Exception as exc:  # pragma: no cover - connector not in test env
-        raise RuntimeError(
+        return spark.read.format(fmt).options(**opts).load()
+    except Exception as exc:
+        if fmt != CASSANDRA_FORMAT:
+            raise
+        raise RuntimeError(  # pragma: no cover - connector not in test env
             "spark-cassandra-connector is not on the classpath; add "
             "`--packages com.datastax.spark:spark-cassandra-connector_2.13:...` "
             "to spark-submit to read live Cassandra tables"
