@@ -120,9 +120,11 @@ if _only:
     HEADLINE = [n for n in HEADLINE if n in _names]
 
 
-#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r06
+#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r07
 #: and the adjudication re-runs; BASELINE.md). Used ONLY as the
-#: stall-detection threshold — never reported as results.
+#: stall-detection threshold — never reported as results. Round-8
+#: additions (dedup_minhash_groups, streaming_session_window_append)
+#: get records once BENCH_r08 exists.
 RECORDS = {
     "corpus_mix_resample": 0.489,
     "dedup_cluster_assign": 3.575,
@@ -143,12 +145,12 @@ RECORDS = {
     "events_funnel_conversion": 0.597,
     "events_interarrival_histogram": 0.564,
     "events_peak_concurrency": 1.02,
-    "events_session_paths": 0.888,
+    "events_session_paths": 0.865,
     "events_sessionize": 0.388,
     "events_type_transitions": 0.555,
     "events_user_ewma": 0.415,
     "events_value_outliers": 0.536,
-    "multimodal_image_features_codec": 1.908,
+    "multimodal_image_features_codec": 1.795,
     "outer_join_order_distribution": 0.432,
     "phrase_search_postings": 0.661,
     "q17_small_quantity_revenue": 0.846,
@@ -172,7 +174,7 @@ RECORDS = {
     "text_langid_heuristic": 0.454,
     "text_quality_scores": 0.507,
     "text_repetition_scores": 1.698,
-    "text_term_cooccurrence": 1.27,
+    "text_term_cooccurrence": 1.26,
     "text_tfidf_top_terms": 0.849,
     "text_vocab_oov": 1.562,
     "token_orders_murmur3": 0.385,
@@ -238,7 +240,15 @@ def main() -> int:
     # standalone (SCALE.md). A periodic restart bounds that residue the
     # way a real cluster's per-job executors do; the driver's sf0.1 run
     # keeps it off so recorded numbers stay comparable.
-    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "0"))
+    # Default policy (recorded in SCALE.md): ON (N=10) for scale smokes —
+    # any SF_DIR outside the driver's /root/testdata tree — because the
+    # 100× suite numbers are not reproducible without it; OFF for the
+    # driver's sf0.1 bench so recorded numbers stay comparable across
+    # rounds. Explicit SPARK_GRAFT_RESTART_EVERY always wins.
+    _restart_default = "0" if SF_DIR.startswith("/root/testdata") else "10"
+    restart_every = int(
+        os.environ.get("SPARK_GRAFT_RESTART_EVERY", _restart_default)
+    )
     timed_count = 0
 
     def _timed(name, fn) -> float:

@@ -434,6 +434,7 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     threshold: float = 0.5,
     k: int = 3,
+    verify: str = "arrays",
 ) -> DataFrame:
     """Exact pairwise shingle Jaccard within blocking groups, via inverted
     index — NOT a block² cross join.
@@ -444,6 +445,22 @@ def ngram_jaccard_pairs(
     Same result set as the naive cross product (any pair with jaccard > 0
     shares ≥1 shingle) at a fraction of the cost; the LSH path above is
     still the first choice at 100 TB (this one degrades on stop-shingles).
+
+    ``verify`` picks how candidate intersections are computed — the
+    verify step is the output bill at near-dup-heavy decades (24.7M
+    pairs × shingle sets = 1594.7 s at jitter-100×, SCALE.md):
+
+    * ``"arrays"`` (default): join each candidate to both docs' sorted
+      shingle-hash arrays and take ``array_intersect`` — two id-keyed
+      joins, arrays duplicated per candidate pair.
+    * ``"explode"``: fan each candidate out over the A-side doc's
+      elements as fixed-width (id_a, id_b, s) rows, match them against
+      the B-side postings on (id_b, s), and COUNT matches per pair — no
+      array value ever crosses a shuffle; the same length filter runs
+      first on a bare (id, |sh|) table. Exactly the same pair set and
+      bit-identical jaccard (both compute inter/(|A|+|B|-inter) on the
+      same ints; pytest pins variant equality). Measured A/B at the
+      jittered decade in SCALE.md decides the default.
     """
     sh = shingles(words(F.col(text_col)), k)
     # sorted distinct shingle hashes = canonical global order for the
@@ -476,6 +493,10 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if verify == "explode":
+        return _track_cached(
+            _verify_pairs_exploded(cands, base, id_col, threshold), base
+        )
     sets = base.select(F.col(id_col), "sh")
     verified = (
         cands.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -495,6 +516,53 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         base,
+    )
+
+
+def _verify_pairs_exploded(
+    cands: DataFrame, base: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Array-free candidate verification: intersection sizes by counting
+    matched (pair, element) rows instead of shipping shingle-set arrays.
+
+    Length-filter on a bare (id, |sh|) table first (same PPJoin pruning
+    as the arrays path), fan surviving candidates over the A-side doc's
+    elements (fixed-width (id_a, id_b, s) longs), inner-join against the
+    B-side postings on (id_b, s) — each match is one shared element —
+    and count per pair. Every shuffled row is three longs; no per-pair
+    array duplication, no array_intersect. Bit-identical output to the
+    arrays path: the same integer (inter, |A|, |B|) feed the same
+    inter/(|A|+|B|-inter) double division. Candidates from the prefix
+    filter always share ≥ 1 element, so no pair is lost to the inner
+    join (and a lost pair would have jaccard 0 < threshold anyway)."""
+    sizes = base.select(F.col(id_col), F.size("sh").alias("n"))
+    c2 = (
+        cands.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b"
+        )
+        .filter(
+            (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
+    )
+    elems = base.select(F.col(id_col), F.explode("sh").alias("s"))
+    fanned = c2.join(
+        elems.select(F.col(id_col).alias("id_a"), "s"), "id_a"
+    )
+    matched = fanned.join(
+        elems.select(F.col(id_col).alias("id_b"), "s"), ["id_b", "s"]
+    )
+    inter = F.col("inter")
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        matched.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("inter"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -877,6 +945,7 @@ def ngram_jaccard_pairs_collapsed(
     block_col: str = "lang",
     threshold: float = 0.5,
     k: int = 3,
+    verify: str = "arrays",
 ) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with exact-duplicate collapse — the
     same staging that made the minhash family volume-flat on clone-heavy
@@ -911,7 +980,7 @@ def ngram_jaccard_pairs_collapsed(
     # at the 10x smoke before these pins)
     rep_docs = df.join(rep_ids, id_col, "left_semi").persist()
     rep_pairs = ngram_jaccard_pairs(
-        rep_docs, text_col, id_col, block_col, threshold, k
+        rep_docs, text_col, id_col, block_col, threshold, k, verify
     )
     # eligibility: groups whose text yields >= 1 shingle (cheap expression
     # filter on the rep docs — no pairing work); persisted because em is

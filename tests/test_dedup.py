@@ -149,6 +149,28 @@ def test_embedding_near_dup_identical_across_band_widths(spark):
     assert {(p[0], p[1]) for p in default} >= {(i, 100 + i) for i in range(5)}
 
 
+def test_ngram_jaccard_verify_variants_identical(spark):
+    """The arrays- and explode-verify paths must emit the SAME pair set
+    with bit-identical jaccard values on real documents (both divide the
+    same integer (inter, |A|, |B|) triple) — the A/B in SCALE.md only
+    trades shuffle shape, never the exact contract."""
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    a = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(docs, threshold=0.35, verify="arrays").collect())
+    )
+    b = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(docs, threshold=0.35, verify="explode").collect())
+    )
+    assert a == b and len(a) > 0
+    ac = sorted(
+        map(
+            tuple,
+            DD.ngram_jaccard_pairs_collapsed(docs, threshold=0.35, verify="explode").collect(),
+        )
+    )
+    assert ac == a
+
+
 def test_minhash_groups_rosters(spark):
     """The linear-output contract: one roster row per multi-doc cluster
     with sorted members, singletons omitted — must agree with the pair
