@@ -257,27 +257,74 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
 
-    train = corpus.select(array_to_vector(F.col(emb_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="features").fit(train)
+    train = corpus.filter(F.col(emb_col).isNotNull()).select(
+        array_to_vector(F.col(emb_col)).alias("features")
+    )
+    try:
+        model = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="features").fit(train)
+    except Exception:
+        # fit dies deep in MLlib on mixed dimensions — diagnose before
+        # re-raising (failure path only; one scan over array lengths)
+        dims = (
+            corpus.filter(F.col(emb_col).isNotNull())
+            .groupBy(F.size(F.col(emb_col)).alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("example"))
+            .orderBy("dim")
+            .collect()
+        )
+        if len(dims) > 1:
+            raise ValueError(
+                f"ivf_topk: ragged '{emb_col}' dimensions "
+                f"{[(r['dim'], r['n']) for r in dims]} (example {id_col} "
+                f"per dim: {[r['example'] for r in dims]}); embeddings "
+                "must share one dimension"
+            ) from None
+        raise
     centers = np.stack(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
     )  # k×d
     half_norms = (centers * centers).sum(axis=1) / 2.0
 
     def _top_cells(batch: pd.Series, n: int) -> list:
-        M = np.stack(batch.to_numpy())  # b×d
+        # NULL embeddings get a NULL cell — they drop at the equi-join,
+        # the same "a null vector is never a result" semantics the
+        # Column-expression paths (with_sign_bucket, cosine) give for free
+        out: list = [None] * len(batch)
+        mask = batch.notna()
+        if not mask.any():
+            return out
+        vals = batch[mask]
+        try:
+            M = np.stack(vals.to_numpy())  # b×d
+        except ValueError as exc:
+            lens = vals.map(len)
+            raise ValueError(
+                f"ivf_topk: ragged embedding lengths "
+                f"{sorted(lens.unique().tolist())} in one batch; "
+                "embeddings must share one dimension"
+            ) from exc
         scores = M @ centers.T - half_norms  # maximize x·c - |c|²/2
-        return list(np.argsort(-scores, axis=1)[:, :n].astype("int32"))
+        tops = np.argsort(-scores, axis=1)[:, :n].astype("int32")
+        for i, a in zip(np.flatnonzero(mask.to_numpy()), tops):
+            out[i] = a
+        return out
 
     @F.pandas_udf(T.IntegerType())
     def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
-            yield pd.Series([int(a[0]) for a in _top_cells(batch, 1)])
+            yield pd.Series(
+                [int(a[0]) if a is not None else None for a in _top_cells(batch, 1)]
+            )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
-            yield pd.Series([[int(x) for x in a] for a in _top_cells(batch, n_probe)])
+            yield pd.Series(
+                [
+                    [int(x) for x in a] if a is not None else None
+                    for a in _top_cells(batch, n_probe)
+                ]
+            )
 
     c = corpus.withColumn("cell", nearest_cell(F.col(emb_col)))
     q = queries.withColumn(

@@ -85,3 +85,35 @@ def test_ann_runs_on_driver_embeddings(corpus_and_queries):
         for r in rows:
             assert r["q_id"] != r["vec_id"] and 1 <= r["rank"] <= 10
             assert -1.000001 <= r["cos"] <= 1.000001
+
+
+def test_ivf_null_and_ragged_embeddings(spark):
+    """IVF's Arrow assignment path must mirror the Column-expression
+    paths' NULL semantics (a null vector is never trained on, never a
+    candidate, never a result — it gets a NULL cell and drops at the
+    equi-join) and must name raggedness instead of an opaque numpy
+    stack error. Same contract as banded_sign_keys (test_dedup)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((40, None))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (1, None)], "q_id long, q_emb array<float>"
+    )
+    got = ivf_topk(e, q, k=5, n_cells=4, n_probe=2).collect()
+    assert got, "IVF returned nothing for the valid query"
+    assert all(r["q_id"] == 0 for r in got)  # null query yields no rows
+    assert all(r["vec_id"] != 40 for r in got)  # null corpus vec never a result
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0]), (2, [1.0, -2.0, 3.0]), (3, [1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    rq = spark.createDataFrame(
+        [(0, [1.0, -2.0, 3.0])], "q_id long, q_emb array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        ivf_topk(ragged, rq, k=2, n_cells=2, n_probe=1).collect()
+    assert "ragged" in str(ei.value)
