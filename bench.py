@@ -120,66 +120,68 @@ if _only:
     HEADLINE = [n for n in HEADLINE if n in _names]
 
 
-#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r07
-#: and the adjudication re-runs; BASELINE.md). Used ONLY as the
-#: stall-detection threshold — never reported as results. Round-8
-#: additions (dedup_minhash_groups, streaming_session_window_append)
-#: get records once BENCH_r08 exists.
+#: Per-query cross-round records at sf0.1 (min across BENCH_r03-r07,
+#: the adjudication re-runs, and the round-8 local run; BASELINE.md).
+#: Used ONLY as the stall-detection threshold — never reported as
+#: results. Covers all 61 headline queries (the round-8 additions
+#: seeded from /tmp/bench_r8_local.json).
 RECORDS = {
-    "corpus_mix_resample": 0.489,
+    "corpus_mix_resample": 0.469,
     "dedup_cluster_assign": 3.575,
     "dedup_exact_hash_groups": 0.212,
-    "dedup_graph_degree": 4.273,
-    "dedup_incremental_probe": 3.689,
+    "dedup_graph_degree": 4.158,
+    "dedup_incremental_probe": 3.601,
+    "dedup_minhash_groups": 5.369,
     "dedup_minhash_lsh": 2.82,
     "dedup_ngram_jaccard": 3.841,
     "dedup_paragraphs": 0.609,
-    "dedup_prefix_hash_groups": 0.356,
-    "dedup_survivor_selection": 5.88,
+    "dedup_prefix_hash_groups": 0.347,
+    "dedup_survivor_selection": 5.528,
     "distinct_counts": 0.613,
     "doc_id_sdbm_customer": 0.302,
     "doc_pack_sequences": 0.287,
-    "embedding_kmeans_iter3": 1.527,
-    "embedding_kmeans_step": 0.634,
-    "events_cohort_retention": 0.56,
-    "events_funnel_conversion": 0.597,
+    "embedding_kmeans_iter3": 1.449,
+    "embedding_kmeans_step": 0.62,
+    "events_cohort_retention": 0.526,
+    "events_funnel_conversion": 0.561,
     "events_interarrival_histogram": 0.564,
-    "events_peak_concurrency": 1.02,
-    "events_session_paths": 0.865,
+    "events_peak_concurrency": 0.944,
+    "events_session_paths": 0.81,
     "events_sessionize": 0.388,
     "events_type_transitions": 0.555,
     "events_user_ewma": 0.415,
     "events_value_outliers": 0.536,
-    "multimodal_image_features_codec": 1.795,
+    "multimodal_image_features_codec": 1.715,
     "outer_join_order_distribution": 0.432,
-    "phrase_search_postings": 0.661,
+    "phrase_search_postings": 0.598,
     "q17_small_quantity_revenue": 0.846,
     "q1_pricing_summary": 1.021,
-    "q21_late_suppliers": 1.412,
-    "q2_min_cost_supplier": 1.532,
+    "q21_late_suppliers": 1.361,
+    "q2_min_cost_supplier": 1.48,
     "q3_shipping_priority": 0.612,
     "q5_local_supplier_volume": 0.696,
-    "q7_volume_shipping": 0.898,
+    "q7_volume_shipping": 0.832,
     "q8_market_share": 1.274,
     "q9_product_profit": 0.877,
     "similarity_cosine_topk": 0.52,
-    "source_overlap_jaccard": 2.683,
-    "streaming_session_window": 1.522,
-    "streaming_tumbling_window": 1.446,
-    "streaming_user_profile_state": 1.691,
-    "streaming_watermark_dedup": 1.629,
+    "source_overlap_jaccard": 2.664,
+    "streaming_session_window": 1.435,
+    "streaming_session_window_append": 2.018,
+    "streaming_tumbling_window": 1.399,
+    "streaming_user_profile_state": 1.613,
+    "streaming_watermark_dedup": 1.553,
     "text_crossdoc_ngram_dup": 2.711,
     "text_decontaminate_eval_overlap": 1.672,
-    "text_lang_confusion": 0.671,
+    "text_lang_confusion": 0.661,
     "text_langid_heuristic": 0.454,
     "text_quality_scores": 0.507,
     "text_repetition_scores": 1.698,
-    "text_term_cooccurrence": 1.26,
+    "text_term_cooccurrence": 1.24,
     "text_tfidf_top_terms": 0.849,
-    "text_vocab_oov": 1.562,
-    "token_orders_murmur3": 0.385,
+    "text_vocab_oov": 1.467,
+    "token_orders_murmur3": 0.376,
     "topk_orders": 0.165,
-    "variant_extraction_events": 0.475,
+    "variant_extraction_events": 0.464,
     "window_running_revenue": 0.444,
     "window_top3_orders_per_customer": 0.403,
     "xmlpipe_embeddings_export": 0.281,
