@@ -54,6 +54,14 @@ def unpersist_intermediates(result: DataFrame, blocking: bool = False) -> None:
     result._xmlpipe_cached = []  # type: ignore[attr-defined]
 
 
+class PairOutputBudgetExceeded(ValueError):
+    """Pre-flight output arithmetic shows a pair-contract run would emit
+    more rows than the caller's ``max_pairs`` cap allows. The fix is
+    almost always the roster contract (:func:`minhash_groups_collapsed`),
+    not a bigger cluster: the pair volume is the CONTRACT's, C(k,2) per
+    k-clone family, and no physical plan can shrink it."""
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per exact text; flag the rest.
 
@@ -281,6 +289,7 @@ def minhash_lsh_pairs_collapsed(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 3,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with exact-duplicate collapse — the
     production staging every large-corpus dedup runs (exact-dedup first,
@@ -302,8 +311,43 @@ def minhash_lsh_pairs_collapsed(
     (every doc carrying 99 clones): 56.3 → 7.1 s. Groups whose texts
     produce zero shingles never entered the LSH universe before and are
     excluded from expansion ("eligible" semi-join) — zero-shingle docs
-    emit no pairs, exactly as before."""
+    emit no pairs, exactly as before.
+
+    ``max_pairs`` (opt-in) is the scale guard-rail: BEFORE the LSH/verify
+    pipeline runs, the already-computed collapse-group sizes price the
+    output — exact-clone families alone imply Σ C(g,2) pair rows, a
+    LOWER bound on the contract's volume (near-dup cross pairs only add
+    to it). Past the cap this raises :class:`PairOutputBudgetExceeded`
+    pointing at :func:`minhash_groups_collapsed` instead of launching a
+    job whose OUTPUT is intractable by arithmetic — at the skew-100×
+    smoke one 50,000-clone family means 1.25B rows before the first
+    near-dup is even found (SCALE.md). Costs one count-style action over
+    the persisted hash projection; None (default) skips it."""
     mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
+    if max_pairs is not None:
+        stats = (
+            mem.groupBy("rep")
+            .agg(F.count(F.lit(1)).alias("g"))
+            .agg(
+                F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
+                F.max("g").alias("g_max"),
+            )
+            .collect()[0]
+        )
+        if (stats["clone_pairs"] or 0) > max_pairs:
+            for c in (mem, th, sets, *getattr(rep_pairs, "_xmlpipe_cached", [])):
+                try:
+                    c.unpersist()
+                except Exception:  # pragma: no cover - session teardown race
+                    pass
+            raise PairOutputBudgetExceeded(
+                f"minhash_lsh_pairs_collapsed: exact-clone families alone imply "
+                f">= {stats['clone_pairs']:,} output pair rows (largest family "
+                f"{stats['g_max']:,} docs => C({stats['g_max']:,}, 2) rows), over "
+                f"max_pairs={max_pairs:,}. The pair contract is irreducibly "
+                "quadratic in clone-family size; use minhash_groups_collapsed "
+                "(one roster row per family, linear output) or raise max_pairs."
+            )
     eligible = sets.select(F.col(id_col).alias("rep"))
     em = mem.join(eligible, "rep")
     within = (
@@ -776,6 +820,33 @@ def connected_components(
     return clustered.unionByName(singletons)
 
 
+def _resolve_band_geometry(
+    emb: DataFrame,
+    threshold: float,
+    n_bands: int | None,
+    band_bits: int | None,
+    n_hint: int | None,
+    auto_geometry: bool,
+) -> tuple[int, int]:
+    """Resolve the sign-LSH band geometry for
+    :func:`embedding_near_dup_pairs`. Precedence: explicit parameters
+    (each independently overridable against the 24/16 defaults) >
+    auto-derivation from ``n_hint`` > auto-derivation from a one-action
+    ``COUNT(*)`` > the fixed (24, 16) defaults when ``auto_geometry``
+    is off. Factored out so tests can pin the resolution table without
+    running the LSH pipeline."""
+    from cql_xmlpipe_spark.operators.similarity import auto_band_config
+
+    if n_bands is not None or band_bits is not None:
+        return (24 if n_bands is None else n_bands,
+                16 if band_bits is None else band_bits)
+    if n_hint is None and auto_geometry:
+        n_hint = emb.count()
+    if n_hint is not None:
+        return auto_band_config(n_hint, threshold)
+    return (24, 16)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -784,6 +855,7 @@ def embedding_near_dup_pairs(
     n_bands: int | None = None,
     band_bits: int | None = None,
     n_hint: int | None = None,
+    auto_geometry: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup via BANDED sign-LSH.
 
@@ -805,22 +877,27 @@ def embedding_near_dup_pairs(
     Column folds). Exact verification is unchanged, so false positives
     remain impossible at every setting.
 
-    Beyond that knee, pass ``n_hint`` (an order-of-magnitude corpus size
-    — a cheap ``COUNT(*)`` or a catalog estimate) and the band geometry
-    auto-derives from
-    :func:`~cql_xmlpipe_spark.operators.similarity.auto_band_config`:
+    The geometry auto-derives from corpus size BY DEFAULT (round 9; the
+    r8 opt-in knee is gone): with no explicit ``n_bands``/``band_bits``,
+    ``n_hint`` (an order-of-magnitude corpus size — a catalog estimate
+    or prior count) feeds
+    :func:`~cql_xmlpipe_spark.operators.similarity.auto_band_config`,
+    and with no hint either the operator spends one ``COUNT(*)`` action
+    to derive it — trivially amortized against the LSH job it sizes.
     band_bits grows ~2·log₂N so junk candidates stay ≤ 32·N (the flat
     verify floor), with n_bands re-solved to hold recall ≥ 0.99 at the
-    cosine threshold. Explicit ``n_bands``/``band_bits`` always win;
-    with neither given the (24, 16) defaults apply.
+    cosine threshold; verification stays exact, so the OUTPUT is
+    geometry-independent at every setting (pytest-pinned). Explicit
+    ``n_bands``/``band_bits`` always win; ``auto_geometry=False``
+    restores the fixed (24, 16) defaults (e.g. for streaming plans
+    where an eager count is illegal).
     """
     from cql_xmlpipe_spark.functions.vectors import cosine
-    from cql_xmlpipe_spark.operators.similarity import auto_band_config, banded_sign_keys
+    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
 
-    if n_bands is None and band_bits is None and n_hint is not None:
-        n_bands, band_bits = auto_band_config(n_hint, threshold)
-    n_bands = 24 if n_bands is None else n_bands
-    band_bits = 16 if band_bits is None else band_bits
+    n_bands, band_bits = _resolve_band_geometry(
+        emb, threshold, n_bands, band_bits, n_hint, auto_geometry
+    )
 
     keys = banded_sign_keys(emb, emb_col, id_col, n_bands, band_bits).persist()
     cands = (

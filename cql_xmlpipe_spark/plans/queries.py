@@ -1985,9 +1985,15 @@ def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFra
     exceeds any reachable watermark); the complete-mode twin covers
     them. Gate corpora stage as ONE file → one data micro-batch → no
     event can be late; on a multi-file stream the 1-hour delay is the
-    real lateness SLA (later files' older events drop past it —
-    production semantics, not gate semantics). ``session_end_us`` is
-    last-event time (gap subtracted), matching the complete twin."""
+    real lateness SLA, with Spark's exact two-watermark semantics
+    (SPARK-42931, empirically pinned in tests/test_streaming.py::
+    test_session_window_append_late_data_semantics): late-event
+    FILTERING uses the previous batch's watermark (so a one-batch lag
+    lets a nominally-late row still merge into open state), while state
+    EVICTION uses the current one — a truly-late row is dropped and can
+    never resurrect an already-emitted session as a duplicate append
+    row. ``session_end_us`` is last-event time (gap subtracted),
+    matching the complete twin."""
     from cql_xmlpipe_spark.streaming.sources import stream_events
     from cql_xmlpipe_spark.streaming.windows import session_window_stats
 

@@ -20,9 +20,11 @@ Before pinning, each operator is run TWICE under different
 spark.sql.shuffle.partitions settings and the outputs asserted
 identical — a pin of a partitioning-dependent plan would be a landmine.
 
-Keyed by the same corpus fingerprint as ann_recall_pins (md5 over
-(vec_id, label) in vec_id order); the oracle errors loudly when the
-current corpus has no pinned rows.
+Keyed by the same corpus fingerprint as ann_recall_pins
+(EMB_CORPUS_FINGERPRINT_SQL: md5 over (vec_id, label, %.6e-rendered
+embedding VALUES) in vec_id order — so a regenerated corpus with the
+same ids but different vectors misses the key); the oracle errors
+loudly when the current corpus has no pinned rows.
 
 Output: tests/fixtures/ann_topk_pins.parquet
   (corpus_key VARCHAR, algo VARCHAR, q_id BIGINT, vec_id BIGINT,

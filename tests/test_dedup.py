@@ -510,3 +510,69 @@ def test_simhash_combo_keys_pigeonhole_complete(spark):
         assert misses.count() == 0, (
             f"pigeonhole violated at max_hamming={max_hamming}"
         )
+
+
+def test_pair_budget_guard_raises_on_hot_clone_family(spark):
+    """Round-9 guard-rail: a clone-heavy corpus whose PAIR output is
+    intractable by arithmetic must fail the pre-flight with a message
+    pointing at the linear roster contract — before any LSH/verify work
+    launches (the skew-100x lesson: one 50k-clone family = 1.25B pair
+    rows BY CONTRACT, SCALE.md)."""
+    rows = [(i, "the same cloned document text repeated everywhere") for i in range(200)]
+    rows += [(1000 + i, f"unique filler document number {i} with its own words") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # C(200,2) = 19,900 within-family pairs > cap
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.minhash_lsh_pairs_collapsed(df, threshold=0.5, k=3, max_pairs=1_000)
+    msg = str(ei.value)
+    assert "19,900" in msg and "minhash_groups_collapsed" in msg and "200" in msg
+
+
+def test_pair_budget_guard_passes_under_cap(spark):
+    """Same corpus under a permissive cap must produce the full pair set
+    (guard is a pre-flight, not a truncation): C(200,2) clone pairs all
+    present at jaccard 1.0."""
+    rows = [(i, "the same cloned document text repeated everywhere") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.minhash_lsh_pairs_collapsed(df, threshold=0.5, k=3, max_pairs=50_000)
+    assert out.count() == 199 * 200 // 2
+    DD.unpersist_intermediates(out)
+
+
+def test_band_geometry_resolution_precedence(spark):
+    """_resolve_band_geometry precedence table: explicit params win (each
+    independently), n_hint drives auto_band_config, no-hint auto spends a
+    COUNT(*), and auto_geometry=False restores the fixed defaults."""
+    from cql_xmlpipe_spark.operators.dedup import _resolve_band_geometry
+    from cql_xmlpipe_spark.operators.similarity import auto_band_config
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(37)], "vec_id long, embedding array<float>"
+    )
+    t = 0.95
+    assert _resolve_band_geometry(df, t, 30, 20, None, True) == (30, 20)
+    assert _resolve_band_geometry(df, t, 30, None, 10**9, True) == (30, 16)
+    assert _resolve_band_geometry(df, t, None, 20, 10**9, True) == (24, 20)
+    assert _resolve_band_geometry(df, t, None, None, 10**6, True) == auto_band_config(10**6, t)
+    assert _resolve_band_geometry(df, t, None, None, 10**6, False) == auto_band_config(10**6, t)
+    # no hint + auto: derives from the actual count (37 vectors)
+    assert _resolve_band_geometry(df, t, None, None, None, True) == auto_band_config(37, t)
+    assert _resolve_band_geometry(df, t, None, None, None, False) == (24, 16)
+
+
+def test_embedding_auto_geometry_output_identical(spark):
+    """The r9 default auto-geometry path must emit byte-identical pairs to
+    the fixed (24,16) geometry — exact verification makes the output
+    geometry-independent; this pins that invariant on real data."""
+    emb = load_table(spark, "embeddings", SF)
+    auto = sorted(
+        (r["id_a"], r["id_b"], round(r["cos"], 12))
+        for r in DD.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    )
+    fixed = sorted(
+        (r["id_a"], r["id_b"], round(r["cos"], 12))
+        for r in DD.embedding_near_dup_pairs(
+            emb, threshold=0.9, n_bands=24, band_bits=16
+        ).collect()
+    )
+    assert auto == fixed

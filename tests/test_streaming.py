@@ -185,3 +185,104 @@ def test_stateful_all_null_values_user_matches_sql_sum(spark, tmp_path):
     assert by_user[1]["sum_value_cents"] == 250
     assert by_user[2]["sum_value_cents"] is None
     assert by_user[2]["n_events"] == 2
+
+def test_session_window_append_late_data_semantics(spark, tmp_path):
+    """Production lateness semantics of the append+watermark session plan,
+    pinned on a MULTI-file staged replay (the gate corpus is one file →
+    one micro-batch → nothing can ever be late; this drives the path the
+    plans/queries.py docstring promises but the gate can't reach).
+
+    Spark ≥3.4 runs TWO watermarks per batch (SPARK-42931): late-event
+    FILTERING uses the previous batch's watermark; state EVICTION uses
+    the current one. Both sides pinned here:
+
+    * batch 1's 00:07 event for user 7 is older than the just-advanced
+      09:00 watermark, but the late-filter watermark still lags at 0 —
+      it MERGES into the open session (3 events, end 00:07+gap), which
+      is then evicted+emitted by the 09:00 eviction watermark;
+    * batch 2's 00:08 event faces a late-filter watermark of 09:00 —
+      it is DROPPED (numRowsDroppedByWatermark) and, decisively, does
+      NOT resurrect the already-emitted session as a spurious second
+      append row (exactly-once emission per session)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 1, 1)
+
+    def us(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    def write_file(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    f1, f2, f3 = (str(d / f"part-{i}.parquet") for i in (1, 2, 3))
+    # f1: user 7 session (00:00, 00:05); sentinel 99 @ 10:00 -> wm 09:00
+    write_file(f1, [(1, us(0), 7), (2, us(5), 7), (3, us(600), 99)])
+    # f2: late-but-filter-lagged 00:07 for user 7 (merges); sentinel @
+    # 20:00 -> wm 19:00 (also evicts+emits user 7's merged session)
+    write_file(f2, [(4, us(7), 7), (5, us(1200), 99)])
+    # f3: 00:08 for user 7 — now truly late (filter wm 09:00) -> dropped
+    write_file(f3, [(6, us(8), 7)])
+    now = time.time()  # file source orders by mtime
+    for i, f in enumerate((f1, f2, f3)):
+        os.utime(f, (now - 200 + 100 * i, now - 200 + 100 * i))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        session_window_stats(stream, gap="10 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_late_semantics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = [
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    ]
+    assert sum(dropped) == 1  # exactly the f3 row
+    rows = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table("t_late_semantics").collect()
+    )
+    min_us = 60 * 1_000_000
+    gap_us = 10 * min_us
+    epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert rows == [
+        # user 7: ONE row — merged to 3 events by the lagged filter,
+        # never resurrected by the truly-late f3 row
+        (7, epoch, epoch + 7 * min_us + gap_us, 3),
+        # sentinel's 10:00 singleton closed at the 19:00 eviction wm;
+        # its 20:00 session stays open/held (no row)
+        (99, epoch + 600 * min_us, epoch + 600 * min_us + gap_us, 1),
+    ]
