@@ -856,6 +856,7 @@ def embedding_near_dup_pairs(
     band_bits: int | None = None,
     n_hint: int | None = None,
     auto_geometry: bool = True,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup via BANDED sign-LSH.
 
@@ -891,10 +892,40 @@ def embedding_near_dup_pairs(
     ``n_bands``/``band_bits`` always win; ``auto_geometry=False``
     restores the fixed (24, 16) defaults (e.g. for streaming plans
     where an eager count is illegal).
+
+    ``max_pairs`` is the same pre-flight output guard-rail as
+    :func:`minhash_lsh_pairs_collapsed`: the skew-100× corpus plants a
+    hot EMBEDDING family too (one vector shared by 10% of the corpus),
+    and identical vectors emit C(g,2) cosine-1.0 pairs by contract.
+    Groups are priced by ``xxhash64`` over the raw float array — one
+    count-style action, no vector ever shuffled — and past the cap this
+    raises :class:`PairOutputBudgetExceeded` (the roster answer here is
+    exact-dedup the vectors first, or cluster via connected components).
     """
     from cql_xmlpipe_spark.functions.vectors import cosine
     from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
 
+    if max_pairs is not None:
+        stats = (
+            emb.filter(F.col(emb_col).isNotNull())
+            .groupBy(F.xxhash64(F.col(emb_col)).alias("_eh"))
+            .agg(F.count(F.lit(1)).alias("g"))
+            .agg(
+                F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
+                F.max("g").alias("g_max"),
+            )
+            .collect()[0]
+        )
+        if (stats["clone_pairs"] or 0) > max_pairs:
+            raise PairOutputBudgetExceeded(
+                f"embedding_near_dup_pairs: identical-vector families alone "
+                f"imply >= {stats['clone_pairs']:,} output pair rows (largest "
+                f"family {stats['g_max']:,} vectors => C({stats['g_max']:,}, 2) "
+                f"rows), over max_pairs={max_pairs:,}. The pair contract is "
+                "irreducibly quadratic in clone-family size; exact-dedup the "
+                "vectors first (keep one representative per xxhash64 family) "
+                "or raise max_pairs."
+            )
     n_bands, band_bits = _resolve_band_geometry(
         emb, threshold, n_bands, band_bits, n_hint, auto_geometry
     )

@@ -576,3 +576,20 @@ def test_embedding_auto_geometry_output_identical(spark):
         ).collect()
     )
     assert auto == fixed
+
+
+def test_embedding_pair_budget_guard(spark):
+    """The embedding pair contract gets the same pre-flight: a hot
+    identical-vector family past the cap raises before any LSH work;
+    under the cap the full pair set is produced."""
+    hot = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(100)]
+    cold = [(1000 + i, [float(i), 1.0, -2.0, 0.5]) for i in range(10)]
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<float>")
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.embedding_near_dup_pairs(df, threshold=0.95, max_pairs=1_000)
+    msg = str(ei.value)
+    assert "4,950" in msg and "100" in msg
+    out = DD.embedding_near_dup_pairs(df, threshold=0.95, max_pairs=10_000)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(a, b) for a in range(100) for b in range(a + 1, 100)} <= got
+    DD.unpersist_intermediates(out)
