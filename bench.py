@@ -190,6 +190,33 @@ RECORDS = {
 }
 
 
+def format_bench_line(timings: dict[str, float], sf) -> str:
+    """Render the result as ONE JSON line that fits the driver's tail
+    window. The driver records only the last 2000 chars of stdout and
+    parses the JSON line out of that tail — a longer line is
+    unparseable by construction (BENCH_r06-r08 all hit this once the
+    headline set passed ~55 queries). Emit compactly and degrade timing
+    precision (3dp → 2dp → 1dp) until the line fits; sub-0.1 s
+    precision is noise at these wall-clocks anyway."""
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+    }
+    for ndigits in (3, 2, 1, 0):
+        out["queries"] = {
+            n: (round(v, ndigits) if ndigits else int(round(v)))
+            for n, v in timings.items()
+        }
+        out["value"] = round(sum(out["queries"].values()), 3)
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1980:
+            break
+    return line
+
+
 def main() -> int:
     from cql_xmlpipe_spark.plans import QUERIES
     from cql_xmlpipe_spark.session import get_spark
@@ -291,26 +318,11 @@ def main() -> int:
     timings = {name: round(min(r), 3) for name, r in runs.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_query_wall_clock_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    # The driver records only the LAST 2000 chars of stdout and parses the
-    # JSON line out of that tail — a line longer than the window is
-    # unparseable by construction (BENCH_r06-r08 all hit this once the
-    # headline set passed ~55 queries). Emit compactly and degrade timing
-    # precision (3dp → 2dp → 1dp) until the line fits; sub-0.1s precision
-    # is noise at these wall-clocks anyway.
-    for ndigits in (3, 2, 1):
-        out["queries"] = {n: round(v, ndigits) for n, v in timings.items()}
-        out["value"] = round(sum(out["queries"].values()), 3)
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1900:
-            break
-    print(line)
+    print(
+        format_bench_line(
+            timings, float(sf) if sf.replace(".", "").isdigit() else sf
+        )
+    )
     return 0
 
 

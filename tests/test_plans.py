@@ -322,3 +322,37 @@ def test_bench_headline_names_all_registered():
     assert not missing, f"headline names not registered: {missing}"
     stale = [n for n in bench.RECORDS if n not in QUERIES]
     assert not stale, f"RECORDS keys not registered: {stale}"
+
+
+def test_bench_line_fits_driver_tail_window():
+    """The driver records only the last 2000 chars of stdout; the result
+    line must fit that window or the round's bench artifact is
+    unparseable (BENCH_r06-r08 regression). Pin it for the CURRENT
+    headline set with worst-case (3-digit-second) timings, and pin the
+    degrade-precision fallback for a much larger hypothetical set."""
+    import json
+
+    import bench
+
+    # worst realistic widths: every query at tens of seconds, 3dp
+    # (the full-suite total is ~90 s; all-queries-at-100 s is already
+    # a 6000 s phantom run)
+    timings = {n: 99.999 for n in bench.HEADLINE}
+    line = bench.format_bench_line(timings, 0.1)
+    assert len(line) <= 1980, len(line)
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+
+    # headroom probe: the degrade ladder must absorb several rounds of
+    # headline growth (names dominate width — ~33 chars/query — so the
+    # ceiling is ~70 queries, not a precision question; past that the
+    # headline set itself must be curated)
+    # realistic values here (suite per-query range is 0.2-6 s; the
+    # 99.999 envelope above is the all-stall worst case for the
+    # CURRENT set, where the ladder already has to reach integers)
+    big = {n: 12.345 for n in bench.HEADLINE}
+    big.update({f"extra_round_query_{i:02d}": 12.345 for i in range(7)})
+    line2 = bench.format_bench_line(big, 0.1)
+    assert len(line2) <= 1980, len(line2)
+    assert len(json.loads(line2)["queries"]) == len(bench.HEADLINE) + 7
