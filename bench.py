@@ -141,7 +141,7 @@ RECORDS = {
     "doc_id_sdbm_customer": 0.302,
     "doc_pack_sequences": 0.287,
     "embedding_kmeans_iter3": 1.449,
-    "embedding_kmeans_step": 0.62,
+    "embedding_kmeans_step": 0.616,
     "events_cohort_retention": 0.526,
     "events_funnel_conversion": 0.561,
     "events_interarrival_histogram": 0.518,
@@ -178,8 +178,8 @@ RECORDS = {
     "text_repetition_scores": 1.698,
     "text_term_cooccurrence": 1.234,
     "text_tfidf_top_terms": 0.849,
-    "text_vocab_oov": 1.467,
-    "token_orders_murmur3": 0.376,
+    "text_vocab_oov": 1.448,
+    "token_orders_murmur3": 0.36,
     "topk_orders": 0.165,
     "variant_extraction_events": 0.464,
     "window_running_revenue": 0.444,
