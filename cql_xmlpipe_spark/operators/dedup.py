@@ -887,8 +887,12 @@ def embedding_near_dup_pairs(
     to derive it — trivially amortized against the LSH job it sizes.
     band_bits grows ~2·log₂N so junk candidates stay ≤ 32·N (the flat
     verify floor), with n_bands re-solved to hold recall ≥ 0.99 at the
-    cosine threshold; verification stays exact, so the OUTPUT is
-    geometry-independent at every setting (pytest-pinned). Explicit
+    cosine threshold; verification stays exact, so every emitted pair
+    is a TRUE pair at every geometry (false positives impossible), and
+    recall is re-solved per width — pair sets can differ by the <1%
+    miss budget between widths (measured 9,894,817 vs 9,895,168 of
+    9,899,941 true pairs at the jitter-100× decade; the pytest pins
+    exact output equality at scales where recall saturates). Explicit
     ``n_bands``/``band_bits`` always win; ``auto_geometry=False``
     restores the fixed (24, 16) defaults (e.g. for streaming plans
     where an eager count is illegal).

@@ -562,8 +562,11 @@ def test_band_geometry_resolution_precedence(spark):
 
 def test_embedding_auto_geometry_output_identical(spark):
     """The r9 default auto-geometry path must emit byte-identical pairs to
-    the fixed (24,16) geometry — exact verification makes the output
-    geometry-independent; this pins that invariant on real data."""
+    the fixed (24,16) geometry at this scale: exact verification forbids
+    false positives at any width, and at a corpus this small every
+    width's recall saturates (per-pair miss probability ~1e-7), so the
+    outputs are exactly equal. (At decade scale, widths may differ
+    inside the <1% solved miss budget — measured in SCALE.md.)"""
     emb = load_table(spark, "embeddings", SF)
     auto = sorted(
         (r["id_a"], r["id_b"], round(r["cos"], 12))
