@@ -402,16 +402,7 @@ def cluster_assign_collapsed(
     key-only join, sizes come from one count, and docs outside eligible
     groups (zero shingles) fall through to the singleton path exactly as
     in the uncollapsed formulation."""
-    mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
-    cc = connected_components(
-        mem.select(F.col("rep").alias(id_col)).distinct(), rep_pairs
-    )
-    eligible = sets.select(F.col(id_col).alias("rep"))
-    labeled = (
-        mem.join(eligible, "rep")
-        .join(cc.select(F.col(id_col).alias("rep"), "cluster_id"), "rep")
-        .select(F.col(id_col), "cluster_id")
-    )
+    labeled, caches = _labeled_collapsed(df, text_col, id_col, threshold, k)
     clustered = labeled.select(
         F.col(id_col),
         "cluster_id",
@@ -426,13 +417,30 @@ def cluster_assign_collapsed(
             F.lit(1).cast("long").alias("cluster_size"),
         )
     )
-    return _track_cached(
-        clustered.unionByName(singletons),
-        mem,
-        th,
-        sets,
-        *getattr(rep_pairs, "_xmlpipe_cached", []),
+    return _track_cached(clustered.unionByName(singletons), *caches)
+
+
+def _labeled_collapsed(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared collapse→LSH→verify→CC→member-fan-back stage: returns
+    ``(labeled, caches)`` where ``labeled`` is (id, cluster_id) for every
+    doc in an ELIGIBLE (shingle-bearing) text group, labels are min-id
+    CC components over the representative pair graph, and ``caches`` are
+    the persisted intermediates the caller must track. Docs outside
+    eligible groups are absent — :func:`cluster_assign_collapsed` adds
+    them back as singletons; the roster contract never needs them."""
+    mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
+    cc = connected_components(
+        mem.select(F.col("rep").alias(id_col)).distinct(), rep_pairs
     )
+    eligible = sets.select(F.col(id_col).alias("rep"))
+    labeled = (
+        mem.join(eligible, "rep")
+        .join(cc.select(F.col(id_col).alias("rep"), "cluster_id"), "rep")
+        .select(F.col(id_col), "cluster_id")
+    )
+    return labeled, [mem, th, sets, *getattr(rep_pairs, "_xmlpipe_cached", [])]
 
 
 def minhash_groups_collapsed(
@@ -451,24 +459,33 @@ def minhash_groups_collapsed(
     re-aggregate into the family. This emits the family itself: one row,
     one k-element id array (~8k·bytes — the deliverable, not blow-up).
 
-    Rides :func:`cluster_assign_collapsed` end to end (banded-LSH
-    candidates over collapsed representatives → exact verify → min-label
-    CC over reps → member fan-back), so per-node state is bounded by the
-    LSH bucket caps and the CC loop's |V| labels; the only family-sized
-    value is the final member array — the output's own size, grouped by
-    cluster AFTER assignment (one map-side-combining collect per
-    cluster). Singleton docs are omitted: "no duplicates" is the
-    complement, not a row per doc at 100 TB."""
-    assign = cluster_assign_collapsed(df, text_col, id_col, threshold, k)
+    Rides the same collapse→LSH→verify→CC→member-fan-back stage as
+    :func:`cluster_assign_collapsed` (shared :func:`_labeled_collapsed`),
+    so per-node state is bounded by the LSH bucket caps and the CC
+    loop's |V| labels; the only family-sized value is the final member
+    array — the output's own size, one map-side-combining collect per
+    cluster. Round 9: aggregates the labeled membership DIRECTLY —
+    the per-row cluster_size window and the singleton anti-join union
+    that cluster_assign's row contract needs are pure waste here (the
+    groupBy recomputes the size it would filter on, and singletons can
+    never reach size ≥ 2). Exchange count is unchanged (the window
+    shared the aggregation's cluster_id partitioning); what the roster
+    plan stops paying is the corpus-sized per-partition SORT + window
+    evaluation + the anti-join union subtree — a wash at smoke scale
+    (A/B'd: 7.8-9.9 vs 8.2-8.5 s at sf0.1), a full sort of 10⁹
+    membership rows avoided at target scale. Output identical, pinned
+    by the recursive-CTE oracle. Singleton docs are omitted: "no
+    duplicates" is the complement, not a row per doc at 100 TB."""
+    labeled, caches = _labeled_collapsed(df, text_col, id_col, threshold, k)
     groups = (
-        assign.filter(F.col("cluster_size") >= 2)
-        .groupBy("cluster_id")
+        labeled.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("cluster_size"),
             F.sort_array(F.collect_list(F.col(id_col))).alias("members"),
         )
+        .filter(F.col("cluster_size") >= 2)
     )
-    return _track_cached(groups, *getattr(assign, "_xmlpipe_cached", []))
+    return _track_cached(groups, *caches)
 
 
 def ngram_jaccard_pairs(
