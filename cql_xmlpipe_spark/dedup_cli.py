@@ -1,0 +1,116 @@
+"""Dedup pipeline front-end — the user-facing entry point where the
+pair-contract output guard is ON BY DEFAULT.
+
+    python -m cql_xmlpipe_spark.dedup_cli --contract pairs \
+        --data-dir /root/testdata/sf0.01 --out /tmp/pairs
+
+The library operators keep ``max_pairs=None`` (a default cap would burn
+a count-style action on every programmatic call), but a command line is
+where a production operator launches a corpus-sized job without reading
+the signature — so this layer resolves the cap through
+:func:`~cql_xmlpipe_spark.operators.dedup.default_max_pairs`
+(``SPARK_GRAFT_MAX_PAIRS`` env, default 10**9 rows, ``0`` disables) and
+``--max-pairs`` on top. A job whose output is intractable by arithmetic
+refuses in seconds with the roster contract named (exit code 3) instead
+of dying hours in; the roster contracts themselves (``groups``,
+``embedding-groups``) have linear output and take no cap.
+
+Contracts:
+
+* ``pairs``            — MinHash+LSH verified near-dup text pairs
+                         (collapsed staging), J >= --threshold
+* ``groups``           — text cluster rosters (linear output)
+* ``embedding-pairs``  — banded sign-LSH verified cosine pairs
+* ``embedding-groups`` — embedding cluster rosters (linear output)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dedup",
+        description="Run a dedup contract over a parquet corpus; pair "
+        "contracts are output-budget-guarded by default.",
+    )
+    p.add_argument(
+        "--contract",
+        required=True,
+        choices=["pairs", "groups", "embedding-pairs", "embedding-groups"],
+    )
+    p.add_argument("--data-dir", required=True, help="directory of <table>.parquet")
+    p.add_argument("--table", default=None, help="table name (default: documents "
+                   "for text contracts, embeddings for embedding contracts)")
+    p.add_argument("--id-col", default=None, help="default: doc_id / vec_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--emb-col", default="embedding")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="default: 0.5 (Jaccard) / 0.95 (cosine)")
+    p.add_argument("--k", type=int, default=3, help="shingle width (text contracts)")
+    p.add_argument(
+        "--max-pairs",
+        type=int,
+        default=None,
+        metavar="N",
+        help="pair-output cap; default SPARK_GRAFT_MAX_PAIRS or 1e9; 0 disables",
+    )
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="write result parquet here (default: print row count)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.session import get_spark
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    if args.max_pairs is None:
+        max_pairs = DD.default_max_pairs()
+    else:
+        max_pairs = None if args.max_pairs <= 0 else args.max_pairs
+
+    text_contract = args.contract in ("pairs", "groups")
+    table = args.table or ("documents" if text_contract else "embeddings")
+    id_col = args.id_col or ("doc_id" if text_contract else "vec_id")
+    threshold = args.threshold if args.threshold is not None else (
+        0.5 if text_contract else 0.95
+    )
+
+    spark = get_spark("dedup-cli")
+    df = load_table(spark, table, args.data_dir)
+    try:
+        if args.contract == "pairs":
+            result = DD.minhash_lsh_pairs_collapsed(
+                df, args.text_col, id_col, threshold, args.k, max_pairs=max_pairs
+            )
+        elif args.contract == "groups":
+            result = DD.minhash_groups_collapsed(
+                df, args.text_col, id_col, threshold, args.k
+            )
+        elif args.contract == "embedding-pairs":
+            result = DD.embedding_near_dup_pairs(
+                df, id_col, args.emb_col, threshold, max_pairs=max_pairs
+            )
+        else:
+            result = DD.embedding_near_dup_groups(
+                df, id_col, args.emb_col, threshold
+            )
+        if args.out:
+            result.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            print(f"rows={result.count()}")
+        DD.unpersist_intermediates(result)
+    except DD.PairOutputBudgetExceeded as exc:
+        print(f"refused: {exc}", file=sys.stderr)
+        return 3
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_safe(a: Column, b: Column) -> Column:
+    """``cosine`` with the zero-norm case pinned to NULL instead of left
+    to engine semantics: a zero vector has no direction, and the raw
+    division is 0/0 — which RAISES under Spark's ANSI session
+    (DIVIDE_BY_ZERO) and yields NaN with ANSI off, a value both Spark
+    and DuckDB order ABOVE every number (``NaN >= t`` is true in both —
+    measured), i.e. a crash or a garbage "pair" depending on a config
+    flag. NULL never qualifies a threshold filter in either engine.
+    Identical to :func:`cosine` whenever both norms are nonzero (same
+    division, same operand order — oracle bit-match preserved)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
 def sqdist(a: Column, b: Column) -> Column:
     """Squared L2 distance, left-to-right fold of (a_i-b_i)^2 in double —
     bit-matches DuckDB ``list_reduce`` over the same ``list_transform``."""

@@ -19,6 +19,8 @@ Five strategies, each designed for the shuffle profile it implies at
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -57,9 +59,26 @@ def unpersist_intermediates(result: DataFrame, blocking: bool = False) -> None:
 class PairOutputBudgetExceeded(ValueError):
     """Pre-flight output arithmetic shows a pair-contract run would emit
     more rows than the caller's ``max_pairs`` cap allows. The fix is
-    almost always the roster contract (:func:`minhash_groups_collapsed`),
-    not a bigger cluster: the pair volume is the CONTRACT's, C(k,2) per
-    k-clone family, and no physical plan can shrink it."""
+    almost always the roster contract (:func:`minhash_groups_collapsed` /
+    :func:`embedding_near_dup_groups`), not a bigger cluster: the pair
+    volume is the CONTRACT's, C(k,2) per k-clone family, and no physical
+    plan can shrink it."""
+
+
+def default_max_pairs() -> int | None:
+    """The pair-contract output cap user-facing entry points apply when
+    the caller does not choose one: ``SPARK_GRAFT_MAX_PAIRS`` (env, ``0``
+    disables) or 10**9 rows. Library calls keep ``max_pairs=None`` —
+    a default cap would burn a count action on every programmatic call
+    and gate corpora are small — but anything reachable from a command
+    line (``dedup_cli``) resolves through here, so a production operator
+    gets the refusal instead of the intractable job without having to
+    know the parameter exists."""
+    raw = os.environ.get("SPARK_GRAFT_MAX_PAIRS")
+    if raw is None:
+        return 1_000_000_000
+    cap = int(raw)
+    return None if cap <= 0 else cap
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -313,20 +332,28 @@ def minhash_lsh_pairs_collapsed(
     excluded from expansion ("eligible" semi-join) — zero-shingle docs
     emit no pairs, exactly as before.
 
-    ``max_pairs`` (opt-in) is the scale guard-rail: BEFORE the LSH/verify
+    ``max_pairs`` (opt-in here; :func:`default_max_pairs` applies it at
+    the CLI layer) is the scale guard-rail: BEFORE the LSH/verify
     pipeline runs, the already-computed collapse-group sizes price the
     output — exact-clone families alone imply Σ C(g,2) pair rows, a
     LOWER bound on the contract's volume (near-dup cross pairs only add
-    to it). Past the cap this raises :class:`PairOutputBudgetExceeded`
-    pointing at :func:`minhash_groups_collapsed` instead of launching a
-    job whose OUTPUT is intractable by arithmetic — at the skew-100×
-    smoke one 50,000-clone family means 1.25B rows before the first
-    near-dup is even found (SCALE.md). Costs one count-style action over
-    the persisted hash projection; None (default) skips it."""
+    to it). Only ELIGIBLE families are priced (semi-join against the
+    shingle-bearing rep set — zero-shingle texts emit no pairs, so
+    counting them would overstate the bound and refuse corpora whose hot
+    family never pairs); that makes the bound a true lower bound, and
+    the eligibility scan is the same persisted ``sets`` projection the
+    pipeline needs next, so the pre-flight merely materializes it early.
+    Past the cap this raises :class:`PairOutputBudgetExceeded` pointing
+    at :func:`minhash_groups_collapsed` instead of launching a job whose
+    OUTPUT is intractable by arithmetic — at the skew-100× smoke one
+    50,000-clone family means 1.25B rows before the first near-dup is
+    even found (SCALE.md). Costs one count-style action; None (default)
+    skips it."""
     mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
     if max_pairs is not None:
         stats = (
-            mem.groupBy("rep")
+            mem.join(sets.select(F.col(id_col).alias("rep")), "rep")
+            .groupBy("rep")
             .agg(F.count(F.lit(1)).alias("g"))
             .agg(
                 F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
@@ -911,25 +938,69 @@ def embedding_near_dup_pairs(
     9,899,941 true pairs at the jitter-100× decade; the pytest pins
     exact output equality at scales where recall saturates). Explicit
     ``n_bands``/``band_bits`` always win; ``auto_geometry=False``
-    restores the fixed (24, 16) defaults (e.g. for streaming plans
-    where an eager count is illegal).
+    forbids only the eager ``COUNT(*)`` (e.g. for streaming plans where
+    an eager action is illegal) — a caller-supplied ``n_hint`` still
+    drives :func:`~cql_xmlpipe_spark.operators.similarity.
+    auto_band_config` (a hint costs no action); only with no hint at
+    all does the flag fall back to the fixed (24, 16) defaults.
+
+    Zero-norm vectors never pair, and never even enter the LSH index:
+    an unguarded path would be actively dangerous — zero vectors all
+    share every sign bucket (0 ≥ 0 on every plane), so a hot zero
+    family is a quadratic candidate job whose cosine is 0/0, which
+    RAISES under the engine's ANSI session (DIVIDE_BY_ZERO hours into a
+    real corpus) and yields NaN with ANSI off — a value both Spark and
+    DuckDB order ABOVE every number (``NaN >= 0.95`` is true in both,
+    measured), i.e. garbage "pairs". Eligibility (non-null, norm > 0)
+    is a per-row codegen'd fold pushed down BEFORE the index, so a
+    directionless family costs nothing instead of C(g,2) NULL
+    verifications; the verify step additionally scores with
+    :func:`~cql_xmlpipe_spark.functions.vectors.cosine_safe` (NULL on
+    a zero denominator, bit-identical to ``cosine`` otherwise) as
+    defense in depth.
 
     ``max_pairs`` is the same pre-flight output guard-rail as
-    :func:`minhash_lsh_pairs_collapsed`: the skew-100× corpus plants a
-    hot EMBEDDING family too (one vector shared by 10% of the corpus),
-    and identical vectors emit C(g,2) cosine-1.0 pairs by contract.
-    Groups are priced by ``xxhash64`` over the raw float array — one
-    count-style action, no vector ever shuffled — and past the cap this
-    raises :class:`PairOutputBudgetExceeded` (the roster answer here is
-    exact-dedup the vectors first, or cluster via connected components).
+    :func:`minhash_lsh_pairs_collapsed` (opt-in here;
+    :func:`default_max_pairs` applies it at the CLI layer), in TWO
+    stages:
+
+    * **identical-family arithmetic** — the skew-100× corpus plants a
+      hot EMBEDDING family (one vector shared by 10% of the corpus),
+      and identical vectors emit C(g,2) cosine-1.0 pairs by contract.
+      Families are priced by a 128-bit key (two seeded ``xxhash64``
+      over the raw float array — one count-style action, no vector
+      ever shuffled), restricted to ELIGIBLE vectors (non-null, norm
+      > 0 — zero-norm families never pair, see above, so pricing them
+      would overcount the lower bound).
+    * **band-bucket candidate volume** — a hot family with per-vector
+      jitter (every copy perturbed in the last float bit) defeats the
+      hash pricing yet still lands in one bucket per band, implying
+      ~C(g,2) candidate verifications AND (when the jitter keeps cosine
+      above threshold) the same output volume. After the sign keys are
+      computed, Σ C(bucket, 2) within a single band is a LOWER bound on
+      distinct candidate pairs (the candidate union contains every
+      band's collision set); the max over bands is checked against the
+      cap in one aggregation over the persisted key table before the
+      self-join launches.
+
+    Past either cap this raises :class:`PairOutputBudgetExceeded`
+    pointing at :func:`embedding_near_dup_groups` — the roster contract
+    whose OUTPUT is one row per family. (For a jittered hot family the
+    roster still pays the candidate-verify bill — its reps are all
+    distinct — but the 10⁹-row output materialization is gone; the
+    refusal message says which stage fired so the operator knows
+    whether the roster alone fixes the job.)
     """
-    from cql_xmlpipe_spark.functions.vectors import cosine
+    from cql_xmlpipe_spark.functions.vectors import cosine_safe, norm
     from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
 
+    eligible = emb.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
     if max_pairs is not None:
         stats = (
-            emb.filter(F.col(emb_col).isNotNull())
-            .groupBy(F.xxhash64(F.col(emb_col)).alias("_eh"))
+            eligible.groupBy(
+                F.xxhash64(F.col(emb_col)).alias("_h1"),
+                F.xxhash64(F.col(emb_col), F.lit(1)).alias("_h2"),
+            )
             .agg(F.count(F.lit(1)).alias("g"))
             .agg(
                 F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
@@ -943,15 +1014,43 @@ def embedding_near_dup_pairs(
                 f"imply >= {stats['clone_pairs']:,} output pair rows (largest "
                 f"family {stats['g_max']:,} vectors => C({stats['g_max']:,}, 2) "
                 f"rows), over max_pairs={max_pairs:,}. The pair contract is "
-                "irreducibly quadratic in clone-family size; exact-dedup the "
-                "vectors first (keep one representative per xxhash64 family) "
-                "or raise max_pairs."
+                "irreducibly quadratic in clone-family size; use "
+                "embedding_near_dup_groups (one roster row per family, linear "
+                "output) or raise max_pairs."
             )
     n_bands, band_bits = _resolve_band_geometry(
-        emb, threshold, n_bands, band_bits, n_hint, auto_geometry
+        eligible, threshold, n_bands, band_bits, n_hint, auto_geometry
     )
 
-    keys = banded_sign_keys(emb, emb_col, id_col, n_bands, band_bits).persist()
+    keys = banded_sign_keys(eligible, emb_col, id_col, n_bands, band_bits).persist()
+    if max_pairs is not None:
+        bstats = (
+            keys.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("band")
+            .agg(
+                F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand"),
+                F.max("n").alias("bucket_max"),
+            )
+            .agg(
+                F.max("cand").alias("cand_lb"),
+                F.max("bucket_max").alias("bucket_max"),
+            )
+            .collect()[0]
+        )
+        if (bstats["cand_lb"] or 0) > max_pairs:
+            keys.unpersist()
+            raise PairOutputBudgetExceeded(
+                f"embedding_near_dup_pairs: one LSH band alone implies >= "
+                f"{bstats['cand_lb']:,} distinct candidate pairs to verify "
+                f"(hottest bucket {bstats['bucket_max']:,} vectors), over "
+                f"max_pairs={max_pairs:,} — a near-identical (jittered) hot "
+                "family the identical-vector pricing cannot see. "
+                "embedding_near_dup_groups bounds the OUTPUT to one roster "
+                "row per family (the candidate-verify cost remains — its "
+                "reps are distinct vectors); raise max_pairs only if that "
+                "verify bill is budgeted."
+            )
     cands = (
         keys.select(F.col(id_col).alias("id_a"), "band", "bkey")
         .join(keys.select(F.col(id_col).alias("id_b"), "band", "bkey"), ["band", "bkey"])
@@ -959,7 +1058,7 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = emb.select(F.col(id_col), F.col(emb_col))
+    vecs = eligible.select(F.col(id_col), F.col(emb_col))
     return _track_cached(
         cands.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a")), "id_a"
@@ -967,10 +1066,196 @@ def embedding_near_dup_pairs(
         .join(
             vecs.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b")), "id_b"
         )
-        .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
+        .withColumn("cos", cosine_safe(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos"),
         keys,
+    )
+
+
+def embedding_near_dup_groups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    n_hint: int | None = None,
+    auto_geometry: bool = True,
+) -> DataFrame:
+    """Embedding near-dup CLUSTER ROSTERS — (cluster_id, cluster_size,
+    sorted members) per multi-vector family — the LINEAR-output contract
+    for the embedding family, twin of :func:`minhash_groups_collapsed`
+    (round 10; until then the pair guard's refusal prescribed a manual
+    recipe where the text family had a registered operator).
+
+    Stages, mirroring the text roster:
+
+    * **identical-vector collapse** — membership map over a 128-bit
+      family key (two independently-seeded ``xxhash64`` over the raw
+      float array; a single 64-bit key carries ~N²/2⁶⁵ birthday risk of
+      silently merging two distinct families at 10⁹ vectors, the scale
+      this contract exists for). No vector crosses a shuffle — only
+      (id, two longs). NULL embeddings never enter (a null vector never
+      pairs); zero-norm families are collapsed but marked INELIGIBLE —
+      cosine(0, ·) is NaN, which :func:`embedding_near_dup_pairs` pins
+      as never-qualifying, so a family of identical zero vectors has no
+      pairs and must not surface as a roster.
+    * **banded sign-LSH + exact verify over representatives only** —
+      the same :func:`embedding_near_dup_pairs` path (auto geometry
+      sizes itself to the REP count — on a clone-heavy corpus that is
+      the honest N), at O(distinct vectors) instead of O(corpus).
+      Identical vectors share every sign key and an exactly-equal
+      cosine, so rep pairs expand through the membership unchanged —
+      the same output-preservation argument as the text collapse.
+    * **connected components over rep pairs** — CC state is |distinct
+      vectors|, edges are rep pairs; members inherit their rep's label
+      through one key-only join and aggregate DIRECTLY into rosters
+      (no corpus-sized sort or singleton union — the round-9 roster
+      plan), one row per family with a sorted member array.
+
+    Skew shape (the reason this exists): the skew-100× hot family —
+    one vector shared by 10% of a 500k corpus — is ONE collapse family,
+    one rep in the LSH, one roster row with a 50k-member array, where
+    the pair contract refuses at pre-flight pricing 1.25B rows
+    (SCALE.md). Singleton vectors are omitted: "no duplicates" is the
+    complement, not a row per vector at 100 TB.
+    """
+    from cql_xmlpipe_spark.functions.vectors import norm
+
+    vh = (
+        emb.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col(emb_col)).alias("_h1"),
+            F.xxhash64(F.col(emb_col), F.lit(1)).alias("_h2"),
+            (norm(F.col(emb_col)) > 0).alias("_elig"),
+        )
+        .persist()
+    )
+    reps = vh.groupBy("_h1", "_h2").agg(F.min(id_col).alias("rep"))
+    mem = (
+        vh.join(reps, ["_h1", "_h2"])
+        .select(F.col(id_col), "rep", "_elig")
+        .persist()
+    )
+    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
+    rep_vecs = emb.join(rep_ids, id_col, "left_semi")
+    rep_pairs = embedding_near_dup_pairs(
+        rep_vecs, id_col, emb_col, threshold, n_bands, band_bits,
+        n_hint, auto_geometry,
+    )
+    cc = connected_components(rep_ids, rep_pairs, id_col=id_col)
+    labeled = (
+        mem.filter(F.col("_elig"))
+        .join(cc.select(F.col(id_col).alias("rep"), "cluster_id"), "rep")
+        .select(F.col(id_col), "cluster_id")
+    )
+    groups = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("members"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return _track_cached(
+        groups, vh, mem, *getattr(rep_pairs, "_xmlpipe_cached", [])
+    )
+
+
+def stratum_filter(id_col: Column | str, sample_frac: float) -> Column:
+    """Deterministic, engine-portable document stratum: keep ids whose
+    md5 hex prefix falls below the fraction. The rule is a pure string
+    compare on the first four hex digits (md5 is uniform, so the stratum
+    holds ≈ ``sample_frac`` of ids at 1/65536 granularity), identical in
+    Spark and DuckDB — the same portability trick as
+    ``dataset_split_leakage``'s split rule. Membership depends only on
+    the id, never on content, so any PAIR property measured on the
+    stratum is an unbiased sample of the population's pairs (a pair
+    survives with probability frac², independent of its Jaccard)."""
+    hi = format(max(1, min(65536, int(round(sample_frac * 65536)))) - 1, "04x")
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(col.cast("string")), 1, 4) <= hi
+
+
+def minhash_recall_sampled(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    sample_frac: float = 0.01,
+) -> DataFrame:
+    """SAMPLED LSH-recall estimate — the production health check the
+    exact gate (``dedup_minhash_recall``) is too expensive to be: the
+    exact side of the full gate costs an all-pairs PPJoin over the
+    corpus (4,485 s of the 4,969 s bill at the jitter-100× decade,
+    SCALE.md), which no one runs per-ingest. This estimates the same
+    recall from a deterministic ~``sample_frac`` md5 stratum of DOCS:
+
+    * both sides run on the stratum ONLY, so the exact bill scales by
+      frac² (~10⁻⁴ at the 1% default) — the restriction is EXACT, not
+      approximate, because both contracts are pairwise: a pair's LSH
+      banding fate and its true Jaccard depend only on the two texts,
+      so LSH-over-stratum ≡ full-corpus LSH restricted to pairs with
+      both endpoints in the stratum (same for the exact PPJoin);
+    * the estimator is unbiased: stratum membership hashes the id,
+      never content, so stratum-internal pairs are a uniform sample of
+      population pairs, and found/exact over them estimates population
+      recall;
+    * the output row carries a Wilson 95% interval (``ci95_lo``/
+      ``ci95_hi``) on the estimate — Wilson, not Wald, because recall
+      sits near 1.0 where the Wald interval degenerates to zero width
+      at any sample size. n_exact = 0 yields NULL estimate and bounds
+      ("trivially no pairs in the stratum"), the same pinned-NULL
+      discipline as the exact gate.
+
+    Returns one row: (n_exact, n_lsh, n_found, recall_est, ci95_lo,
+    ci95_hi), counts over stratum-internal pairs.
+    """
+    stratum = df.filter(stratum_filter(id_col, sample_frac))
+    lsh_full = minhash_lsh_pairs_collapsed(stratum, text_col, id_col, threshold, k)
+    exact_full = ngram_jaccard_pairs_collapsed(
+        stratum.withColumn("_blk", F.lit(1)),
+        text_col, id_col, block_col="_blk", threshold=threshold, k=k,
+    )
+    lsh = lsh_full.select("id_a", "id_b")
+    exact = exact_full.select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_found = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    # Wilson interval terms, written in the exact literal/op order the
+    # DuckDB oracle mirrors so the doubles bit-match cross-engine
+    z2 = F.lit(1.96) * F.lit(1.96)
+    n = F.col("n_exact").cast("double")
+    r = F.col("n_found").cast("double") / n
+    denom = F.lit(1.0) + z2 / n
+    center = (r + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(r * (F.lit(1.0) - r) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    result = (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_found))
+        .withColumn(
+            "recall_est", F.when(F.col("n_exact") > 0, r)
+        )
+        .withColumn(
+            "ci95_lo", F.when(F.col("n_exact") > 0, center - half)
+        )
+        .withColumn(
+            "ci95_hi", F.when(F.col("n_exact") > 0, center + half)
+        )
+    )
+    return _track_cached(
+        result,
+        *getattr(lsh_full, "_xmlpipe_cached", []),
+        *getattr(exact_full, "_xmlpipe_cached", []),
     )
 
 

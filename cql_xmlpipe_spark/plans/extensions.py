@@ -249,6 +249,98 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampled_recall_oracle(threshold: float, hex_hi: str) -> str:
+    """Oracle for ``dedup_minhash_recall_sampled``: the exact-gate oracle
+    restricted to the md5 doc stratum, plus the Wilson interval written
+    in the same literal/op order as the Spark side (CAST(1.96 AS DOUBLE)
+    — a bare 1.96 is DECIMAL in DuckDB and would round differently)."""
+    return f"""
+    WITH documents AS (
+      -- shadows the registered view: main.documents is the view itself,
+      -- so every CTE in _lsh_band_ctes below sees only the stratum
+      SELECT * FROM main.documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '{hex_hi}'),
+    {_lsh_band_ctes(threshold)},
+    exact_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {threshold}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+             (SELECT COUNT(*) FROM pairs) AS n_lsh,
+             (SELECT COUNT(*) FROM pairs p JOIN exact_pairs e
+                ON p.id_a = e.id_a AND p.id_b = e.id_b) AS n_found)
+    SELECT n_exact, n_lsh, n_found,
+      CASE WHEN n_exact > 0
+           THEN CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) END
+        AS recall_est,
+      CASE WHEN n_exact > 0 THEN
+        (CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE)
+           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+             / (CAST(2.0 AS DOUBLE) * CAST(n_exact AS DOUBLE)))
+        / (CAST(1.0 AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+             / CAST(n_exact AS DOUBLE))
+        - CAST(1.96 AS DOUBLE)
+          * sqrt((CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE))
+                   * (CAST(1.0 AS DOUBLE)
+                      - CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE))
+                   / CAST(n_exact AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                   / (CAST(4.0 AS DOUBLE) * CAST(n_exact AS DOUBLE)
+                      * CAST(n_exact AS DOUBLE)))
+          / (CAST(1.0 AS DOUBLE)
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+               / CAST(n_exact AS DOUBLE))
+      END AS ci95_lo,
+      CASE WHEN n_exact > 0 THEN
+        (CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE)
+           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+             / (CAST(2.0 AS DOUBLE) * CAST(n_exact AS DOUBLE)))
+        / (CAST(1.0 AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+             / CAST(n_exact AS DOUBLE))
+        + CAST(1.96 AS DOUBLE)
+          * sqrt((CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE))
+                   * (CAST(1.0 AS DOUBLE)
+                      - CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE))
+                   / CAST(n_exact AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                   / (CAST(4.0 AS DOUBLE) * CAST(n_exact AS DOUBLE)
+                      * CAST(n_exact AS DOUBLE)))
+          / (CAST(1.0 AS DOUBLE)
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+               / CAST(n_exact AS DOUBLE))
+      END AS ci95_hi
+    FROM counts
+"""
+
+
+#: gate registration uses a 50% stratum ('7fff' = 32768/65536): the
+#: sf0.01 corpus has 25 exact J≥0.35 pairs of which 3 are stratum-
+#: internal at 50% — non-trivial at gate scale — while the production
+#: default (sample_frac=0.01) is exercised at the jittered decades in
+#: SCALE.md, where the 10⁻⁴ exact-bill scaling is the point.
+_GATE_SAMPLE_FRAC = 0.5
+
+
+@_q("dedup_minhash_recall_sampled", _sampled_recall_oracle(0.35, "7fff"))
+def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED LSH-recall estimate over a deterministic md5 doc stratum —
+    the per-ingest health check whose exact twin (``dedup_minhash_recall``)
+    costs an all-pairs PPJoin (4,485 s of exact-side work at jitter-100×,
+    SCALE.md). Both sides restrict to the stratum (exactly — pair
+    properties are pairwise, so LSH-over-stratum ≡ full LSH restricted
+    to stratum-internal pairs), the estimator is unbiased (stratum
+    hashes ids, never content), and the output row carries a Wilson 95%
+    interval. The oracle recomputes counts AND the interval arithmetic
+    from the pinned band-key fixture over the same stratum."""
+    return DD.minhash_recall_sampled(
+        load_table(spark, "documents", sf_dir),
+        threshold=0.35, k=3, sample_frac=_GATE_SAMPLE_FRAC,
+    )
+
+
 @_q(
     "dedup_paragraphs",
     r"""
@@ -357,6 +449,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     must discard every LSH candidate). Planted-duplicate recall is
     covered by tests/test_dedup.py::test_embedding_near_dup_recovers_planted."""
     return DD.embedding_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.95
+    )
+
+
+#: roster oracle for the embedding family: exact all-pairs cosine graph
+#: (norm > 0 pinned on BOTH sides — zero-norm vectors have NaN cosine,
+#: and both engines order NaN ABOVE every number, so an unguarded
+#: `cos >= t` would emit directionless "pairs"; the operator pins
+#: NOT isnan, the oracle pins nrm > 0 — same exclusion), closed into
+#: components by the same recursive-CTE fixpoint as the text rosters.
+#: Exactness caveat matches dedup_embedding_cosine: banding recall < 1
+#: below saturation, but this corpus has zero sub-1.0 pairs at 0.95, so
+#: the gate checks the no-false-positives side plus the whole collapse→
+#: LSH→CC→roster machinery; planted-family recall is pytest-pinned.
+_EMB_GROUPS_ORACLE = """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.95),
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM p
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM p),
+    reach AS (
+      SELECT vec_id AS v, vec_id AS r FROM e WHERE nrm > 0
+      UNION
+      SELECT ed.w AS v, reach.r AS r FROM reach JOIN edges ed ON reach.v = ed.v),
+    lab AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           list(v ORDER BY v) AS members
+    FROM lab GROUP BY cluster_id HAVING COUNT(*) >= 2
+"""
+
+
+@_q("dedup_embedding_groups", _EMB_GROUPS_ORACLE)
+def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER ROSTERS — the linear-output contract
+    the embedding pair guard's refusal message names (round 10; closes
+    the r9 asymmetry where the text family had a registered roster and
+    the embedding family only a recipe). Collapse identical vectors by a
+    128-bit hash family key, banded sign-LSH + exact cosine verify over
+    representatives only, connected components, one row per multi-vector
+    family. Skew-100× hot family: one roster row with a 50k-member
+    array where the pair contract refuses pricing 1.25B rows
+    (operators/dedup.py::embedding_near_dup_groups, SCALE.md)."""
+    return DD.embedding_near_dup_groups(
         load_table(spark, "embeddings", sf_dir), threshold=0.95
     )
 

@@ -596,3 +596,256 @@ def test_embedding_pair_budget_guard(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert {(a, b) for a in range(100) for b in range(a + 1, 100)} <= got
     DD.unpersist_intermediates(out)
+
+
+# ---------------------------------------------------------------------------
+# round 10: embedding roster contract, two-stage guards, sampled recall
+# ---------------------------------------------------------------------------
+
+
+def _unit_vec(rng, dim=32):
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_embedding_groups_rosters(spark):
+    """The embedding roster contract on a planted corpus: an identical
+    family, a jittered satellite that merges through a rep pair, an
+    UNRELATED identical family, a zero-norm family (NaN cosine — must
+    never surface), a NULL embedding, and singletons. One roster row per
+    eligible multi-vector component, sorted members, min-id labels."""
+    rng = random.Random(7)
+    base_a = _unit_vec(rng)
+    base_b = _unit_vec(rng)
+    jitter = [x + rng.gauss(0, 1e-3) for x in base_a]
+    jn = math.sqrt(sum(x * x for x in jitter))
+    jitter = [x / jn for x in jitter]
+    rows = [
+        (0, base_a), (1, base_a), (2, base_a),      # identical family A
+        (10, jitter), (11, jitter),                  # jitter of A: merges in
+        (20, base_b), (21, base_b),                  # identical family B
+        (30, [0.0] * 32), (31, [0.0] * 32),          # zero-norm: ineligible
+        (40, None),                                  # null: never enters
+        (50, _unit_vec(rng)),                        # singleton: omitted
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v] if v is not None else None) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = DD.embedding_near_dup_groups(df, threshold=0.95)
+    got = {
+        r["cluster_id"]: (r["cluster_size"], list(r["members"]))
+        for r in out.collect()
+    }
+    assert got == {0: (5, [0, 1, 2, 10, 11]), 20: (2, [20, 21])}
+    DD.unpersist_intermediates(out)
+
+
+def test_embedding_groups_match_pairs_cc(spark):
+    """Roster output ≡ union-find over the pair contract's output on a
+    random planted corpus — the same equivalence the text family pins."""
+    rng = random.Random(21)
+    rows = [(i, _unit_vec(rng)) for i in range(30)]
+    # three clone families of sizes 4/3/2 + a near-dup bridge 100<->0
+    rows += [(100 + j, rows[0][1]) for j in range(3)]
+    rows += [(200 + j, rows[1][1]) for j in range(2)]
+    rows += [(300, rows[2][1])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    pairs_df = DD.embedding_near_dup_pairs(df, threshold=0.95)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    DD.unpersist_intermediates(pairs_df)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for v in parent:
+        comps.setdefault(find(v), []).append(v)
+    expected = {
+        min(ms): (len(ms), sorted(ms)) for ms in comps.values() if len(ms) >= 2
+    }
+    out = DD.embedding_near_dup_groups(df, threshold=0.95)
+    got = {
+        r["cluster_id"]: (r["cluster_size"], list(r["members"]))
+        for r in out.collect()
+    }
+    assert got == expected
+    DD.unpersist_intermediates(out)
+
+
+def test_zero_norm_vectors_never_pair(spark):
+    """Pins the zero-norm exclusion: unguarded, identical zero vectors
+    share every sign-LSH bucket (0 >= 0 on every plane) and their
+    cosine is 0/0 — DIVIDE_BY_ZERO under the engine's ANSI session
+    (this exact corpus crashed the unguarded verify mid-round-10), NaN
+    with ANSI off (which both engines order above any number, i.e.
+    garbage pairs). The eligibility filter keeps them out of the index
+    entirely; cosine_safe pins NULL as defense in depth."""
+    rng = random.Random(3)
+    rows = [(i, _unit_vec(rng)) for i in range(10)]
+    rows += [(100, [0.0] * 32), (101, [0.0] * 32), (102, [0.0] * 32)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = DD.embedding_near_dup_pairs(df, threshold=0.95)
+    ids_in_pairs = {
+        x for r in out.collect() for x in (r["id_a"], r["id_b"])
+    }
+    assert ids_in_pairs.isdisjoint({100, 101, 102})
+    DD.unpersist_intermediates(out)
+
+
+def test_embedding_bucket_guard_refuses_jittered_hot_family(spark):
+    """Second-stage candidate-volume guard (round 10): a hot family with
+    per-vector last-bit jitter defeats the identical-vector pricing
+    (every hash differs, clone_pairs = 0) but still lands in one bucket
+    per band — the per-band Σ C(bucket,2) lower bound must refuse before
+    the self-join, naming the roster contract and the stage that fired."""
+    rng = random.Random(13)
+    base = _unit_vec(rng)
+    rows = []
+    for i in range(300):
+        v = list(base)
+        v[i % 32] += 1e-7 * (i + 1)  # unique bytes, ~identical direction
+        rows.append((i, [float(x) for x in v]))
+    rows += [(1000 + j, [float(x) for x in _unit_vec(rng)]) for j in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.embedding_near_dup_pairs(df, threshold=0.95, max_pairs=1_000)
+    msg = str(ei.value)
+    assert "candidate" in msg and "embedding_near_dup_groups" in msg
+    assert "44,850" in msg  # C(300,2): the whole family in one bucket
+
+
+def test_embedding_bucket_guard_passes_under_cap(spark):
+    """Same jittered corpus under a permissive cap: the guard is a
+    pre-flight, not a truncation — the full C(300,2) verified pair set
+    comes through (the jitter keeps every family pair above 0.95)."""
+    rng = random.Random(13)
+    base = _unit_vec(rng)
+    rows = []
+    for i in range(300):
+        v = list(base)
+        v[i % 32] += 1e-7 * (i + 1)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = DD.embedding_near_dup_pairs(df, threshold=0.95, max_pairs=100_000)
+    assert out.count() == 300 * 299 // 2
+    DD.unpersist_intermediates(out)
+
+
+def test_text_guard_prices_only_eligible_families(spark):
+    """ADVICE r9: zero-shingle texts (here: empty strings) never pair, so
+    a hot family of them must NOT trip the pre-flight — the bound prices
+    eligible families only (a true lower bound, not a conservative
+    overcount)."""
+    rows = [(i, "") for i in range(300)]  # hot INELIGIBLE family
+    rows += [(1000 + i, f"unique filler document number {i} here") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.minhash_lsh_pairs_collapsed(df, threshold=0.5, k=3, max_pairs=1_000)
+    ids = {x for r in out.collect() for x in (r["id_a"], r["id_b"])}
+    assert all(i >= 1000 for i in ids)  # empty docs never pair
+    DD.unpersist_intermediates(out)
+
+
+def test_embedding_guard_prices_only_eligible_families(spark):
+    """Embedding twin of the eligibility fix: a hot family of identical
+    ZERO vectors (NaN cosine, never emitted) must not trip the pricing."""
+    rng = random.Random(5)
+    rows = [(i, [0.0] * 16) for i in range(300)]
+    rows += [(1000 + j, [float(x) for x in _unit_vec(rng, 16)]) for j in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = DD.embedding_near_dup_pairs(df, threshold=0.95, max_pairs=1_000)
+    assert out.count() == 0
+    DD.unpersist_intermediates(out)
+
+
+def test_stratum_filter_fraction_and_determinism(spark):
+    """The md5 stratum rule is deterministic, id-only, and hits ≈ frac:
+    recompute membership in pure Python (hashlib) and compare exactly."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got = {
+        r["doc_id"]
+        for r in df.filter(DD.stratum_filter("doc_id", 0.25)).collect()
+    }
+    hi = format(int(round(0.25 * 65536)) - 1, "04x")
+    expected = {
+        i for i in range(2000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] <= hi
+    }
+    assert got == expected
+    assert 0.20 <= len(got) / 2000 <= 0.30
+
+
+def test_minhash_recall_sampled_planted(spark):
+    """Sampled recall on a clone-planted corpus: every true pair is an
+    exact clone (guaranteed found by LSH), so the estimate is exactly
+    1.0 with the Wilson interval pinned at [lo < 1, hi == 1]; n_exact
+    must equal the INDEPENDENTLY-computed count of stratum-internal
+    clone pairs (the restriction is exact, not approximate)."""
+    import hashlib
+    from itertools import combinations
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam_b = "one two three four five six seven eight nine ten eleven"
+    rows = [(i, fam_a) for i in range(40)]
+    rows += [(100 + i, fam_b) for i in range(20)]
+    rows += [(1000 + i, f"unique document number {i} with own words") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frac = 0.5
+    hi = format(int(round(frac * 65536)) - 1, "04x")
+
+    def in_stratum(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:4] <= hi
+
+    expected_pairs = 0
+    for fam in (list(range(40)), list(range(100, 120))):
+        members = [i for i in fam if in_stratum(i)]
+        expected_pairs += len(list(combinations(members, 2)))
+    out = DD.minhash_recall_sampled(df, threshold=0.5, k=3, sample_frac=frac)
+    row = out.collect()[0]
+    assert row["n_exact"] == expected_pairs > 0
+    assert row["n_found"] == row["n_exact"]
+    assert row["recall_est"] == 1.0
+    assert row["ci95_lo"] < 1.0
+    assert abs(row["ci95_hi"] - 1.0) < 1e-12
+    DD.unpersist_intermediates(out)
+
+
+def test_minhash_recall_sampled_empty_stratum(spark):
+    """A pair-free stratum reports NULL estimate and bounds — the same
+    pinned-NULL discipline as the exact gate, not a 0/0 artifact."""
+    rows = [(i, f"totally unique text number {i} nothing shared") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.minhash_recall_sampled(df, threshold=0.5, k=3, sample_frac=0.5)
+    row = out.collect()[0]
+    assert row["n_exact"] == 0
+    assert row["recall_est"] is None
+    assert row["ci95_lo"] is None and row["ci95_hi"] is None
+    DD.unpersist_intermediates(out)
+
+
+def test_default_max_pairs_env_knob(monkeypatch):
+    """default_max_pairs: 10**9 unset, env overrides, 0 disables."""
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PAIRS", raising=False)
+    assert DD.default_max_pairs() == 1_000_000_000
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "12345")
+    assert DD.default_max_pairs() == 12345
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "0")
+    assert DD.default_max_pairs() is None

@@ -1,0 +1,79 @@
+"""Dedup CLI: the user-facing layer where the pair-output budget is on
+by default (VERDICT r9 #2 — the library guards existed but nothing a
+production operator launches ever set them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cql_xmlpipe_spark.dedup_cli import build_parser, main
+
+
+@pytest.fixture(scope="module")
+def hot_corpus_dir(spark, tmp_path_factory):
+    """200-clone hot family: C(200,2) = 19,900 pair rows by contract."""
+    out = str(tmp_path_factory.mktemp("hotcorpus"))
+    rows = [(i, "the same cloned document text repeated everywhere") for i in range(200)]
+    rows += [(1000 + i, f"unique filler document number {i} words") for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_cli_pairs_refuses_over_cap(hot_corpus_dir, capsys):
+    rc = main([
+        "--contract", "pairs", "--data-dir", hot_corpus_dir,
+        "--max-pairs", "1000",
+    ])
+    assert rc == 3
+    err = capsys.readouterr().err
+    assert "refused" in err and "minhash_groups_collapsed" in err
+
+
+def test_cli_env_cap_applies_without_flag(hot_corpus_dir, capsys, monkeypatch):
+    """The env knob is the no-flags path: a production launch with no
+    --max-pairs still gets the refusal."""
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "1000")
+    rc = main(["--contract", "pairs", "--data-dir", hot_corpus_dir])
+    assert rc == 3
+    assert "19,900" in capsys.readouterr().err
+
+
+def test_cli_zero_disables_cap(hot_corpus_dir, capsys, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "0")
+    rc = main(["--contract", "pairs", "--data-dir", hot_corpus_dir])
+    assert rc == 0
+    assert "rows=19900" in capsys.readouterr().out
+
+
+def test_cli_groups_contract_is_the_remedy(hot_corpus_dir, capsys, monkeypatch):
+    """The refusal's prescribed fix must actually work from the same
+    entry point: the roster contract emits ONE row for the hot family
+    under the very cap the pair contract refused."""
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "1000")
+    rc = main(["--contract", "groups", "--data-dir", hot_corpus_dir])
+    assert rc == 0
+    assert "rows=1" in capsys.readouterr().out
+
+
+def test_cli_embedding_pairs_guarded(spark, tmp_path, capsys):
+    out = str(tmp_path)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    rc = main([
+        "--contract", "embedding-pairs", "--data-dir", out,
+        "--max-pairs", "1000",
+    ])
+    assert rc == 3
+    assert "embedding_near_dup_groups" in capsys.readouterr().err
+    rc = main(["--contract", "embedding-groups", "--data-dir", out])
+    assert rc == 0
+    assert "rows=1" in capsys.readouterr().out
+
+
+def test_cli_defaults_table(hot_corpus_dir):
+    args = build_parser().parse_args(["--contract", "pairs", "--data-dir", "x"])
+    assert args.max_pairs is None  # resolved via default_max_pairs at run time
