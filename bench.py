@@ -28,6 +28,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: name -> queries() key (headline subset; full surface runs in the
 #: driver's correctness gate, which is row-for-row, not timed)
+#:
+#: CURATION RULE (decided round 10, before the ceiling forces a cut):
+#: tests/test_plans.py::test_bench_line_fits_driver_tail_window pins the
+#: driver's 2000-char stdout tail as the hard width budget, which at
+#: current name lengths is ~70 queries. HARD CAP: 65 entries. When an
+#: addition would cross 65, drop queries in this order until it fits:
+#:   1. within the most-represented family (dedup_/text_/events_/
+#:      streaming_/xmlpipe_/q*), drop the CHEAPEST member by RECORDS —
+#:      every family always keeps its most expensive member;
+#:   2. never drop the TPC-H heavies (q1/q3/q5/q7/q8/q9/q17/q21/q2) —
+#:      they are the cross-round comparability anchor vs BASELINE.md;
+#:   3. dropped queries stay in the driver's correctness gate (which is
+#:      the full 150+ surface) — the bench cut loses a timing row only.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -104,7 +117,13 @@ HEADLINE = [
     # C(k,2) pairs) and the append-mode production session-window plan
     "dedup_minhash_groups",
     "streaming_session_window_append",
+    # round-10: the embedding roster contract and the sampled recall
+    # health check (the production-cost replacements for the pair
+    # contract and the exact recall gate)
+    "dedup_embedding_groups",
+    "dedup_minhash_recall_sampled",
 ]
+assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 
 # Optional subset for scale smokes: SPARK_GRAFT_ONLY="q1_pricing_summary,..."
 # restricts the headline list (e.g. to skip the deliberately super-linear
@@ -214,6 +233,20 @@ def format_bench_line(timings: dict[str, float], sf) -> str:
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= 1980:
             break
+    if len(line) > 1980:
+        # last resort: the per-query map cannot fit at any precision —
+        # drop it so the driver at least parses the headline total,
+        # and say so loudly instead of silently reintroducing the
+        # BENCH_r06-r08 unparseable-line failure this function prevents
+        print(
+            f"WARNING: bench line {len(line)} chars even at 0dp; "
+            f"dropping per-query map ({len(timings)} queries) to fit "
+            "the driver's 2000-char tail window",
+            file=sys.stderr,
+        )
+        out["queries"] = {}
+        out["value"] = round(sum(timings.values()), 3)
+        line = json.dumps(out, separators=(",", ":"))
     return line
 
 

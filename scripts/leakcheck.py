@@ -10,6 +10,7 @@ Usage: python scripts/leakcheck.py [ROUND_NUMBER]
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -56,11 +57,17 @@ _STDLIB = set(getattr(sys, "stdlib_module_names", ())) | {"__future__"}
 
 
 def tracked_files() -> list[str]:
+    # -z / NUL-split: whitespace-splitting would shatter any tracked
+    # filename containing a space into bogus paths that silently fail
+    # open() and escape the sweep (ADVICE r9)
     out = subprocess.run(
-        ["git", "ls-files"], cwd=REPO, capture_output=True, text=True, check=True
-    ).stdout.split()
+        ["git", "ls-files", "-z"], cwd=REPO, capture_output=True, text=True,
+        check=True,
+    ).stdout.split("\0")
     keep = []
     for f in out:
+        if not f:
+            continue
         if f.endswith((".parquet", ".png", ".bmp", ".bin")):
             continue
         keep.append(f)
@@ -107,7 +114,13 @@ def main() -> int:
         for m in SLACK_RE.finditer(text):
             hits["slack-link"].append(f"{rel}: {m.group(0)}")
         for m in KEY_RE.finditer(text):
-            hits["api-key"].append(f"{rel}: {m.group(0)[:40]}")
+            # NEVER write matched key material into the committed
+            # artifact — the sweep must not itself re-leak what it
+            # finds (ADVICE r9). Record a masked prefix + digest.
+            secret = m.group(0)
+            masked = secret[:4] + "****"
+            digest = hashlib.sha256(secret.encode()).hexdigest()[:12]
+            hits["api-key"].append(f"{rel}: {masked} (sha256:{digest})")
         # pip/requirements-style references to non-public packages
         for m in re.finditer(r"pip\s+install\s+([\w-]+)", text):
             if m.group(1).replace("-", "_") not in PUBLIC_PKGS:

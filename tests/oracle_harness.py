@@ -199,10 +199,35 @@ def main():
     out_json = os.environ.get("SPARK_GRAFT_JSON")
     if out_json:
         import json
+        import subprocess
+        import time
 
         with open(out_json, "w") as fh:
             json.dump(results, fh, indent=2)
         print(f"wrote {out_json}")
+        # regeneration stamp (VERDICT r9 #7): a byte-identical artifact
+        # produces no git diff, so "regenerated on round-N code" was
+        # previously only a BASELINE.md sentence — the meta file makes
+        # it a committed fact even when results don't change
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        meta = {
+            "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "git_head": head,
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(
+                1 for r in results.values()
+                if r["err"] in (None, "no_oracle")
+            ),
+        }
+        meta_path = out_json[:-5] + ".meta.json" if out_json.endswith(".json") else out_json + ".meta"
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh, indent=2)
+            fh.write("\n")
+        print(f"wrote {meta_path}")
     return 1 if failed else 0
 
 

@@ -344,15 +344,50 @@ def test_bench_line_fits_driver_tail_window():
     assert set(parsed["queries"]) == set(bench.HEADLINE)
     assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
 
-    # headroom probe: the degrade ladder must absorb several rounds of
-    # headline growth (names dominate width — ~33 chars/query — so the
-    # ceiling is ~70 queries, not a precision question; past that the
-    # headline set itself must be curated)
+    # headroom probe: the degrade ladder must keep the full per-query
+    # map parseable all the way to the 65-query CURATION CAP (names
+    # dominate width — ~33 chars/query — so the hard ceiling is ~70
+    # queries; the cap keeps two queries of slack below it, and past
+    # the cap the rule in bench.py curates the set, never precision)
     # realistic values here (suite per-query range is 0.2-6 s; the
     # 99.999 envelope above is the all-stall worst case for the
     # CURRENT set, where the ladder already has to reach integers)
+    extra = 65 - len(bench.HEADLINE)
     big = {n: 12.345 for n in bench.HEADLINE}
-    big.update({f"extra_round_query_{i:02d}": 12.345 for i in range(7)})
+    big.update({f"extra_round_query_{i:02d}": 12.345 for i in range(extra)})
     line2 = bench.format_bench_line(big, 0.1)
     assert len(line2) <= 1980, len(line2)
-    assert len(json.loads(line2)["queries"]) == len(bench.HEADLINE) + 7
+    assert len(json.loads(line2)["queries"]) == 65
+
+
+def test_bench_line_drops_query_map_when_nothing_fits(capsys):
+    """ADVICE r9: when even the 0dp rung can't fit (a hypothetical
+    200-query set), the function must NOT return an unparseable line —
+    it drops the per-query map, keeps the parseable headline total, and
+    warns on stderr."""
+    import json
+
+    import bench
+
+    huge = {f"hypothetical_future_query_name_{i:03d}": 12.345 for i in range(200)}
+    line = bench.format_bench_line(huge, 0.1)
+    assert len(line) <= 1980, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {}
+    assert parsed["value"] == round(sum(huge.values()), 3)
+    assert "dropping per-query map" in capsys.readouterr().err
+
+
+def test_bench_headline_curation_cap():
+    """The round-10 curation rule: the headline set stays <= 65 so the
+    tail-window ceiling never forces an unprincipled mid-round cut, and
+    the TPC-H comparability anchors are always present."""
+    import bench
+
+    assert len(bench.HEADLINE) <= 65
+    anchors = {"q1_pricing_summary", "q3_shipping_priority",
+               "q5_local_supplier_volume", "q7_volume_shipping",
+               "q8_market_share", "q9_product_profit",
+               "q17_small_quantity_revenue", "q21_late_suppliers",
+               "q2_min_cost_supplier"}
+    assert anchors <= set(bench.HEADLINE)
