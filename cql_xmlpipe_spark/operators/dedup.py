@@ -1352,6 +1352,75 @@ def incremental_probe_pairs(
     )
 
 
+def embedding_incremental_probe_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    n_hint: int | None = None,
+    auto_geometry: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup for the EMBEDDING family: cosine near-dup
+    pairs between a NEW batch of vectors and an EXISTING corpus, without
+    ever forming corpus×corpus (or batch×batch) candidates — the twin of
+    :func:`incremental_probe_pairs` (round 10; per-ingest crawl
+    pipelines carry embeddings alongside text, and the corpus side's
+    self-pairs were resolved in prior ingests).
+
+    Both sides index through :func:`~cql_xmlpipe_spark.operators.
+    similarity.banded_sign_keys` with ONE shared geometry — the planes
+    are derived deterministically from (plane, dim), so identical
+    (n_bands, band_bits) on both sides means identical hyperplanes and
+    a meaningful cross-side collision space; geometry resolves once
+    from the CORPUS side (the big side owns the junk floor: cross-side
+    junk ≈ n_bands·|C|·|I|/2^band_bits). The candidate join is
+    increment-keys × corpus-keys on (band, bkey) — bare ints, vectors
+    fetched by id only for exact verification with the same zero-norm
+    eligibility push-down and ``cosine_safe`` pin as
+    :func:`embedding_near_dup_pairs`. At warehouse scale the corpus
+    keys are a precomputed table bucketed by (band, bkey), so each
+    ingest signs only the increment.
+
+    Precondition mirrors the text twin: disjoint id sets (identity
+    pairs are filtered defensively). Returns (inc_id, corpus_id, cos)
+    with cos >= threshold.
+    """
+    from cql_xmlpipe_spark.functions.vectors import cosine_safe, norm
+    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
+
+    ec = corpus.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
+    ei = increment.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
+    n_bands, band_bits = _resolve_band_geometry(
+        ec, threshold, n_bands, band_bits, n_hint, auto_geometry
+    )
+    ck = banded_sign_keys(ec, emb_col, id_col, n_bands, band_bits).persist()
+    ik = banded_sign_keys(ei, emb_col, id_col, n_bands, band_bits).persist()
+    cands = (
+        ik.select(F.col(id_col).alias("inc_id"), "band", "bkey")
+        .join(
+            ck.select(F.col(id_col).alias("corpus_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("inc_id") != F.col("corpus_id"))
+        .select("inc_id", "corpus_id")
+        .distinct()
+    )
+    vi = ei.select(F.col(id_col).alias("inc_id"), F.col(emb_col).alias("e_a"))
+    vc = ec.select(F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("e_b"))
+    return _track_cached(
+        cands.join(vi, "inc_id")
+        .join(vc, "corpus_id")
+        .withColumn("cos", cosine_safe(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("inc_id", "corpus_id", "cos"),
+        ck,
+        ik,
+    )
+
+
 def ngram_jaccard_pairs_collapsed(
     df: DataFrame,
     text_col: str = "text",

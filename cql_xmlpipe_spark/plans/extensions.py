@@ -508,6 +508,45 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact cross-set cosine oracle for the embedding incremental probe:
+#: same vec_id % 5 split as the text twin, same norm > 0 pinning as the
+#: other embedding oracles. On this corpus there are no cross-set pairs
+#: at 0.95, so the gate checks the no-false-positives side plus the
+#: asymmetric banding/verify machinery; planted recovery is pytest-pinned
+#: (test_embedding_incremental_probe_planted).
+_EMB_INCREMENTAL_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT a.vec_id AS inc_id, b.vec_id AS corpus_id,
+           list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+    FROM e a JOIN e b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+    WHERE a.nrm > 0 AND b.nrm > 0
+      AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.95
+"""
+
+
+@_q("dedup_embedding_incremental", _EMB_INCREMENTAL_ORACLE)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding incremental-ingest dedup, gate-visible: vectors split
+    into an existing corpus (vec_id % 5 != 0) and a new batch (vec_id %
+    5 == 0); the operator finds every cosine-≥0.95 near-dup the BATCH
+    has against the CORPUS through an asymmetric banded sign-LSH probe
+    join — no corpus×corpus or batch×batch candidates
+    (operators/dedup.py::embedding_incremental_probe_pairs)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    increment = e.filter(F.col("vec_id") % 5 == 0)
+    return DD.embedding_incremental_probe_pairs(corpus, increment, threshold=0.95)
+
+
 _TOKS_CTE = """
       SELECT doc_id, lang,
              list_filter(string_split(regexp_replace(lower(text),

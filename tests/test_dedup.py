@@ -849,3 +849,27 @@ def test_default_max_pairs_env_knob(monkeypatch):
     assert DD.default_max_pairs() == 12345
     monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "0")
     assert DD.default_max_pairs() is None
+
+
+def test_embedding_incremental_probe_planted(spark):
+    """Embedding incremental probe: planted batch↔corpus near-dups are
+    recovered, batch×batch and corpus×corpus pairs are NEVER emitted
+    (the contract is cross-set only), zero-norm vectors on either side
+    are excluded, and geometry resolves once for both sides."""
+    rng = random.Random(31)
+    base = _unit_vec(rng)
+    corpus_rows = [(i, _unit_vec(rng)) for i in range(1, 30)]
+    corpus_rows += [(100, base), (101, base)]        # corpus-internal clone pair
+    corpus_rows += [(102, [0.0] * 32)]               # zero-norm corpus vector
+    inc_rows = [(200, base)]                         # near-dups 100/101 in corpus
+    inc_rows += [(201, _unit_vec(rng))]              # unrelated batch vector
+    inc_rows += [(202, [0.0] * 32)]                  # zero-norm batch vector
+    mk = lambda rows: spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = DD.embedding_incremental_probe_pairs(mk(corpus_rows), mk(inc_rows))
+    got = {(r["inc_id"], r["corpus_id"]): r["cos"] for r in out.collect()}
+    assert set(got) == {(200, 100), (200, 101)}
+    assert all(c >= 0.95 for c in got.values())
+    DD.unpersist_intermediates(out)
