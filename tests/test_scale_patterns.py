@@ -256,3 +256,28 @@ def test_jitter_embedding_makes_true_near_dups(spark):
     assert all(0.95 <= v < 0.9999 for v in oc), (min(oc), max(oc))
     assert all(0.93 <= v < 0.999 for v in cc), (min(cc), max(cc))
     assert sum(v >= 0.95 for v in cc) / len(cc) > 0.95
+
+
+def test_embedding_roster_and_probe_plan_shapes(spark):
+    """Round-10 plan pins: the embedding roster contract and the
+    incremental probe must never plan a cartesian/nested-loop join (the
+    candidate joins are equi-joins on (band, bkey) ints), and the roster
+    path must contain ZERO Sort nodes — member ordering is the per-row
+    sort_array expression, not a corpus sort (the same no-corpus-sort
+    property the r9 text roster established)."""
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    groups = DD.embedding_near_dup_groups(emb, threshold=0.95)
+    p = groups._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Sort " not in p
+    DD.unpersist_intermediates(groups)
+
+    corpus = emb.filter("vec_id % 5 != 0")
+    inc = emb.filter("vec_id % 5 = 0")
+    probe = DD.embedding_incremental_probe_pairs(corpus, inc)
+    p2 = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    DD.unpersist_intermediates(probe)
