@@ -215,6 +215,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = 3,
     sets: DataFrame | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
 
@@ -230,7 +231,19 @@ def minhash_lsh_pairs(
     :func:`shingle_hash_sets` projection of ``df`` (the collapsed wrapper
     reuses it as the shingle-eligibility filter); ownership of that cache
     stays with the caller.
-    """
+
+    ``max_pairs`` here is the CANDIDATE-volume stage of the guard (the
+    text twin of the embedding operator's second stage, round 10): a
+    NEAR-identical hot family — every clone rewritten in a few tokens —
+    defeats the collapsed wrapper's exact-clone arithmetic (reps all
+    distinct) yet still collides in the banded index, implying ~J⁴-scaled
+    C(g,2) candidate verifications per band. Σ C(bucket, 2) within one
+    band lower-bounds distinct candidate pairs (the candidate union
+    contains every band's collision set); the max over bands is checked
+    in one aggregation over the cached signature projection before the
+    self-join launches, raising :class:`PairOutputBudgetExceeded` past
+    the cap. The collapsed wrapper composes this with its output
+    arithmetic under the same parameter."""
     # the hash-set projection feeds the minhash aggregate AND both verify
     # joins; persist the compact form (id + 8-byte shingle hashes — ~100×
     # smaller than text) instead of recomputing tokenization 3×.
@@ -244,6 +257,38 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         F.col(id_col), F.posexplode(_band_keys()).alias("band", "bucket")
     )
+    if max_pairs is not None:
+        bstats = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("band")
+            .agg(
+                F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand"),
+                F.max("n").alias("bucket_max"),
+            )
+            .agg(
+                F.max("cand").alias("cand_lb"),
+                F.max("bucket_max").alias("bucket_max"),
+            )
+            .collect()[0]
+        )
+        if (bstats["cand_lb"] or 0) > max_pairs:
+            for c in ([sigs] if caller_sets else [sigs, sets]):
+                try:
+                    c.unpersist()
+                except Exception:  # pragma: no cover - session teardown race
+                    pass
+            raise PairOutputBudgetExceeded(
+                f"minhash_lsh_pairs: one LSH band alone implies >= "
+                f"{bstats['cand_lb']:,} distinct candidate pairs to verify "
+                f"(hottest bucket {bstats['bucket_max']:,} docs), over "
+                f"max_pairs={max_pairs:,} — a near-identical (jittered) hot "
+                "family that exact-clone collapse cannot fold. "
+                "minhash_groups_collapsed bounds the OUTPUT to one roster "
+                "row per family (the candidate-verify cost remains — the "
+                "family's texts are distinct); raise max_pairs only if "
+                "that verify bill is budgeted."
+            )
     cands = (
         buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
         .join(buckets.select(F.col(id_col).alias("id_b"), "band", "bucket"),
@@ -280,7 +325,12 @@ def minhash_lsh_pairs(
 
 
 def _collapse_prelude(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int,
+    max_pairs: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared exact-duplicate collapse staging for the two collapsed
     operators: returns ``(mem, th, sets, rep_pairs)`` where ``mem`` is
@@ -291,14 +341,56 @@ def _collapse_prelude(
     representatives (feeds the inner LSH AND serves as the eligibility
     filter — ONE tokenization of the reps), and ``rep_pairs`` the
     verified near-dup pairs between representatives. The caller owns
-    all three caches (track them via :func:`_track_cached`)."""
+    all three caches (track them via :func:`_track_cached`).
+
+    ``max_pairs`` runs the guard's two stages IN COST ORDER before any
+    LSH work: stage-1 (here) prices the exact-clone output from the
+    eligible collapse-group sizes — the cheap arithmetic that needs no
+    signatures; stage-2 (inside :func:`minhash_lsh_pairs`) bounds
+    candidate volume from the banded index — which only jittered
+    families reach, after stage-1 has already passed."""
     th = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th")).persist()
     reps = th.groupBy("_th").agg(F.min(id_col).alias("rep"))
     mem = th.join(reps, "_th").select(F.col(id_col), "rep").persist()
     rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
     rep_docs = df.join(rep_ids, id_col, "left_semi")
     sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
-    rep_pairs = minhash_lsh_pairs(rep_docs, text_col, id_col, threshold, k, sets=sets)
+    if max_pairs is not None:
+        stats = (
+            mem.join(sets.select(F.col(id_col).alias("rep")), "rep")
+            .groupBy("rep")
+            .agg(F.count(F.lit(1)).alias("g"))
+            .agg(
+                F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
+                F.max("g").alias("g_max"),
+            )
+            .collect()[0]
+        )
+        if (stats["clone_pairs"] or 0) > max_pairs:
+            for c in (mem, th, sets):
+                try:
+                    c.unpersist()
+                except Exception:  # pragma: no cover - session teardown race
+                    pass
+            raise PairOutputBudgetExceeded(
+                f"minhash_lsh_pairs_collapsed: exact-clone families alone imply "
+                f">= {stats['clone_pairs']:,} output pair rows (largest family "
+                f"{stats['g_max']:,} docs => C({stats['g_max']:,}, 2) rows), over "
+                f"max_pairs={max_pairs:,}. The pair contract is irreducibly "
+                "quadratic in clone-family size; use minhash_groups_collapsed "
+                "(one roster row per family, linear output) or raise max_pairs."
+            )
+    try:
+        rep_pairs = minhash_lsh_pairs(
+            rep_docs, text_col, id_col, threshold, k, sets=sets, max_pairs=max_pairs
+        )
+    except PairOutputBudgetExceeded:
+        for c in (mem, th, sets):
+            try:
+                c.unpersist()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
+        raise
     return mem, th, sets, rep_pairs
 
 
@@ -347,34 +439,18 @@ def minhash_lsh_pairs_collapsed(
     at :func:`minhash_groups_collapsed` instead of launching a job whose
     OUTPUT is intractable by arithmetic — at the skew-100× smoke one
     50,000-clone family means 1.25B rows before the first near-dup is
-    even found (SCALE.md). Costs one count-style action; None (default)
-    skips it."""
-    mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
-    if max_pairs is not None:
-        stats = (
-            mem.join(sets.select(F.col(id_col).alias("rep")), "rep")
-            .groupBy("rep")
-            .agg(F.count(F.lit(1)).alias("g"))
-            .agg(
-                F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
-                F.max("g").alias("g_max"),
-            )
-            .collect()[0]
-        )
-        if (stats["clone_pairs"] or 0) > max_pairs:
-            for c in (mem, th, sets, *getattr(rep_pairs, "_xmlpipe_cached", [])):
-                try:
-                    c.unpersist()
-                except Exception:  # pragma: no cover - session teardown race
-                    pass
-            raise PairOutputBudgetExceeded(
-                f"minhash_lsh_pairs_collapsed: exact-clone families alone imply "
-                f">= {stats['clone_pairs']:,} output pair rows (largest family "
-                f"{stats['g_max']:,} docs => C({stats['g_max']:,}, 2) rows), over "
-                f"max_pairs={max_pairs:,}. The pair contract is irreducibly "
-                "quadratic in clone-family size; use minhash_groups_collapsed "
-                "(one roster row per family, linear output) or raise max_pairs."
-            )
+    even found (SCALE.md). Round 10 adds the SECOND stage under the same
+    parameter: a near-identical (jittered) hot family defeats the clone
+    arithmetic (reps all distinct) but still collides in the banded
+    index, so :func:`minhash_lsh_pairs` additionally lower-bounds
+    distinct candidate pairs from the per-band bucket sizes of the rep
+    signature index and refuses past the cap — the text twin of the
+    embedding operator's bucket guard, run strictly AFTER the cheap
+    arithmetic stage (see :func:`_collapse_prelude`). None (default)
+    skips both stages."""
+    mem, th, sets, rep_pairs = _collapse_prelude(
+        df, text_col, id_col, threshold, k, max_pairs
+    )
     eligible = sets.select(F.col(id_col).alias("rep"))
     em = mem.join(eligible, "rep")
     within = (

@@ -873,3 +873,42 @@ def test_embedding_incremental_probe_planted(spark):
     assert set(got) == {(200, 100), (200, 101)}
     assert all(c >= 0.95 for c in got.values())
     DD.unpersist_intermediates(out)
+
+
+def test_text_bucket_guard_refuses_jittered_hot_family(spark):
+    """Text twin of the second-stage guard: a hot family whose clones are
+    each rewritten in ONE token defeats the exact-clone arithmetic (all
+    texts distinct, stage-1 prices ~0) but still collides in the banded
+    MinHash index — the per-band Σ C(bucket,2) bound must refuse before
+    the candidate self-join, naming the roster contract."""
+    base = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(300):
+        toks = list(base)
+        toks[i % 60] = f"edit{i}"  # one-token jitter: J ≈ 0.9 vs base
+        rows.append((i, " ".join(toks)))
+    rows += [(1000 + j, f"unique filler document number {j} here") for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.minhash_lsh_pairs_collapsed(df, threshold=0.5, k=3, max_pairs=1_000)
+    msg = str(ei.value)
+    assert "candidate" in msg and "minhash_groups_collapsed" in msg
+
+
+def test_text_bucket_guard_passes_under_cap(spark):
+    """Same jittered corpus under a permissive cap: full verified pair
+    set comes through (guard is a pre-flight, not a truncation)."""
+    base = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(50):
+        toks = list(base)
+        toks[i % 60] = f"edit{i}"
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = DD.minhash_lsh_pairs_collapsed(df, threshold=0.5, k=3, max_pairs=10**7)
+    uncapped = DD.minhash_lsh_pairs_collapsed(df, threshold=0.5, k=3)
+    got_c = sorted(map(tuple, capped.collect()))
+    got_u = sorted(map(tuple, uncapped.collect()))
+    assert got_c == got_u and len(got_c) > 0
+    DD.unpersist_intermediates(capped)
+    DD.unpersist_intermediates(uncapped)
