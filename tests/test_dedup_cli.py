@@ -77,3 +77,14 @@ def test_cli_embedding_pairs_guarded(spark, tmp_path, capsys):
 def test_cli_defaults_table(hot_corpus_dir):
     args = build_parser().parse_args(["--contract", "pairs", "--data-dir", "x"])
     assert args.max_pairs is None  # resolved via default_max_pairs at run time
+
+
+def test_cli_out_writes_parquet(hot_corpus_dir, tmp_path, spark, monkeypatch):
+    """--out writes the result as parquet a downstream job can read."""
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", "0")
+    dest = str(tmp_path / "rosters")
+    rc = main(["--contract", "groups", "--data-dir", hot_corpus_dir, "--out", dest])
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0]["cluster_size"] == 200
