@@ -912,3 +912,35 @@ def test_text_bucket_guard_passes_under_cap(spark):
     assert got_c == got_u and len(got_c) > 0
     DD.unpersist_intermediates(capped)
     DD.unpersist_intermediates(uncapped)
+
+
+def test_minhash_recall_sampled_detects_real_misses(spark):
+    """The health check must DISCRIMINATE, not just report 1.0: plant
+    pairs in the banding's miss zone (J ≈ 0.36-0.45 at the 16×4 s-curve,
+    where per-pair candidate probability is only ~0.3-0.6) and assert
+    the estimator reports the misses the exact side finds — n_found <
+    n_exact, estimate strictly inside (0, 1), interval consistent."""
+    rng = random.Random(97)
+    vocab = [f"t{i}" for i in range(2000)]
+    rows = []
+    # 120 planted pairs: docs (2i, 2i+1) share a 36-token RUN (shingles
+    # are consecutive n-grams — shared tokens only share shingles when
+    # contiguous; and token names must stay alphanumeric — words()
+    # splits on '_', which quietly halves the Jaccard) plus 24 unique
+    # tokens each: J = 34/82 ≈ 0.41, inside the banding's miss zone at
+    # threshold 0.35 (per-pair candidate probability ≈ 0.35 at the
+    # 16×4 s-curve).
+    for i in range(120):
+        shared = rng.sample(vocab, 36)
+        a = shared + [f"ua{i}x{j}" for j in range(24)]
+        b = shared + [f"ub{i}x{j}" for j in range(24)]
+        rows.append((2 * i, " ".join(a)))
+        rows.append((2 * i + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.minhash_recall_sampled(df, threshold=0.35, k=3, sample_frac=1.0)
+    row = out.collect()[0]
+    DD.unpersist_intermediates(out)
+    assert row["n_exact"] > 50          # the exact side sees the planted pairs
+    assert row["n_found"] < row["n_exact"]  # the banding genuinely misses some
+    assert 0.0 < row["recall_est"] < 1.0
+    assert row["ci95_lo"] < row["recall_est"] < row["ci95_hi"] < 1.0
