@@ -22,6 +22,9 @@ Contracts:
 * ``groups``           — text cluster rosters (linear output)
 * ``embedding-pairs``  — banded sign-LSH verified cosine pairs
 * ``embedding-groups`` — embedding cluster rosters (linear output)
+* ``incremental`` / ``embedding-incremental`` — new batch
+  (``--increment-dir``) probed against the standing corpus
+  (``--data-dir``); batch-side output, no corpus² work per ingest
 """
 
 from __future__ import annotations
@@ -39,9 +42,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--contract",
         required=True,
-        choices=["pairs", "groups", "embedding-pairs", "embedding-groups"],
+        choices=[
+            "pairs", "groups", "embedding-pairs", "embedding-groups",
+            "incremental", "embedding-incremental",
+        ],
     )
     p.add_argument("--data-dir", required=True, help="directory of <table>.parquet")
+    p.add_argument(
+        "--increment-dir",
+        default=None,
+        metavar="DIR",
+        help="incremental contracts only: directory holding the NEW batch's "
+        "<table>.parquet; --data-dir is the standing corpus",
+    )
     p.add_argument("--table", default=None, help="table name (default: documents "
                    "for text contracts, embeddings for embedding contracts)")
     p.add_argument("--id-col", default=None, help="default: doc_id / vec_id")
@@ -74,7 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         max_pairs = None if args.max_pairs <= 0 else args.max_pairs
 
-    text_contract = args.contract in ("pairs", "groups")
+    text_contract = args.contract in ("pairs", "groups", "incremental")
+    incremental = args.contract in ("incremental", "embedding-incremental")
+    if incremental and not args.increment_dir:
+        print("refused: --increment-dir is required for incremental contracts",
+              file=sys.stderr)
+        return 2
     table = args.table or ("documents" if text_contract else "embeddings")
     id_col = args.id_col or ("doc_id" if text_contract else "vec_id")
     threshold = args.threshold if args.threshold is not None else (
@@ -84,7 +102,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("dedup-cli")
     df = load_table(spark, table, args.data_dir)
     try:
-        if args.contract == "pairs":
+        if incremental:
+            inc = load_table(spark, table, args.increment_dir)
+            if args.contract == "incremental":
+                result = DD.incremental_probe_pairs(
+                    df, inc, args.text_col, id_col, threshold, args.k
+                )
+            else:
+                result = DD.embedding_incremental_probe_pairs(
+                    df, inc, id_col, args.emb_col, threshold
+                )
+        elif args.contract == "pairs":
             result = DD.minhash_lsh_pairs_collapsed(
                 df, args.text_col, id_col, threshold, args.k, max_pairs=max_pairs
             )

@@ -88,3 +88,27 @@ def test_cli_out_writes_parquet(hot_corpus_dir, tmp_path, spark, monkeypatch):
     back = spark.read.parquet(dest)
     rows = back.collect()
     assert len(rows) == 1 and rows[0]["cluster_size"] == 200
+
+
+def test_cli_incremental_contract(spark, tmp_path, capsys):
+    """Incremental contracts take a second input dir: the batch probes
+    the standing corpus, output is cross-set only."""
+    fam = "the same near duplicate document text shared by corpus and batch"
+    corpus_dir, inc_dir = str(tmp_path / "corpus"), str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(1, fam), (2, "an unrelated corpus document about something else")],
+        "doc_id long, text string",
+    ).write.parquet(f"{corpus_dir}/documents.parquet")
+    spark.createDataFrame(
+        [(100, fam)], "doc_id long, text string"
+    ).write.parquet(f"{inc_dir}/documents.parquet")
+    rc = main([
+        "--contract", "incremental", "--data-dir", corpus_dir,
+        "--increment-dir", inc_dir,
+    ])
+    assert rc == 0
+    assert "rows=1" in capsys.readouterr().out
+    # missing --increment-dir is a usage error, not a crash
+    rc = main(["--contract", "incremental", "--data-dir", corpus_dir])
+    assert rc == 2
+    assert "--increment-dir" in capsys.readouterr().err
