@@ -106,11 +106,13 @@ def main(argv: list[str] | None = None) -> int:
             inc = load_table(spark, table, args.increment_dir)
             if args.contract == "incremental":
                 result = DD.incremental_probe_pairs(
-                    df, inc, args.text_col, id_col, threshold, args.k
+                    df, inc, args.text_col, id_col, threshold, args.k,
+                    max_pairs=max_pairs,
                 )
             else:
                 result = DD.embedding_incremental_probe_pairs(
-                    df, inc, id_col, args.emb_col, threshold
+                    df, inc, id_col, args.emb_col, threshold,
+                    max_pairs=max_pairs,
                 )
         elif args.contract == "pairs":
             result = DD.minhash_lsh_pairs_collapsed(

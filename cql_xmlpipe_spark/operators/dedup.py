@@ -1353,6 +1353,55 @@ def _lsh_prep(
     return sets, buckets
 
 
+def _cross_budget_check(
+    a_keys: DataFrame,
+    b_keys: DataFrame,
+    join_cols: list[str],
+    max_pairs: int,
+    op: str,
+    stage: str,
+    remedy: str,
+    caches: list[DataFrame],
+) -> None:
+    """Shared cross-set pre-flight for the incremental probe guards:
+    count key multiplicities on each side, join on the key, and price
+    Σ a·b — the number of (batch, corpus) combinations sharing that key.
+    For identical-content keys that is EXACTLY the pair output those
+    families emit (every cross combination is a true pair); for
+    (band, bucket) keys the per-band maximum lower-bounds distinct
+    cross candidates (the candidate union contains every band's
+    collision set). One aggregation-shaped action either way; raises
+    :class:`PairOutputBudgetExceeded` past ``max_pairs`` after
+    unpersisting ``caches``."""
+    banded = join_cols[0] in ("band",)
+    a = a_keys.groupBy(*join_cols).agg(F.count(F.lit(1)).alias("_na"))
+    b = b_keys.groupBy(*join_cols).agg(F.count(F.lit(1)).alias("_nb"))
+    joined = a.join(b, join_cols).select(
+        *(join_cols[:1] if banded else []),
+        (F.col("_na") * F.col("_nb")).alias("_ab"),
+    )
+    if banded:  # per-band sums; the max band is the candidate lower bound
+        stats = (
+            joined.groupBy(join_cols[0])
+            .agg(F.sum("_ab").alias("cand"))
+            .agg(F.max("cand").alias("bound"))
+            .collect()[0]
+        )
+    else:  # one composite content key: Σ a·b IS the family pair output
+        stats = joined.agg(F.sum("_ab").alias("bound")).collect()[0]
+    if (stats["bound"] or 0) > max_pairs:
+        for c in caches:
+            try:
+                c.unpersist()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
+        raise PairOutputBudgetExceeded(
+            f"{op}: {stage} implies >= {stats['bound']:,} cross-set "
+            f"{'candidate pairs to verify' if banded else 'pair rows'}, "
+            f"over max_pairs={max_pairs:,}. {remedy}"
+        )
+
+
 def incremental_probe_pairs(
     corpus: DataFrame,
     increment: DataFrame,
@@ -1360,6 +1409,7 @@ def incremental_probe_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 3,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: near-dup pairs between a NEW batch and
     an EXISTING corpus, without ever forming corpus×corpus (or
@@ -1384,9 +1434,46 @@ def incremental_probe_pairs(
     exactness-preserving length filter + true-Jaccard check.
 
     Returns (inc_id, corpus_id, jaccard) with jaccard >= threshold.
+
+    ``max_pairs`` is the cross-set form of the two-stage guard (round
+    10; the per-ingest path was the last CLI-reachable pair contract
+    without one): a hot text present a× in the batch and b× in the
+    corpus emits EXACTLY a·b pair rows by contract — stage-1 prices
+    Σ a·b over shared sha256 keys (eligible ids only); a jittered hot
+    family defeats that, so stage-2 lower-bounds distinct cross
+    candidates by the per-band Σ a·b over shared (band, bucket) keys
+    of the already-staged indexes. Both are one aggregation-shaped
+    action; refusal names the standard ingest staging (exact-dedup the
+    batch against the corpus first — one linear hash join — so only
+    novel texts probe).
     """
     i_sets, i_buckets = _lsh_prep(increment, text_col, id_col, k)
     c_sets, c_buckets = _lsh_prep(corpus, text_col, id_col, k)
+    caches = [i_sets, i_buckets, c_sets, c_buckets]
+    if max_pairs is not None:
+        remedy = (
+            "Identical-text cross pairs are irreducible output; run the "
+            "standard ingest staging instead — exact-dedup the batch "
+            "against the corpus by content hash first (one linear "
+            "equi-join), probe only novel texts — or raise max_pairs."
+        )
+        th_i = increment.join(
+            i_sets.select(id_col), id_col, "left_semi"
+        ).select(F.sha2(F.col(text_col), 256).alias("_th"))
+        th_c = corpus.join(
+            c_sets.select(id_col), id_col, "left_semi"
+        ).select(F.sha2(F.col(text_col), 256).alias("_th"))
+        _cross_budget_check(
+            th_i, th_c, ["_th"], max_pairs, "incremental_probe_pairs",
+            "identical texts shared by batch and corpus alone", remedy, caches,
+        )
+        _cross_budget_check(
+            i_buckets.select("band", "bucket"),
+            c_buckets.select("band", "bucket"),
+            ["band", "bucket"], max_pairs, "incremental_probe_pairs",
+            "one LSH band alone (a near-identical hot family the "
+            "identical-text pricing cannot see)", remedy, caches,
+        )
     cands = (
         i_buckets.select(F.col(id_col).alias("inc_id"), "band", "bucket")
         .join(
@@ -1438,6 +1525,7 @@ def embedding_incremental_probe_pairs(
     band_bits: int | None = None,
     n_hint: int | None = None,
     auto_geometry: bool = True,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup for the EMBEDDING family: cosine near-dup
     pairs between a NEW batch of vectors and an EXISTING corpus, without
@@ -1462,18 +1550,47 @@ def embedding_incremental_probe_pairs(
 
     Precondition mirrors the text twin: disjoint id sets (identity
     pairs are filtered defensively). Returns (inc_id, corpus_id, cos)
-    with cos >= threshold.
+    with cos >= threshold. ``max_pairs`` is the cross-set two-stage
+    guard, exactly as on :func:`incremental_probe_pairs`: stage-1
+    prices Σ a·b over shared 128-bit vector-hash keys (identical
+    vectors across the split emit exactly a·b pairs), stage-2
+    lower-bounds cross candidates by the per-band Σ a·b over shared
+    (band, bkey) keys.
     """
     from cql_xmlpipe_spark.functions.vectors import cosine_safe, norm
     from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
 
     ec = corpus.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
     ei = increment.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
+    if max_pairs is not None:
+        vh = lambda df: df.select(
+            F.xxhash64(F.col(emb_col)).alias("_h1"),
+            F.xxhash64(F.col(emb_col), F.lit(1)).alias("_h2"),
+        )
+        _cross_budget_check(
+            vh(ei), vh(ec), ["_h1", "_h2"], max_pairs,
+            "embedding_incremental_probe_pairs",
+            "identical vectors shared by batch and corpus alone",
+            "Exact-dedup the batch against the corpus by vector hash "
+            "first (one linear equi-join), probe only novel vectors, "
+            "or raise max_pairs.", [],
+        )
     n_bands, band_bits = _resolve_band_geometry(
         ec, threshold, n_bands, band_bits, n_hint, auto_geometry
     )
     ck = banded_sign_keys(ec, emb_col, id_col, n_bands, band_bits).persist()
     ik = banded_sign_keys(ei, emb_col, id_col, n_bands, band_bits).persist()
+    if max_pairs is not None:
+        _cross_budget_check(
+            ik.select("band", "bkey"), ck.select("band", "bkey"),
+            ["band", "bkey"], max_pairs,
+            "embedding_incremental_probe_pairs",
+            "one LSH band alone (a near-identical hot family the "
+            "identical-vector pricing cannot see)",
+            "embedding_near_dup_groups over the union bounds OUTPUT per "
+            "family; the cross verify bill itself remains — raise "
+            "max_pairs only if it is budgeted.", [ck, ik],
+        )
     cands = (
         ik.select(F.col(id_col).alias("inc_id"), "band", "bkey")
         .join(

@@ -944,3 +944,65 @@ def test_minhash_recall_sampled_detects_real_misses(spark):
     assert row["n_found"] < row["n_exact"]  # the banding genuinely misses some
     assert 0.0 < row["recall_est"] < 1.0
     assert row["ci95_lo"] < row["recall_est"] < row["ci95_hi"] < 1.0
+
+
+def test_incremental_probe_cross_guard(spark):
+    """Cross-set guard on the text probe: a hot text present 50× in the
+    batch and 200× in the corpus implies exactly 10,000 cross pair rows
+    — stage-1 refuses at a 1,000 cap; under a permissive cap the full
+    a·b set comes through; a batch of only NOVEL texts passes the same
+    cap untouched."""
+    hot = "the same hot document text shared across batch and corpus"
+    corpus = spark.createDataFrame(
+        [(i, hot) for i in range(200)]
+        + [(500 + i, f"corpus only document number {i} here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, hot) for i in range(50)], "doc_id long, text string"
+    )
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.incremental_probe_pairs(corpus, batch, max_pairs=1_000)
+    msg = str(ei.value)
+    assert "10,000" in msg and "exact-dedup the batch" in msg
+    ok = DD.incremental_probe_pairs(corpus, batch, max_pairs=100_000)
+    assert ok.count() == 10_000
+    DD.unpersist_intermediates(ok)
+    novel = spark.createDataFrame(
+        [(2000 + i, f"novel batch document number {i} words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ok2 = DD.incremental_probe_pairs(corpus, novel, max_pairs=1_000)
+    assert ok2.count() == 0
+    DD.unpersist_intermediates(ok2)
+
+
+def test_embedding_incremental_probe_cross_guard(spark):
+    """Cross-set guard on the embedding probe: identical-vector stage-1
+    (a·b arithmetic) and jittered stage-2 (band collisions) both refuse;
+    pass-through under cap is the full cross set."""
+    rng = random.Random(53)
+    base = _unit_vec(rng)
+    mk = lambda rows: spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = mk([(i, base) for i in range(200)]
+                + [(500 + j, _unit_vec(rng)) for j in range(10)])
+    batch = mk([(1000 + i, base) for i in range(50)])
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.embedding_incremental_probe_pairs(corpus, batch, max_pairs=1_000)
+    assert "10,000" in str(ei.value)
+    # jittered: distinct bytes, same direction — stage-1 prices 0,
+    # stage-2 sees the shared band buckets
+    jbatch_rows = []
+    for i in range(50):
+        v = list(base)
+        v[i % 32] += 1e-7 * (i + 1)
+        jbatch_rows.append((1000 + i, v))
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei2:
+        DD.embedding_incremental_probe_pairs(corpus, mk(jbatch_rows), max_pairs=1_000)
+    assert "candidate" in str(ei2.value)
+    ok = DD.embedding_incremental_probe_pairs(corpus, batch, max_pairs=100_000)
+    assert ok.count() == 10_000
+    DD.unpersist_intermediates(ok)
