@@ -117,11 +117,13 @@ HEADLINE = [
     # C(k,2) pairs) and the append-mode production session-window plan
     "dedup_minhash_groups",
     "streaming_session_window_append",
-    # round-10: the embedding roster contract and the sampled recall
+    # round-10: the embedding roster contract, the sampled recall
     # health check (the production-cost replacements for the pair
-    # contract and the exact recall gate)
+    # contract and the exact recall gate), and the embedding
+    # incremental-ingest probe
     "dedup_embedding_groups",
     "dedup_minhash_recall_sampled",
+    "dedup_embedding_incremental",
 ]
 assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 
