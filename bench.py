@@ -150,6 +150,7 @@ RECORDS = {
     "corpus_mix_resample": 0.463,
     "dedup_cluster_assign": 3.575,
     "dedup_embedding_groups": 3.57,
+    "dedup_embedding_incremental": 1.126,
     "dedup_exact_hash_groups": 0.212,
     "dedup_graph_degree": 4.158,
     "dedup_incremental_probe": 3.444,
