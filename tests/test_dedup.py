@@ -541,8 +541,11 @@ def test_pair_budget_guard_passes_under_cap(spark):
 
 def test_band_geometry_resolution_precedence(spark):
     """_resolve_band_geometry precedence table: explicit params win (each
-    independently), n_hint drives auto_band_config, no-hint auto spends a
-    COUNT(*), and auto_geometry=False restores the fixed defaults."""
+    independently), n_hint drives auto_band_config EVEN under
+    auto_geometry=False (the flag forbids only the eager COUNT(*) — a
+    caller-supplied hint costs no action), no-hint auto spends a
+    COUNT(*), and only no-hint + auto_geometry=False falls back to the
+    fixed (24, 16) defaults."""
     from cql_xmlpipe_spark.operators.dedup import _resolve_band_geometry
     from cql_xmlpipe_spark.operators.similarity import auto_band_config
 
