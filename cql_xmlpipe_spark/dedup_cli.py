@@ -83,7 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     from cql_xmlpipe_spark.sources.registry import load_table
 
     if args.max_pairs is None:
-        max_pairs = DD.default_max_pairs()
+        try:
+            max_pairs = DD.default_max_pairs()
+        except ValueError as exc:  # malformed SPARK_GRAFT_MAX_PAIRS
+            print(f"usage error: {exc}", file=sys.stderr)
+            return 2
     else:
         max_pairs = None if args.max_pairs <= 0 else args.max_pairs
 

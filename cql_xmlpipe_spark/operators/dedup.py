@@ -77,7 +77,15 @@ def default_max_pairs() -> int | None:
     raw = os.environ.get("SPARK_GRAFT_MAX_PAIRS")
     if raw is None:
         return 1_000_000_000
-    cap = int(raw)
+    try:
+        cap = int(raw)
+    except ValueError:
+        # a clean, actionable error instead of an uncaught traceback on
+        # every dedup_cli launch when the env carries '1e9' or ''
+        raise ValueError(
+            f"SPARK_GRAFT_MAX_PAIRS must be a base-10 integer row count, "
+            f"got {raw!r} (e.g. 1000000000; 0 disables the cap)"
+        ) from None
     return None if cap <= 0 else cap
 
 
@@ -1217,11 +1225,27 @@ def embedding_near_dup_groups(
     )
     rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
     rep_vecs = emb.join(rep_ids, id_col, "left_semi")
-    rep_pairs = embedding_near_dup_pairs(
-        rep_vecs, id_col, emb_col, threshold, n_bands, band_bits,
-        n_hint, auto_geometry,
-    )
-    cc = connected_components(rep_ids, rep_pairs, id_col=id_col)
+    # mirror _collapse_prelude: a failure downstream of the persists (the
+    # LSH guard, the CC no-fixpoint RuntimeError) must not leak vh/mem
+    # (or any rep_pairs intermediates) for the session's lifetime
+    rep_pairs = None
+    try:
+        rep_pairs = embedding_near_dup_pairs(
+            rep_vecs, id_col, emb_col, threshold, n_bands, band_bits,
+            n_hint, auto_geometry,
+        )
+        cc = connected_components(rep_ids, rep_pairs, id_col=id_col)
+    except Exception:
+        for c in (
+            vh,
+            mem,
+            *(getattr(rep_pairs, "_xmlpipe_cached", []) if rep_pairs is not None else []),
+        ):
+            try:
+                c.unpersist()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
+        raise
     labeled = (
         mem.filter(F.col("_elig"))
         .join(cc.select(F.col(id_col).alias("rep"), "cluster_id"), "rep")
@@ -1240,6 +1264,15 @@ def embedding_near_dup_groups(
     )
 
 
+def stratum_hex_hi(sample_frac: float) -> str:
+    """Upper (inclusive) 4-hex-digit md5-prefix bound that realizes
+    ``sample_frac`` in :func:`stratum_filter` — THE single definition of
+    the frac→hex rule, exported so oracle SQL derives its literal from
+    the same arithmetic the Column uses (editing one side can no longer
+    silently desynchronize the two)."""
+    return format(max(1, min(65536, int(round(sample_frac * 65536)))) - 1, "04x")
+
+
 def stratum_filter(id_col: Column | str, sample_frac: float) -> Column:
     """Deterministic, engine-portable document stratum: keep ids whose
     md5 hex prefix falls below the fraction. The rule is a pure string
@@ -1250,7 +1283,7 @@ def stratum_filter(id_col: Column | str, sample_frac: float) -> Column:
     the id, never on content, so any PAIR property measured on the
     stratum is an unbiased sample of the population's pairs (a pair
     survives with probability frac², independent of its Jaccard)."""
-    hi = format(max(1, min(65536, int(round(sample_frac * 65536)))) - 1, "04x")
+    hi = stratum_hex_hi(sample_frac)
     col = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.substring(F.md5(col.cast("string")), 1, 4) <= hi
 

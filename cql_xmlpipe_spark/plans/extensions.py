@@ -324,7 +324,12 @@ def _sampled_recall_oracle(threshold: float, hex_hi: str) -> str:
 _GATE_SAMPLE_FRAC = 0.5
 
 
-@_q("dedup_minhash_recall_sampled", _sampled_recall_oracle(0.35, "7fff"))
+@_q(
+    "dedup_minhash_recall_sampled",
+    # hex bound derived from the SAME frac→hex arithmetic the Spark-side
+    # Column uses (stratum_hex_hi) — the two sides cannot desynchronize
+    _sampled_recall_oracle(0.35, DD.stratum_hex_hi(_GATE_SAMPLE_FRAC)),
+)
 def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLED LSH-recall estimate over a deterministic md5 doc stratum —
     the per-ingest health check whose exact twin (``dedup_minhash_recall``)

@@ -405,6 +405,25 @@ def test_unpersist_intermediates_releases_tracked_caches(spark):
     )
 
 
+def test_embedding_groups_unpersists_on_downstream_failure(spark, monkeypatch):
+    """A failure downstream of the vh/mem persists (e.g. a CC
+    no-fixpoint RuntimeError) must not leak cached frames for the
+    session's lifetime (ADVICE r10): embedding_near_dup_groups
+    unpersists before re-raising, mirroring the refusal paths of the
+    guarded pair operators."""
+    rows = [(i, [1.0, 2.0, 3.0, float(i + 1)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    spark.catalog.clearCache()
+
+    def boom(*a, **k):
+        raise RuntimeError("planted CC failure")
+
+    monkeypatch.setattr(DD, "connected_components", boom)
+    with pytest.raises(RuntimeError, match="planted CC failure"):
+        DD.embedding_near_dup_groups(emb, threshold=0.95)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_banded_sign_keys_deterministic_and_band_shaped(spark):
     """The Arrow-batched sign sketch must be run-to-run deterministic
     (splitmix64 weights, fixed numpy pairwise-sum order) and emit exactly

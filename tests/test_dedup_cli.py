@@ -47,6 +47,18 @@ def test_cli_zero_disables_cap(hot_corpus_dir, capsys, monkeypatch):
     assert "rows=19900" in capsys.readouterr().out
 
 
+def test_cli_malformed_env_cap_is_usage_error(hot_corpus_dir, capsys, monkeypatch):
+    """A malformed SPARK_GRAFT_MAX_PAIRS ('1e9', '') must exit with a
+    clean usage message naming the variable, not an uncaught ValueError
+    traceback (ADVICE r10)."""
+    for bad in ("1e9", ""):
+        monkeypatch.setenv("SPARK_GRAFT_MAX_PAIRS", bad)
+        rc = main(["--contract", "pairs", "--data-dir", hot_corpus_dir])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "usage error" in err and "SPARK_GRAFT_MAX_PAIRS" in err
+
+
 def test_cli_groups_contract_is_the_remedy(hot_corpus_dir, capsys, monkeypatch):
     """The refusal's prescribed fix must actually work from the same
     entry point: the roster contract emits ONE row for the hot family
