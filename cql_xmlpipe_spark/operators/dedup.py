@@ -865,6 +865,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    jump_after: int = 3,
 ) -> DataFrame:
     """Dedup cluster assignment: connected components over a near-dup pair
     list. Returns ``(id_col, cluster_id, cluster_size)`` where ``cluster_id``
@@ -878,6 +879,22 @@ def connected_components(
     are unions of small quasi-cliques (diameter ≤ ~3 in practice), so the
     loop converges in 2-4 rounds regardless of corpus size.
 
+    **Drift-chain escalation (round 11):** a progressive-edit near-dup
+    chain (v1~v2~…~vN) is a real corpus shape whose diameter can exceed
+    any fixed round budget — plain propagation needs D rounds and the
+    pre-r11 code RAISED past 25. Rounds after ``jump_after`` therefore
+    add one POINTER JUMP per round (label ← min(label, label(label)),
+    the Shiloach-Vishkin / star-contraction shortcut): information reach
+    better-than-doubles per round (r ← 2r+1), so a diameter-D component
+    converges in ~log₂D escalated rounds — max_iter=25 covers diameters
+    beyond 10⁶ where the old bound was 25. Quasi-clique dedup graphs
+    still converge inside the plain rounds at zero extra cost. Labels
+    stay min-REACHABLE ids throughout: a label is always the id of a
+    vertex reachable from its holder (propagation moves labels along
+    edges; the jump composes two reachable hops), and at the fixpoint
+    the standard HCC argument gives label = component minimum — so
+    survivor policies keyed on min-id are unchanged.
+
     100 TB shape: the iterative state is |V(edges)| — only vertices that
     appear in a pair enter the loop; the (overwhelmingly larger) singleton
     population is attached afterwards with a single anti-join, so a corpus
@@ -885,12 +902,13 @@ def connected_components(
     hash-partitioned join of the label table (two longs per vertex)
     against the symmetrized edge list plus one map-side-combining
     min-aggregate — labels and edges shuffle as bare longs, text never
-    enters the loop. ``localCheckpoint`` truncates the lineage each round
-    so plan depth stays O(1) instead of O(rounds), and the convergence
-    test rides the same pass (an iterative algorithm needs a per-round
-    action by construction; this is the documented exception to the
-    lazy-plan rule). Edges are persisted once up front — they feed every
-    round — and unpersisted before return.
+    enters the loop (the jump adds one more label-table-sized long-key
+    join, only in escalated rounds). ``localCheckpoint`` truncates the
+    lineage each round so plan depth stays O(1) instead of O(rounds),
+    and the convergence test rides the same pass (an iterative algorithm
+    needs a per-round action by construction; this is the documented
+    exception to the lazy-plan rule). Edges are persisted once up front —
+    they feed every round — and unpersisted before return.
     """
     sym = (
         pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("w"))
@@ -907,7 +925,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             nbr_min = (
                 sym.join(
                     labels.select(F.col("v").alias("w"), F.col("label")), "w"
@@ -915,20 +933,37 @@ def connected_components(
                 .groupBy("v")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            proposed = (
-                labels.join(nbr_min, "v", "left")
-                .select(
-                    "v",
-                    F.col("label").alias("old_label"),
-                    F.least("label", "nbr_label").alias("label"),
-                )
-                .localCheckpoint(eager=True)
+            proposed = labels.join(nbr_min, "v", "left").select(
+                "v",
+                F.col("label").alias("old_label"),
+                F.least("label", "nbr_label").alias("label"),
             )
+            if i >= jump_after:
+                # pointer jump against the PREVIOUS round's checkpointed
+                # table (no self-join ambiguity, no second checkpoint):
+                # label(v) = u is reachable from v and label_prev(u) is
+                # reachable from u, so the composition stays a reachable
+                # id; least() keeps monotone non-increase. At the true
+                # fixpoint the component minimum labels itself, so the
+                # jump is a no-op and changed==0 still terminates.
+                ptr = labels.select(
+                    F.col("v").alias("_pv"), F.col("label").alias("_plabel")
+                )
+                proposed = proposed.join(
+                    ptr, F.col("label") == F.col("_pv"), "left"
+                ).select(
+                    "v",
+                    "old_label",
+                    F.least(
+                        F.col("label"), F.coalesce("_plabel", "label")
+                    ).alias("label"),
+                )
+            proposed = proposed.localCheckpoint(eager=True)
             changed = proposed.filter(F.col("label") != F.col("old_label")).count()
             labels = proposed.select("v", "label")
             if changed == 0:
                 break
-        else:  # pragma: no cover - diameter > max_iter never seen in dedup graphs
+        else:  # pragma: no cover - 2^(max_iter - jump_after) exceeds any real diameter
             raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     finally:
         sym.unpersist()
