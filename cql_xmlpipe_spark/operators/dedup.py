@@ -1366,13 +1366,29 @@ def minhash_recall_sampled(
     )
     lsh = lsh_full.select("id_a", "id_b")
     exact = exact_full.select("id_a", "id_b")
+    result = _recall_wilson_row(lsh, exact)
+    return _track_cached(
+        result,
+        *getattr(lsh_full, "_xmlpipe_cached", []),
+        *getattr(exact_full, "_xmlpipe_cached", []),
+    )
+
+
+def _recall_wilson_row(lsh: DataFrame, exact: DataFrame) -> DataFrame:
+    """Assemble the one-row sampled-recall frame — (n_exact, n_lsh,
+    n_found, recall_est, ci95_lo, ci95_hi) — from the two (id_a, id_b)
+    pair sets. Shared by the text and embedding sampled-recall health
+    checks so the Wilson 95% terms have ONE definition, written in the
+    exact literal/op order the DuckDB oracles mirror (bit-matching
+    doubles cross-engine). Wilson, not Wald: recall sits near 1.0 where
+    the Wald interval degenerates to zero width at any sample size.
+    n_exact = 0 yields NULL estimate and bounds ("trivially no pairs in
+    the stratum")."""
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_found = lsh.join(exact, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_found")
     )
-    # Wilson interval terms, written in the exact literal/op order the
-    # DuckDB oracle mirrors so the doubles bit-match cross-engine
     z2 = F.lit(1.96) * F.lit(1.96)
     n = F.col("n_exact").cast("double")
     r = F.col("n_found").cast("double") / n
@@ -1383,7 +1399,7 @@ def minhash_recall_sampled(
         * F.sqrt(r * (F.lit(1.0) - r) / n + z2 / (F.lit(4.0) * n * n))
         / denom
     )
-    result = (
+    return (
         n_exact.crossJoin(F.broadcast(n_lsh))
         .crossJoin(F.broadcast(n_found))
         .withColumn(
@@ -1396,10 +1412,72 @@ def minhash_recall_sampled(
             "ci95_hi", F.when(F.col("n_exact") > 0, center + half)
         )
     )
+
+
+def embedding_recall_sampled(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    sample_frac: float = 0.01,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    n_hint: int | None = None,
+    auto_geometry: bool = True,
+) -> DataFrame:
+    """SAMPLED sign-LSH recall estimate for the EMBEDDING family — the
+    twin of :func:`minhash_recall_sampled` (round 11; until then the
+    embedding family's recall was only pytest/SCALE-measured, with no
+    registered health check a production pipeline could run per-ingest).
+    The exact side is an all-pairs cosine join — O(N²·dim), the bill no
+    one pays corpus-wide — restricted to a deterministic ~``sample_frac``
+    md5 stratum of VECTOR IDS, so it scales by frac² (~10⁻⁴ at the 1%
+    default):
+
+    * the restriction is EXACT, not approximate: a pair's banding fate
+      (deterministic sign keys per vector) and its true cosine depend
+      only on the two vectors, so LSH-over-stratum ≡ full-corpus LSH
+      restricted to stratum-internal pairs, same for the exact join;
+    * the estimator is unbiased: stratum membership hashes the id,
+      never content, so stratum-internal pairs are a uniform sample of
+      population pairs (each survives with probability frac²,
+      independent of its cosine);
+    * geometry auto-resolves against the STRATUM size by default —
+      deliberately: the health check measures the geometry a corpus of
+      that size would get; pass ``n_hint`` (or explicit bands/bits) to
+      pin the production geometry under test, which is what the decade
+      measurements do.
+
+    Eligibility (non-null, norm > 0) is pushed down BEFORE both sides,
+    matching :func:`embedding_near_dup_pairs` — zero-norm vectors never
+    pair under either contract. Returns one row: (n_exact, n_lsh,
+    n_found, recall_est, ci95_lo, ci95_hi) with the shared Wilson 95%
+    interval (see :func:`_recall_wilson_row`).
+    """
+    from cql_xmlpipe_spark.functions.vectors import cosine_safe, norm
+
+    stratum = emb.filter(stratum_filter(id_col, sample_frac))
+    eligible = (
+        stratum.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
+        .select(F.col(id_col), F.col(emb_col))
+        .persist()
+    )
+    lsh_full = embedding_near_dup_pairs(
+        eligible, id_col, emb_col, threshold, n_bands, band_bits,
+        n_hint, auto_geometry,
+    )
+    lsh = lsh_full.select("id_a", "id_b")
+    a = eligible.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
+    b = eligible.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_safe(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    result = _recall_wilson_row(lsh, exact)
     return _track_cached(
-        result,
-        *getattr(lsh_full, "_xmlpipe_cached", []),
-        *getattr(exact_full, "_xmlpipe_cached", []),
+        result, eligible, *getattr(lsh_full, "_xmlpipe_cached", [])
     )
 
 

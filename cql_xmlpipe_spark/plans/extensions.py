@@ -249,30 +249,12 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sampled_recall_oracle(threshold: float, hex_hi: str) -> str:
-    """Oracle for ``dedup_minhash_recall_sampled``: the exact-gate oracle
-    restricted to the md5 doc stratum, plus the Wilson interval written
-    in the same literal/op order as the Spark side (CAST(1.96 AS DOUBLE)
-    — a bare 1.96 is DECIMAL in DuckDB and would round differently)."""
-    return f"""
-    WITH documents AS (
-      -- shadows the registered view: main.documents is the view itself,
-      -- so every CTE in _lsh_band_ctes below sees only the stratum
-      SELECT * FROM main.documents
-      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '{hex_hi}'),
-    {_lsh_band_ctes(threshold)},
-    exact_pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-            >= {threshold}),
-    counts AS (
-      SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
-             (SELECT COUNT(*) FROM pairs) AS n_lsh,
-             (SELECT COUNT(*) FROM pairs p JOIN exact_pairs e
-                ON p.id_a = e.id_a AND p.id_b = e.id_b) AS n_found)
-    SELECT n_exact, n_lsh, n_found,
+#: the Wilson-interval SELECT body shared by the text and embedding
+#: sampled-recall oracles — expects a ``counts`` CTE exposing n_exact,
+#: n_lsh, n_found; written in the same literal/op order as the Spark
+#: side's _recall_wilson_row (CAST(1.96 AS DOUBLE) — a bare 1.96 is
+#: DECIMAL in DuckDB and would round differently)
+_WILSON_SELECT_SQL = """n_exact, n_lsh, n_found,
       CASE WHEN n_exact > 0
            THEN CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) END
         AS recall_est,
@@ -311,7 +293,32 @@ def _sampled_recall_oracle(threshold: float, hex_hi: str) -> str:
           / (CAST(1.0 AS DOUBLE)
              + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
                / CAST(n_exact AS DOUBLE))
-      END AS ci95_hi
+      END AS ci95_hi"""
+
+
+def _sampled_recall_oracle(threshold: float, hex_hi: str) -> str:
+    """Oracle for ``dedup_minhash_recall_sampled``: the exact-gate oracle
+    restricted to the md5 doc stratum, plus the shared Wilson interval
+    block (``_WILSON_SELECT_SQL``)."""
+    return f"""
+    WITH documents AS (
+      -- shadows the registered view: main.documents is the view itself,
+      -- so every CTE in _lsh_band_ctes below sees only the stratum
+      SELECT * FROM main.documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '{hex_hi}'),
+    {_lsh_band_ctes(threshold)},
+    exact_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {threshold}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+             (SELECT COUNT(*) FROM pairs) AS n_lsh,
+             (SELECT COUNT(*) FROM pairs p JOIN exact_pairs e
+                ON p.id_a = e.id_a AND p.id_b = e.id_b) AS n_found)
+    SELECT {_WILSON_SELECT_SQL}
     FROM counts
 """
 
@@ -711,6 +718,69 @@ def dedup_embedding_incremental_planted(spark: SparkSession, sf_dir: str) -> Dat
         ).alias("embedding"),
     )
     return DD.embedding_incremental_probe_pairs(e, twin, threshold=0.95)
+
+
+def _emb_recall_oracle(threshold: float, hex_hi: str) -> str:
+    """Oracle for ``dedup_embedding_recall_sampled`` over the planted
+    corpus: exact all-pairs cosine on the md5 vec_id stratum (the same
+    frac→hex rule as the Spark Column, derived not duplicated), then the
+    shared Wilson block. n_lsh and n_found equal n_exact HERE BY
+    CONSTRUCTION, and the equality is a falsifiable claim about the
+    OPERATOR, not an assumption baked into the corpus: every exact pair
+    on this corpus is a ×2-twin pair, twins share every sign key exactly
+    (power-of-two scaling is an exponent shift — every plane dot doubles
+    exactly, signs unchanged), so banded recall is 1.0 at ANY geometry
+    and the verify step is exact. If the banding or verify ever dropped
+    a planted pair, Spark's n_lsh/n_found would fall below the oracle's
+    and the gate would fail — exactly the regression this pin exists
+    for. (Same residual caveat as every embedding gate: an organic
+    sub-saturation pair appearing in regenerated testdata would sit in
+    the <1% banding miss budget; none exists at 0.95.)"""
+    return f"""
+    WITH {_EMB_PLANT_CTE},
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM eu
+      WHERE embedding IS NOT NULL
+        AND substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) <= '{hex_hi}'),
+    exact_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) >= {threshold}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+             (SELECT COUNT(*) FROM exact_pairs) AS n_lsh,
+             (SELECT COUNT(*) FROM exact_pairs) AS n_found)
+    SELECT {_WILSON_SELECT_SQL}
+    FROM counts
+"""
+
+
+@_q(
+    "dedup_embedding_recall_sampled",
+    _emb_recall_oracle(0.95, DD.stratum_hex_hi(_GATE_SAMPLE_FRAC)),
+)
+def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED sign-LSH recall for the embedding family (VERDICT r10 #3 —
+    the text family had exact + sampled recall health checks; the
+    embedding family only pytest/SCALE recall): exact all-pairs cosine
+    restricted to a deterministic md5 vec_id stratum vs the banded LSH
+    pairs on the same stratum, with the shared Wilson 95% interval. Runs
+    on the PLANTED corpus so the gate pins a positive path — ~¼ of the
+    ×2-twin pairs are stratum-internal at the 50% gate fraction — while
+    the production 1% default is measured at the jittered decades
+    (SCALE.md), where the frac² exact-bill drop is the point
+    (operators/dedup.py::embedding_recall_sampled)."""
+    return DD.embedding_recall_sampled(
+        _planted_embeddings(spark, sf_dir),
+        threshold=0.95, sample_frac=_GATE_SAMPLE_FRAC,
+    )
 
 
 _TOKS_CTE = """

@@ -1025,6 +1025,88 @@ def test_minhash_recall_sampled_detects_real_misses(spark):
     assert row["ci95_lo"] < row["recall_est"] < row["ci95_hi"] < 1.0
 
 
+def test_embedding_recall_sampled_planted(spark):
+    """Embedding sampled recall on a ×2-twin corpus: every true pair is
+    a guaranteed-banding pair (power-of-two scaling preserves every sign
+    key exactly), so the estimate is exactly 1.0 and n_exact must equal
+    the INDEPENDENTLY-computed count of stratum-internal twin pairs —
+    the restriction to the md5 vec_id stratum is exact."""
+    import hashlib
+
+    rng = random.Random(11)
+    base = [(i, _unit_vec(rng)) for i in range(60)]
+    rows = base + [(1000 + i, [2.0 * x for x in v]) for i, v in base]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    frac = 0.5
+    hi = DD.stratum_hex_hi(frac)
+
+    def in_stratum(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:4] <= hi
+
+    expected = sum(1 for i in range(60) if in_stratum(i) and in_stratum(1000 + i))
+    out = DD.embedding_recall_sampled(df, threshold=0.95, sample_frac=frac)
+    row = out.collect()[0]
+    DD.unpersist_intermediates(out)
+    assert row["n_exact"] == expected > 0
+    assert row["n_found"] == row["n_lsh"] == row["n_exact"]
+    assert row["recall_est"] == 1.0
+    assert row["ci95_lo"] < 1.0 and abs(row["ci95_hi"] - 1.0) < 1e-12
+
+
+def test_embedding_recall_sampled_empty_stratum(spark):
+    """A pair-free stratum reports NULL estimate and bounds — the same
+    pinned-NULL discipline as the text twin."""
+    rng = random.Random(13)
+    rows = [(i, _unit_vec(rng)) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = DD.embedding_recall_sampled(df, threshold=0.95, sample_frac=0.5)
+    row = out.collect()[0]
+    DD.unpersist_intermediates(out)
+    assert row["n_exact"] == 0
+    assert row["recall_est"] is None
+    assert row["ci95_lo"] is None and row["ci95_hi"] is None
+
+
+def test_embedding_recall_sampled_detects_real_misses(spark):
+    """The health check must DISCRIMINATE: plant pairs at cosine ≈ 0.96
+    and cramp the geometry to ONE 16-bit band, where per-pair candidate
+    probability is (1 - θ/π)^16 ≈ 0.22 — the estimator must report the
+    misses the exact side finds (n_found < n_exact, estimate strictly
+    inside (0, 1), Wilson interval consistent and below 1)."""
+    rng = random.Random(29)
+    rows = []
+    c = 0.96
+    s = math.sqrt(1 - c * c)
+    for i in range(100):
+        v = _unit_vec(rng)
+        u = _unit_vec(rng)
+        d = sum(a * b for a, b in zip(u, v))
+        w_raw = [ui - d * vi for ui, vi in zip(u, v)]
+        wn = math.sqrt(sum(x * x for x in w_raw))
+        w = [c * vi + s * (wi / wn) for vi, wi in zip(v, w_raw)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, w))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = DD.embedding_recall_sampled(
+        df, threshold=0.95, sample_frac=1.0, n_bands=1, band_bits=16
+    )
+    row = out.collect()[0]
+    DD.unpersist_intermediates(out)
+    assert row["n_exact"] >= 100        # every planted pair is exact-visible
+    assert row["n_found"] < row["n_exact"]  # the cramped banding misses some
+    assert 0.0 < row["recall_est"] < 1.0
+    assert row["ci95_lo"] < row["recall_est"] < row["ci95_hi"] < 1.0
+
+
 def test_incremental_probe_cross_guard(spark):
     """Cross-set guard on the text probe: a hot text present 50× in the
     batch and 200× in the corpus implies exactly 10,000 cross pair rows
