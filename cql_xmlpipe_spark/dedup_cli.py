@@ -25,6 +25,9 @@ Contracts:
 * ``incremental`` / ``embedding-incremental`` — new batch
   (``--increment-dir``) probed against the standing corpus
   (``--data-dir``); batch-side output, no corpus² work per ingest
+* ``incremental-rosters`` — standing rosters (``--rosters-dir``, or
+  recomputed from the corpus) updated with the batch; ``--emit delta``
+  returns only new/changed families (the per-ingest upsert shape)
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "pairs", "groups", "embedding-pairs", "embedding-groups",
-            "incremental", "embedding-incremental",
+            "incremental", "embedding-incremental", "incremental-rosters",
         ],
     )
     p.add_argument("--data-dir", required=True, help="directory of <table>.parquet")
@@ -63,6 +66,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=None,
                    help="default: 0.5 (Jaccard) / 0.95 (cosine)")
     p.add_argument("--k", type=int, default=3, help="shingle width (text contracts)")
+    p.add_argument(
+        "--rosters-dir",
+        default=None,
+        metavar="DIR",
+        help="incremental-rosters only: parquet dir holding the STANDING "
+        "rosters (cluster_id, cluster_size, members) over --data-dir; "
+        "recomputed from the corpus when omitted",
+    )
+    p.add_argument(
+        "--emit",
+        choices=["full", "delta"],
+        default="full",
+        help="incremental-rosters only: full updated roster set, or only "
+        "new/changed rosters (the per-ingest upsert shape)",
+    )
     p.add_argument(
         "--max-pairs",
         type=int,
@@ -91,8 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         max_pairs = None if args.max_pairs <= 0 else args.max_pairs
 
-    text_contract = args.contract in ("pairs", "groups", "incremental")
-    incremental = args.contract in ("incremental", "embedding-incremental")
+    text_contract = args.contract in (
+        "pairs", "groups", "incremental", "incremental-rosters"
+    )
+    incremental = args.contract in (
+        "incremental", "embedding-incremental", "incremental-rosters"
+    )
     if incremental and not args.increment_dir:
         print("refused: --increment-dir is required for incremental contracts",
               file=sys.stderr)
@@ -108,7 +130,26 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if incremental:
             inc = load_table(spark, table, args.increment_dir)
-            if args.contract == "incremental":
+            if args.contract == "incremental-rosters":
+                if args.rosters_dir:
+                    rosters = spark.read.parquet(args.rosters_dir)
+                else:
+                    rosters = DD.minhash_groups_collapsed(
+                        df, args.text_col, id_col, threshold, args.k
+                    ).persist()
+                result = DD.incremental_roster_update(
+                    df, inc, rosters, args.text_col, id_col, threshold,
+                    args.k, emit=args.emit, max_pairs=max_pairs,
+                )
+                if not args.rosters_dir:
+                    # the recomputed standing rosters (and their pipeline
+                    # caches) ride the result's cleanup hook
+                    result._xmlpipe_cached = [
+                        *getattr(result, "_xmlpipe_cached", []),
+                        rosters,
+                        *getattr(rosters, "_xmlpipe_cached", []),
+                    ]
+            elif args.contract == "incremental":
                 result = DD.incremental_probe_pairs(
                     df, inc, args.text_col, id_col, threshold, args.k,
                     max_pairs=max_pairs,

@@ -1760,6 +1760,142 @@ def embedding_incremental_probe_pairs(
     )
 
 
+def incremental_roster_update(
+    corpus: DataFrame,
+    increment: DataFrame,
+    rosters: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    emit: str = "full",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """Incremental ROSTER maintenance — update standing near-dup cluster
+    rosters with a new ingest batch WITHOUT re-running connected
+    components over the full corpus (round 11; until now the per-ingest
+    story ended at pair lists and production had to re-roster from
+    scratch). Returns ``(cluster_id, cluster_size, members)`` over
+    ``corpus ∪ increment``:
+
+    * ``emit="full"`` — the complete updated roster set, provably equal
+      to ``minhash_groups_collapsed(corpus ∪ increment)`` (the oracle
+      gate pins this);
+    * ``emit="delta"`` — only NEW or CHANGED rosters (the upsert shape a
+      standing rosters table consumes per ingest; untouched families
+      never cross the wire).
+
+    Preconditions: ``rosters`` is the standing output of
+    :func:`minhash_groups_collapsed` over ``corpus`` at the SAME
+    ``threshold``/``k`` (its cluster_id is therefore the min member id),
+    and ``increment``/``corpus`` are disjoint id sets (same contract as
+    :func:`incremental_probe_pairs`).
+
+    Why the composition is EXACT, not approximate: a pair's fate —
+    banding collision (deterministic per-text signatures,
+    :func:`_minhash_sigs` + :func:`_band_keys`) and true Jaccard —
+    depends only on the two texts, never on corpus composition. So the
+    union graph's edge set is exactly {standing corpus-internal pairs}
+    ∪ {batch×corpus pairs} ∪ {batch-internal pairs}, the first set is
+    already resolved into components (the standing rosters), and the
+    union components are the QUOTIENT graph's components: contract each
+    standing component to its label vertex, add the new edges with
+    corpus endpoints mapped through membership, run CC over only the
+    touched vertices. Labels stay global min ids: a standing label IS
+    its family's min member id and batch/singleton vertices participate
+    as themselves, so the quotient min-label equals the merged
+    component's min doc id — survivor policies unchanged.
+
+    100 TB shape: per-ingest cost is the probe (only the batch is signed
+    once the corpus index is a standing table — see
+    :func:`incremental_probe_pairs`), the batch-internal LSH
+    (O(batch)), and a CC loop whose state is |touched quotient
+    vertices| — batch docs plus families actually hit by a new edge,
+    NOT the corpus. The membership fan-out joins standing members
+    against only the touched label set (AQE broadcasts the small side),
+    and with ``emit="delta"`` the output is also touched-families-only;
+    ``emit="full"`` adds a pass-through union of untouched rosters —
+    linear output, no recompute. ``max_pairs`` forwards to both pair
+    stages (the cross-set two-stage guard and the collapsed batch
+    guard), so a hot ingest refuses by arithmetic before any quadratic
+    candidate join launches.
+    """
+    if emit not in ("full", "delta"):
+        raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
+    cross = incremental_probe_pairs(
+        corpus, increment, text_col, id_col, threshold, k, max_pairs=max_pairs
+    )
+    try:
+        batch = minhash_lsh_pairs_collapsed(
+            increment, text_col, id_col, threshold, k, max_pairs=max_pairs
+        )
+    except PairOutputBudgetExceeded:
+        # the probe side already staged its persists; don't leak them
+        # when the batch-side guard refuses
+        unpersist_intermediates(cross)
+        raise
+    mem = rosters.select(
+        F.col("cluster_id").alias("_lab"), F.explode("members").alias(id_col)
+    )
+    # quotient edges: corpus endpoints contract to their standing label
+    # (corpus singletons stay themselves); batch endpoints are themselves
+    cross_q = (
+        cross.select("inc_id", F.col("corpus_id").alias(id_col))
+        .join(mem, id_col, "left")
+        .select(
+            F.col("inc_id").alias("id_a"),
+            F.coalesce("_lab", F.col(id_col)).alias("id_b"),
+        )
+    )
+    # persist: the edge list feeds the CC loop (via sym), the CC
+    # singleton anti-join (via nodes) and the node-distinct — without
+    # the pin the probe+LSH pipelines would re-execute per reference
+    edges = cross_q.unionByName(batch.select("id_a", "id_b")).persist()
+    nodes = (
+        edges.select(F.col("id_a").alias(id_col))
+        .union(edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cc = connected_components(nodes, edges, id_col=id_col)
+    qlab = cc.select(
+        F.col(id_col).alias("_q"), F.col("cluster_id").alias("_new")
+    ).persist()
+    # touched standing families fan their full membership to the merged
+    # label; every other quotient vertex (batch docs, corpus singletons)
+    # is its own single member
+    std_labels = rosters.select(F.col("cluster_id").alias("_q"), "members")
+    touched_members = qlab.join(std_labels, "_q").select(
+        "_new", F.explode("members").alias(id_col)
+    )
+    solo = qlab.join(std_labels.select("_q"), "_q", "left_anti").select(
+        "_new", F.col("_q").alias(id_col)
+    )
+    merged = (
+        touched_members.unionByName(solo)
+        .groupBy("_new")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("members"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .select(F.col("_new").alias("cluster_id"), "cluster_size", "members")
+    )
+    if emit == "delta":
+        result = merged
+    else:
+        untouched = rosters.join(
+            qlab.select(F.col("_q").alias("cluster_id")), "cluster_id", "left_anti"
+        ).select("cluster_id", "cluster_size", "members")
+        result = merged.unionByName(untouched)
+    return _track_cached(
+        result,
+        edges,
+        qlab,
+        *getattr(cross, "_xmlpipe_cached", []),
+        *getattr(batch, "_xmlpipe_cached", []),
+    )
+
+
 def ngram_jaccard_pairs_collapsed(
     df: DataFrame,
     text_col: str = "text",

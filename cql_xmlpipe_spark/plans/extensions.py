@@ -852,6 +852,37 @@ _GROUPS_ORACLE = f"""
 """
 
 
+@_q("dedup_incremental_rosters", _GROUPS_ORACLE)
+def dedup_incremental_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ROSTER maintenance, gate-visible (VERDICT r10 #4):
+    documents split into a standing corpus (doc_id % 5 != 0) and an
+    ingest batch (% 5 == 0); the standing rosters are computed over the
+    corpus alone, then ``incremental_roster_update`` folds the batch in
+    — batch LSH + cross probe + connected components over ONLY the
+    touched quotient vertices, never the corpus
+    (operators/dedup.py::incremental_roster_update). The oracle is the
+    SAME recursive-CTE roster fixpoint as ``dedup_minhash_groups`` over
+    the whole table: the incremental composition must be exactly the
+    from-scratch answer (pair fate depends only on the two texts, so
+    corpus-internal pairs are invariant under ingestion — the quotient
+    argument in the operator docstring)."""
+    d = load_table(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    increment = d.filter(F.col("doc_id") % 5 == 0)
+    standing = DD.minhash_groups_collapsed(corpus, threshold=0.5, k=3).persist()
+    out = DD.incremental_roster_update(
+        corpus, increment, standing, threshold=0.5, k=3, emit="full"
+    )
+    # the standing pipeline's persisted intermediates (and the standing
+    # roster pin itself) ride the result's cleanup hook
+    out._xmlpipe_cached = [
+        *getattr(out, "_xmlpipe_cached", []),
+        standing,
+        *getattr(standing, "_xmlpipe_cached", []),
+    ]
+    return out
+
+
 @_q("dedup_minhash_groups", _GROUPS_ORACLE)
 def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster rosters — the LINEAR-output dedup contract:

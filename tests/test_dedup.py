@@ -1025,6 +1025,122 @@ def test_minhash_recall_sampled_detects_real_misses(spark):
     assert row["ci95_lo"] < row["recall_est"] < row["ci95_hi"] < 1.0
 
 
+def _roster_rows(df):
+    return sorted(
+        (r["cluster_id"], r["cluster_size"], tuple(r["members"]))
+        for r in df.collect()
+    )
+
+
+def test_incremental_roster_update_matches_full_recompute(spark):
+    """The roster-maintenance contract (VERDICT r10 #4): standing rosters
+    over the corpus + one ingest batch must compose to EXACTLY the
+    from-scratch rosters over the union, across every merge shape —
+    batch doc extending a standing family, batch doc BRIDGING a standing
+    family and a corpus singleton, a batch-only clone family, and an
+    untouched standing family passing through; delta emit must be the
+    full set minus untouched."""
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam_b = " ".join(f"bee{i}" for i in range(40))
+    fam_e = " ".join(f"eel{i}" for i in range(40))
+    fam_c = "red orange yellow green blue indigo violet crimson amber teal"
+    solo = "lonely corpus document about glaciers and moraines and old ice"
+    corpus_rows = [(i, fam_a) for i in range(3)]            # family A
+    corpus_rows += [(10, fam_b), (11, fam_b)]               # family B
+    corpus_rows += [(15, fam_e), (16, fam_e)]               # family E
+    corpus_rows += [(20, fam_c), (21, fam_c)]               # family C (untouched)
+    corpus_rows += [(30, solo)]                             # corpus singleton
+    corpus_rows += [(40, "unique corpus filler words nothing shared here")]
+    inc_rows = [(100, fam_a)]                               # extends A (exact clone)
+    inc_rows += [(102, solo)]                               # absorbs the singleton
+    inc_rows += [(110, "batch only clone family text"),     # batch-only family
+                 (111, "batch only clone family text")]
+    inc_rows += [(120, "novel batch document with fresh content entirely")]
+    # 4 near-identical bridges merging standing families B and E: each
+    # bridge has J ≈ 0.48 to each family (banding finds each side with
+    # p ≈ 0.58, some bridge per side with p ≈ 0.97) while the bridges
+    # pair with EACH OTHER at J ≈ 0.95 (guaranteed-grade), so one hit
+    # per side merges the whole component — deterministic once pinned
+    inc_rows += [(130 + j, fam_b + " " + fam_e + f" glue{j}") for j in range(4)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    union = corpus.unionByName(inc)
+
+    full = DD.minhash_groups_collapsed(union, threshold=0.35, k=3)
+    expected = _roster_rows(full)
+    DD.unpersist_intermediates(full)
+
+    standing = DD.minhash_groups_collapsed(corpus, threshold=0.35, k=3).persist()
+    upd = DD.incremental_roster_update(
+        corpus, inc, standing, threshold=0.35, k=3, emit="full"
+    )
+    got = _roster_rows(upd)
+    DD.unpersist_intermediates(upd)
+    assert got == expected
+    # the planted shapes actually happened: A extended by 100, families
+    # B and E merged through the bridge pack, the singleton absorbed its
+    # clone, the batch-only family exists, C passed through untouched
+    by_label = {c: m for c, _, m in got}
+    assert 100 in by_label[0]
+    assert {10, 11, 15, 16, 130, 131, 132, 133} <= set(by_label[10])
+    assert by_label[30] == (30, 102)
+    assert by_label[110] == (110, 111)
+    assert by_label[20] == (20, 21)
+
+    delta = DD.incremental_roster_update(
+        corpus, inc, standing, threshold=0.35, k=3, emit="delta"
+    )
+    got_delta = _roster_rows(delta)
+    DD.unpersist_intermediates(delta)
+    untouched = {(20, 2, (20, 21))}
+    assert got_delta == sorted(set(expected) - untouched)
+    standing.unpersist()
+
+
+def test_incremental_roster_update_empty_batch_and_validation(spark):
+    """An empty ingest returns the standing rosters unchanged (full) /
+    nothing (delta); an unknown emit mode is a loud ValueError."""
+    fam = "shared family text with many common tokens across docs"
+    corpus = spark.createDataFrame(
+        [(1, fam), (2, fam), (3, "other unique corpus text entirely")],
+        "doc_id long, text string",
+    )
+    inc = corpus.filter(F.lit(False))
+    standing = DD.minhash_groups_collapsed(corpus, threshold=0.35, k=3).persist()
+    upd = DD.incremental_roster_update(corpus, inc, standing, threshold=0.35, k=3)
+    assert _roster_rows(upd) == _roster_rows(standing)
+    DD.unpersist_intermediates(upd)
+    delta = DD.incremental_roster_update(
+        corpus, inc, standing, threshold=0.35, k=3, emit="delta"
+    )
+    assert delta.count() == 0
+    DD.unpersist_intermediates(delta)
+    with pytest.raises(ValueError, match="emit"):
+        DD.incremental_roster_update(
+            corpus, inc, standing, threshold=0.35, k=3, emit="upsert"
+        )
+    standing.unpersist()
+
+
+def test_incremental_roster_update_guard_forwards(spark):
+    """max_pairs forwards into both pair stages: a hot batch-internal
+    clone family refuses through the collapsed batch guard without
+    leaking the probe side's persisted staging."""
+    corpus = spark.createDataFrame(
+        [(i, f"unique corpus doc {i} words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    hot = [(1000 + i, "the same hot batch clone text everywhere") for i in range(200)]
+    inc = spark.createDataFrame(hot, "doc_id long, text string")
+    standing = DD.minhash_groups_collapsed(corpus, threshold=0.5, k=3)
+    spark.catalog.clearCache()
+    with pytest.raises(DD.PairOutputBudgetExceeded):
+        DD.incremental_roster_update(
+            corpus, inc, standing, threshold=0.5, k=3, max_pairs=1000
+        )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_embedding_recall_sampled_planted(spark):
     """Embedding sampled recall on a ×2-twin corpus: every true pair is
     a guaranteed-banding pair (power-of-two scaling preserves every sign

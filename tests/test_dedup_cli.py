@@ -124,3 +124,31 @@ def test_cli_incremental_contract(spark, tmp_path, capsys):
     rc = main(["--contract", "incremental", "--data-dir", corpus_dir])
     assert rc == 2
     assert "--increment-dir" in capsys.readouterr().err
+
+
+def test_cli_incremental_rosters_contract(spark, tmp_path, capsys):
+    """incremental-rosters: standing rosters recomputed from the corpus
+    when --rosters-dir is omitted; --emit delta returns only families
+    the batch touched or created."""
+    fam = "the same near duplicate document text shared by corpus and batch"
+    other = "a different corpus family with its own repeated text entirely"
+    corpus_dir, inc_dir = str(tmp_path / "corpus"), str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(1, fam), (2, fam), (3, other), (4, other)],
+        "doc_id long, text string",
+    ).write.parquet(f"{corpus_dir}/documents.parquet")
+    spark.createDataFrame(
+        [(100, fam)], "doc_id long, text string"
+    ).write.parquet(f"{inc_dir}/documents.parquet")
+    rc = main([
+        "--contract", "incremental-rosters", "--data-dir", corpus_dir,
+        "--increment-dir", inc_dir,
+    ])
+    assert rc == 0
+    assert "rows=2" in capsys.readouterr().out  # {1,2,100} and {3,4}
+    rc = main([
+        "--contract", "incremental-rosters", "--data-dir", corpus_dir,
+        "--increment-dir", inc_dir, "--emit", "delta",
+    ])
+    assert rc == 0
+    assert "rows=1" in capsys.readouterr().out  # only the touched family
