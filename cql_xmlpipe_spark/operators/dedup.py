@@ -1548,6 +1548,21 @@ def _cross_budget_check(
         )
 
 
+def stage_corpus_lsh(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Persist the CORPUS side of the incremental probe ONCE — the
+    (shingle-hash sets, banded buckets) pair every ingest reuses. Hand
+    the result to :func:`incremental_probe_pairs` as ``corpus_staged``
+    so a stream of ingest batches (e.g. the ``foreachBatch`` composition
+    in streaming/dedup.py) signs only each batch, never the corpus
+    again — the in-session analogue of the precomputed bucketed corpus
+    index the operator docstring describes at warehouse scale. Ownership
+    of the two caches stays with the caller (unpersist when the ingest
+    session ends)."""
+    return _lsh_prep(corpus, text_col, id_col, k)
+
+
 def incremental_probe_pairs(
     corpus: DataFrame,
     increment: DataFrame,
@@ -1556,6 +1571,7 @@ def incremental_probe_pairs(
     threshold: float = 0.5,
     k: int = 3,
     max_pairs: int | None = None,
+    corpus_staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: near-dup pairs between a NEW batch and
     an EXISTING corpus, without ever forming corpus×corpus (or
@@ -1576,8 +1592,11 @@ def incremental_probe_pairs(
     increment-buckets × corpus-buckets on (band, bucket) — probe-side
     skew is AQE-split, and at warehouse scale the corpus side's buckets
     are a precomputed, bucketed-by-(band,bucket) table so only the small
-    increment is signed per ingest. Verification is the same id-join +
-    exactness-preserving length filter + true-Jaccard check.
+    increment is signed per ingest — in-session, pass
+    :func:`stage_corpus_lsh`'s result as ``corpus_staged`` for the same
+    effect (the streaming ``foreachBatch`` composition does; ownership
+    of those caches stays with the caller). Verification is the same
+    id-join + exactness-preserving length filter + true-Jaccard check.
 
     Returns (inc_id, corpus_id, jaccard) with jaccard >= threshold.
 
@@ -1594,8 +1613,14 @@ def incremental_probe_pairs(
     novel texts probe).
     """
     i_sets, i_buckets = _lsh_prep(increment, text_col, id_col, k)
-    c_sets, c_buckets = _lsh_prep(corpus, text_col, id_col, k)
-    caches = [i_sets, i_buckets, c_sets, c_buckets]
+    if corpus_staged is not None:
+        # caller-owned corpus staging (stage_corpus_lsh): reused across
+        # ingests, so refusal/cleanup must never unpersist it here
+        c_sets, c_buckets = corpus_staged
+        caches = [i_sets, i_buckets]
+    else:
+        c_sets, c_buckets = _lsh_prep(corpus, text_col, id_col, k)
+        caches = [i_sets, i_buckets, c_sets, c_buckets]
     if max_pairs is not None:
         remedy = (
             "Identical-text cross pairs are irreducible output; run the "
@@ -1654,10 +1679,7 @@ def incremental_probe_pairs(
         verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("inc_id", "corpus_id", "jaccard"),
-        i_sets,
-        i_buckets,
-        c_sets,
-        c_buckets,
+        *caches,
     )
 
 

@@ -24,3 +24,63 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def incremental_probe_sink(
+    corpus: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_pairs: int | None = None,
+):
+    """``foreachBatch`` composition of the incremental-ingest dedup
+    (round 11 — the last unclosed composition between the streaming
+    module and the dedup family): returns a callback for
+    ``writeStream.foreachBatch`` that dedups every micro-batch of
+    documents against the STANDING corpus through
+    :func:`~cql_xmlpipe_spark.operators.dedup.incremental_probe_pairs`.
+
+    The corpus LSH index (shingle-hash sets + banded buckets — the
+    SHARED geometry, :func:`~cql_xmlpipe_spark.operators.dedup.
+    stage_corpus_lsh`) is staged ONCE at sink construction and reused by
+    every batch, so per-trigger work is signing the batch plus the
+    asymmetric (band, bucket) probe join — the corpus is never re-signed
+    and no batch×batch or corpus×corpus candidates form. Stream ≡ batch
+    by construction: a cross pair's banding fate and Jaccard depend only
+    on the two texts, so the union of per-batch probe outputs equals one
+    probe of the whole increment (pinned in tests/test_streaming.py).
+
+    Each batch writes ``out_path/batch=<batch_id>`` with overwrite — the
+    idempotent at-least-once pattern: a replayed micro-batch rewrites
+    its own partition instead of double-appending, and
+    ``spark.read.parquet(out_path)`` reassembles the full pair set with
+    ``batch`` as a partition column. ``max_pairs`` forwards the
+    cross-set two-stage output guard per batch (the staged corpus
+    caches are caller-owned and survive a refusal — the stream can skip
+    or re-route a hot batch and keep running).
+    """
+    from cql_xmlpipe_spark.operators.dedup import (
+        incremental_probe_pairs,
+        stage_corpus_lsh,
+        unpersist_intermediates,
+    )
+
+    staged = stage_corpus_lsh(corpus, text_col, id_col, k)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_probe_pairs(
+            corpus,
+            batch_df,
+            text_col,
+            id_col,
+            threshold,
+            k,
+            max_pairs=max_pairs,
+            corpus_staged=staged,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        unpersist_intermediates(pairs)
+
+    return probe_batch

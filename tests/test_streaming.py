@@ -186,6 +186,88 @@ def test_stateful_all_null_values_user_matches_sql_sum(spark, tmp_path):
     assert by_user[2]["sum_value_cents"] is None
     assert by_user[2]["n_events"] == 2
 
+def test_streaming_incremental_probe_equals_batch(spark, tmp_path):
+    """The foreachBatch ingest-dedup composition (VERDICT r10 #6): a
+    multi-file staged replay of an increment, deduped per micro-batch
+    against the standing corpus over the SHARED staged LSH geometry,
+    must produce exactly the pairs one batch probe of the whole
+    increment finds — pair fate depends only on the two texts, so the
+    per-batch union composes exactly. Also pins the idempotent sink
+    layout (one batch=<id> partition per micro-batch, overwrite mode)."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.streaming.dedup import incremental_probe_sink
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam_b = "one two three four five six seven eight nine ten eleven"
+    corpus = spark.createDataFrame(
+        [(1, fam_a), (2, fam_a), (10, fam_b),
+         (20, "an unrelated corpus document about something else entirely")],
+        "doc_id long, text string",
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    batches = [
+        [(100, fam_a), (101, "novel batch doc with fresh words")],
+        [(102, fam_b), (103, fam_a)],
+        [(104, fam_b + " twelve"), (105, "another novel one right here")],
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = str(src / f"part-{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (now - 300 + 100 * i, now - 300 + 100 * i))
+
+    out = str(tmp_path / "pairs_out")
+    sink = incremental_probe_sink(corpus, out, threshold=0.35, k=3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "probe_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got_df = spark.read.parquet(out)
+    # one partition directory per micro-batch (maxFilesPerTrigger=1)
+    assert sorted(r["batch"] for r in got_df.select("batch").distinct().collect()) == [0, 1, 2]
+    got = _rows(got_df, ["inc_id", "corpus_id", "jaccard"])
+
+    increment = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    expected_df = DD.incremental_probe_pairs(corpus, increment, threshold=0.35, k=3)
+    expected = _rows(expected_df, ["inc_id", "corpus_id", "jaccard"])
+    DD.unpersist_intermediates(expected_df)
+    assert got == expected
+    # the planted cross pairs actually happened: the fam_a clones hit
+    # both corpus members, fam_b docs hit doc 10
+    assert {(100, 1), (100, 2), (103, 1), (102, 10)} <= {(a, b) for a, b, _ in got}
+
+
 def test_session_window_append_late_data_semantics(spark, tmp_path):
     """Production lateness semantics of the append+watermark session plan,
     pinned on a MULTI-file staged replay (the gate corpus is one file →
