@@ -56,7 +56,11 @@ HEADLINE = [
     "doc_id_sdbm_customer",
     "xmlpipe_orders_export",
     "xmlpipe_lineitem_export",
-    "dedup_exact_hash_groups",
+    # dedup_exact_hash_groups dropped in round 11 by the curation rule
+    # below: the round-11 additions crossed the 65 cap, dedup_ is the
+    # most-represented family, and exact_hash_groups is its cheapest
+    # member by RECORDS (0.212 s). It remains in the driver's full
+    # correctness gate.
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
@@ -124,6 +128,10 @@ HEADLINE = [
     "dedup_embedding_groups",
     "dedup_minhash_recall_sampled",
     "dedup_embedding_incremental",
+    # round-11: the embedding-family sampled recall health check and the
+    # incremental ROSTER maintenance contract (per-ingest upsert path)
+    "dedup_embedding_recall_sampled",
+    "dedup_incremental_rosters",
 ]
 assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 
@@ -151,6 +159,8 @@ RECORDS = {
     "dedup_cluster_assign": 3.575,
     "dedup_embedding_groups": 3.57,
     "dedup_embedding_incremental": 1.126,
+    "dedup_embedding_recall_sampled": 3.923,
+    "dedup_incremental_rosters": 14.538,
     "dedup_exact_hash_groups": 0.212,
     "dedup_graph_degree": 4.158,
     "dedup_incremental_probe": 3.444,

@@ -762,9 +762,16 @@ def _emb_recall_oracle(threshold: float, hex_hi: str) -> str:
 """
 
 
+#: 25% gate stratum for the EMBEDDING recall gate (the text gate needs
+#: 50% because organic J-pairs are sparse at sf0.01; the planted corpus
+#: guarantees ~frac²·|embeddings| twin pairs, so 25% keeps ≥ 30 stratum
+#: pairs at every sf while the exact all-pairs bill drops 4×)
+_EMB_GATE_SAMPLE_FRAC = 0.25
+
+
 @_q(
     "dedup_embedding_recall_sampled",
-    _emb_recall_oracle(0.95, DD.stratum_hex_hi(_GATE_SAMPLE_FRAC)),
+    _emb_recall_oracle(0.95, DD.stratum_hex_hi(_EMB_GATE_SAMPLE_FRAC)),
 )
 def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLED sign-LSH recall for the embedding family (VERDICT r10 #3 —
@@ -779,7 +786,7 @@ def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     (operators/dedup.py::embedding_recall_sampled)."""
     return DD.embedding_recall_sampled(
         _planted_embeddings(spark, sf_dir),
-        threshold=0.95, sample_frac=_GATE_SAMPLE_FRAC,
+        threshold=0.95, sample_frac=_EMB_GATE_SAMPLE_FRAC,
     )
 
 
