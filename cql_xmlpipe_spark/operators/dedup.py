@@ -1899,7 +1899,22 @@ def incremental_roster_update(
         .union(edges.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cc = connected_components(nodes, edges, id_col=id_col)
+    # CC runs eager actions; a failure there must not leak the persisted
+    # staging for the session's lifetime (same discipline as the guarded
+    # operators' refusal paths)
+    try:
+        cc = connected_components(nodes, edges, id_col=id_col)
+    except Exception:
+        for c in (
+            edges,
+            *getattr(cross, "_xmlpipe_cached", []),
+            *getattr(batch, "_xmlpipe_cached", []),
+        ):
+            try:
+                c.unpersist()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
+        raise
     qlab = cc.select(
         F.col(id_col).alias("_q"), F.col("cluster_id").alias("_new")
     ).persist()

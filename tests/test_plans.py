@@ -312,6 +312,25 @@ def test_round6_pipeline_ops_plan_shapes(spark):
         assert n <= max_shuffles, f"{name}: {n} shuffles\n{tree}"
 
 
+def test_round11_roster_and_recall_plan_shapes(spark):
+    """Round-11 contracts: the incremental roster update must contain no
+    cartesian product anywhere (every join is keyed — (band, bucket)
+    candidates, id-keyed verify/membership/expansion joins; the only
+    BNLJs are broadcast 1-row count frames); the embedding sampled
+    recall plan has exactly ONE range-condition nested-loop join — the
+    DELIBERATE frac²-bounded exact all-pairs side — and no cartesian
+    product."""
+    tree = _plan(spark, "dedup_incremental_rosters").split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+
+    plan = _plan(spark, "dedup_embedding_recall_sampled")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # the exact side's id_a < id_b self-join is the one intentional BNLJ
+    # carrying a join condition; the rest are broadcast 1-row aggregates
+    assert "BroadcastNestedLoopJoin" in tree
+
+
 def test_bench_headline_names_all_registered():
     """bench.py silently skips HEADLINE entries missing from QUERIES —
     a typo would silently shrink the driver's benchmark. Pin that every
