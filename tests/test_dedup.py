@@ -1097,6 +1097,50 @@ def test_incremental_roster_update_matches_full_recompute(spark):
     standing.unpersist()
 
 
+def test_incremental_roster_update_iterates_across_ingests(spark):
+    """The production loop: rosters updated by ingest #1 are the valid
+    standing state for ingest #2 (corpus grows by the merged batch), and
+    two chained updates must equal the from-scratch rosters over
+    corpus ∪ b1 ∪ b2 — including a family created by b1 and EXTENDED by
+    b2, and a b2 doc merging into a b1-touched family."""
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_fam = "first seen in batch one text with recurring tokens here"
+    corpus = spark.createDataFrame(
+        [(0, fam_a), (1, fam_a), (10, "unique corpus doc number ten words")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, new_fam), (101, new_fam), (102, fam_a)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(200, new_fam), (201, "novel second batch doc nothing shared")],
+        "doc_id long, text string",
+    )
+    standing0 = DD.minhash_groups_collapsed(corpus, threshold=0.35, k=3).persist()
+    r1 = DD.incremental_roster_update(
+        corpus, b1, standing0, threshold=0.35, k=3, emit="full"
+    ).persist()
+    corpus1 = corpus.unionByName(b1)
+    r2 = DD.incremental_roster_update(
+        corpus1, b2, r1, threshold=0.35, k=3, emit="full"
+    )
+    scratch = DD.minhash_groups_collapsed(
+        corpus1.unionByName(b2), threshold=0.35, k=3
+    )
+    got, expected = _roster_rows(r2), _roster_rows(scratch)
+    DD.unpersist_intermediates(r2)
+    DD.unpersist_intermediates(scratch)
+    assert got == expected
+    by_label = {c: m for c, _, m in got}
+    assert by_label[0] == (0, 1, 102)          # b1 extended the corpus family
+    assert by_label[100] == (100, 101, 200)    # b1-created family extended by b2
+    DD.unpersist_intermediates(r1)
+    r1.unpersist()
+    DD.unpersist_intermediates(standing0)
+    standing0.unpersist()
+
+
 def test_incremental_roster_update_empty_batch_and_validation(spark):
     """An empty ingest returns the standing rosters unchanged (full) /
     nothing (delta); an unknown emit mode is a loud ValueError."""
