@@ -57,9 +57,18 @@ def incremental_probe_sink(
     its own partition instead of double-appending, and
     ``spark.read.parquet(out_path)`` reassembles the full pair set with
     ``batch`` as a partition column. ``max_pairs`` forwards the
-    cross-set two-stage output guard per batch (the staged corpus
-    caches are caller-owned and survive a refusal — the stream can skip
-    or re-route a hot batch and keep running).
+    cross-set two-stage output guard per batch; a refusal raised inside
+    ``foreachBatch`` FAILS the streaming query loudly with the remedy in
+    the exception (deliberate — silently skipping a hot batch would
+    publish an incomplete pair set). The staged corpus caches survive
+    the failure, and the checkpoint makes the restart resume AT the
+    refused batch once remediated (bigger cap, or exact-dedup staging
+    upstream). Note the probe contract: pairs are batch×CORPUS only —
+    within-stream (batch×batch, cross-micro-batch) near-dups are out of
+    scope here, exactly as in :func:`~cql_xmlpipe_spark.operators.
+    dedup.incremental_probe_pairs`; fold ingests into the corpus with
+    :func:`~cql_xmlpipe_spark.operators.dedup.incremental_roster_update`
+    between runs when standing state must absorb the stream.
     """
     from cql_xmlpipe_spark.operators.dedup import (
         incremental_probe_pairs,

@@ -268,6 +268,52 @@ def test_streaming_incremental_probe_equals_batch(spark, tmp_path):
     assert {(100, 1), (100, 2), (103, 1), (102, 10)} <= {(a, b) for a, b, _ in got}
 
 
+def test_streaming_incremental_probe_guard_fails_loudly(spark, tmp_path):
+    """The documented guard semantics of the foreachBatch sink: a hot
+    micro-batch over the cross-set cap FAILS the streaming query with
+    the budget exception in the cause — never a silent skip that would
+    publish an incomplete pair set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+
+    from cql_xmlpipe_spark.streaming.dedup import incremental_probe_sink
+
+    hot = "the same hot document text shared across batch and corpus"
+    corpus = spark.createDataFrame(
+        [(i, hot) for i in range(200)], "doc_id long, text string"
+    )
+    src = tmp_path / "hot_src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10_000 + i for i in range(50)], pa.int64()),
+                "text": pa.array([hot] * 50, pa.string()),
+            }
+        ),
+        str(src / "part-0.parquet"),
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    sink = incremental_probe_sink(
+        corpus, str(tmp_path / "hot_out"), threshold=0.5, k=3, max_pairs=1000
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hot_ckpt"))
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(300)
+    assert "10,000" in str(ei.value)  # 50 x 200 cross pairs priced pre-flight
+
+
 def test_session_window_append_late_data_semantics(spark, tmp_path):
     """Production lateness semantics of the append+watermark session plan,
     pinned on a MULTI-file staged replay (the gate corpus is one file →
