@@ -157,16 +157,16 @@ if _only:
 RECORDS = {
     "corpus_mix_resample": 0.463,
     "dedup_cluster_assign": 3.575,
-    "dedup_embedding_groups": 3.57,
-    "dedup_embedding_incremental": 1.126,
+    "dedup_embedding_groups": 3.4,
+    "dedup_embedding_incremental": 1.0,
     "dedup_embedding_recall_sampled": 3.923,
     "dedup_incremental_rosters": 14.538,
     "dedup_exact_hash_groups": 0.212,
     "dedup_graph_degree": 4.158,
     "dedup_incremental_probe": 3.444,
-    "dedup_minhash_groups": 5.369,
+    "dedup_minhash_groups": 5.3,
     "dedup_minhash_lsh": 2.82,
-    "dedup_minhash_recall_sampled": 8.42,
+    "dedup_minhash_recall_sampled": 7.9,
     "dedup_ngram_jaccard": 3.841,
     "dedup_paragraphs": 0.582,
     "dedup_prefix_hash_groups": 0.347,
