@@ -137,10 +137,21 @@ def main(argv: list[str] | None = None) -> int:
                     rosters = DD.minhash_groups_collapsed(
                         df, args.text_col, id_col, threshold, args.k
                     ).persist()
-                result = DD.incremental_roster_update(
-                    df, inc, rosters, args.text_col, id_col, threshold,
-                    args.k, emit=args.emit, max_pairs=max_pairs,
-                )
+                try:
+                    result = DD.incremental_roster_update(
+                        df, inc, rosters, args.text_col, id_col, threshold,
+                        args.k, emit=args.emit, max_pairs=max_pairs,
+                    )
+                except DD.PairOutputBudgetExceeded:
+                    # a refusal must not leak the recomputed standing
+                    # rosters' persists (same discipline as the operators)
+                    if not args.rosters_dir:
+                        DD.unpersist_intermediates(rosters)
+                        try:
+                            rosters.unpersist()
+                        except Exception:  # pragma: no cover - teardown race
+                            pass
+                    raise
                 if not args.rosters_dir:
                     # the recomputed standing rosters (and their pipeline
                     # caches) ride the result's cleanup hook
