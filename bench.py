@@ -129,7 +129,12 @@ HEADLINE = [
     "dedup_minhash_recall_sampled",
     "dedup_embedding_incremental",
     # round-11: the embedding-family sampled recall health check and the
-    # incremental ROSTER maintenance contract (per-ingest upsert path)
+    # incremental ROSTER maintenance contract (per-ingest upsert path).
+    # Its embedding twin (dedup_embedding_incremental_rosters) is
+    # deliberately GATE-ONLY: the list sits at the 65 cap, the twin
+    # shares the text contract's quotient machinery timing-wise, and
+    # adding it would cost another dedup-family timing row by the
+    # curation rule above.
     "dedup_embedding_recall_sampled",
     "dedup_incremental_rosters",
 ]

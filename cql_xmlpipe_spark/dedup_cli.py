@@ -25,9 +25,10 @@ Contracts:
 * ``incremental`` / ``embedding-incremental`` — new batch
   (``--increment-dir``) probed against the standing corpus
   (``--data-dir``); batch-side output, no corpus² work per ingest
-* ``incremental-rosters`` — standing rosters (``--rosters-dir``, or
-  recomputed from the corpus) updated with the batch; ``--emit delta``
-  returns only new/changed families (the per-ingest upsert shape)
+* ``incremental-rosters`` / ``embedding-incremental-rosters`` —
+  standing rosters (``--rosters-dir``, or recomputed from the corpus)
+  updated with the batch; ``--emit delta`` returns only new/changed
+  families (the per-ingest upsert shape)
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "pairs", "groups", "embedding-pairs", "embedding-groups",
             "incremental", "embedding-incremental", "incremental-rosters",
+            "embedding-incremental-rosters",
         ],
     )
     p.add_argument("--data-dir", required=True, help="directory of <table>.parquet")
@@ -113,7 +115,11 @@ def main(argv: list[str] | None = None) -> int:
         "pairs", "groups", "incremental", "incremental-rosters"
     )
     incremental = args.contract in (
-        "incremental", "embedding-incremental", "incremental-rosters"
+        "incremental", "embedding-incremental", "incremental-rosters",
+        "embedding-incremental-rosters",
+    )
+    roster_update = args.contract in (
+        "incremental-rosters", "embedding-incremental-rosters"
     )
     if incremental and not args.increment_dir:
         print("refused: --increment-dir is required for incremental contracts",
@@ -130,18 +136,28 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if incremental:
             inc = load_table(spark, table, args.increment_dir)
-            if args.contract == "incremental-rosters":
+            if roster_update:
                 if args.rosters_dir:
                     rosters = spark.read.parquet(args.rosters_dir)
-                else:
+                elif text_contract:
                     rosters = DD.minhash_groups_collapsed(
                         df, args.text_col, id_col, threshold, args.k
                     ).persist()
+                else:
+                    rosters = DD.embedding_near_dup_groups(
+                        df, id_col, args.emb_col, threshold
+                    ).persist()
                 try:
-                    result = DD.incremental_roster_update(
-                        df, inc, rosters, args.text_col, id_col, threshold,
-                        args.k, emit=args.emit, max_pairs=max_pairs,
-                    )
+                    if text_contract:
+                        result = DD.incremental_roster_update(
+                            df, inc, rosters, args.text_col, id_col, threshold,
+                            args.k, emit=args.emit, max_pairs=max_pairs,
+                        )
+                    else:
+                        result = DD.embedding_roster_update(
+                            df, inc, rosters, id_col, args.emb_col, threshold,
+                            emit=args.emit, max_pairs=max_pairs,
+                        )
                 except DD.PairOutputBudgetExceeded:
                     # a refusal must not leak the recomputed standing
                     # rosters' persists (same discipline as the operators)

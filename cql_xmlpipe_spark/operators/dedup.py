@@ -1877,6 +1877,28 @@ def incremental_roster_update(
         # when the batch-side guard refuses
         unpersist_intermediates(cross)
         raise
+    return _roster_update_assemble(cross, batch, rosters, id_col, emit)
+
+
+def _roster_update_assemble(
+    cross: DataFrame,
+    batch: DataFrame,
+    rosters: DataFrame,
+    id_col: str,
+    emit: str,
+) -> DataFrame:
+    """The shared quotient-graph assembly behind BOTH roster-maintenance
+    operators (:func:`incremental_roster_update` /
+    :func:`embedding_roster_update`): contract standing components to
+    their label vertex, add the new edges (``cross`` = (inc_id,
+    corpus_id, …) probe pairs with corpus endpoints mapped through the
+    roster membership; ``batch`` = (id_a, id_b, …) batch-internal
+    pairs), run CC over only the touched vertices, fan the merged
+    labels back out to rosters. Family-agnostic: nothing here knows
+    about texts or vectors — the pair inputs carry the family's
+    semantics, the quotient/min-label argument is shared (see the text
+    operator's docstring). Ownership of the two pair frames' tracked
+    caches transfers to the returned result."""
     mem = rosters.select(
         F.col("cluster_id").alias("_lab"), F.explode("members").alias(id_col)
     )
@@ -1952,6 +1974,72 @@ def incremental_roster_update(
         *getattr(cross, "_xmlpipe_cached", []),
         *getattr(batch, "_xmlpipe_cached", []),
     )
+
+
+def embedding_roster_update(
+    corpus: DataFrame,
+    increment: DataFrame,
+    rosters: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    n_hint: int | None = None,
+    auto_geometry: bool = True,
+    emit: str = "full",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """Incremental ROSTER maintenance for the EMBEDDING family — the
+    twin of :func:`incremental_roster_update` (round 11; closes the
+    symmetry where the text family had per-ingest roster upserts and
+    the embedding family only pair lists). Standing rosters
+    (:func:`embedding_near_dup_groups` over ``corpus``) plus one ingest
+    batch compose to the updated rosters over ``corpus ∪ increment``
+    through the SAME quotient-graph assembly
+    (:func:`_roster_update_assemble`); ``emit`` and the precondition
+    contract mirror the text twin (disjoint ids; rosters built at the
+    same ``threshold``).
+
+    The one family-specific subtlety is GEOMETRY: text banding is a
+    fixed constant, but sign-LSH geometry adapts to corpus size — and
+    pair candidacy depends on it. The exact-composition argument
+    (pair fate is pairwise) holds because the planes are deterministic
+    per (plane, dim): with ONE geometry across the standing build, the
+    probe, and the batch-internal pass, a pair's sign keys never depend
+    on corpus composition. This operator therefore resolves the
+    geometry ONCE (explicit ``n_bands``/``band_bits`` > ``n_hint`` >
+    a corpus-side COUNT) and uses it for BOTH its pair stages; the
+    standing rosters' geometry is the caller's precondition, exactly
+    like threshold/k on the text side — at saturation cosine (≥ 0.95
+    with near-1 recall) geometry drift between ingests costs at most
+    the documented <1% banding miss budget, and the planted gate pins
+    the exact case. Zero-norm/NULL vectors never enter rosters or
+    pairs on either path, so eligibility composes unchanged.
+    """
+    from cql_xmlpipe_spark.functions.vectors import norm
+
+    if emit not in ("full", "delta"):
+        raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
+    eligible = corpus.filter(
+        F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0)
+    )
+    n_bands, band_bits = _resolve_band_geometry(
+        eligible, threshold, n_bands, band_bits, n_hint, auto_geometry
+    )
+    cross = embedding_incremental_probe_pairs(
+        corpus, increment, id_col, emb_col, threshold,
+        n_bands, band_bits, max_pairs=max_pairs,
+    )
+    try:
+        batch = embedding_near_dup_pairs(
+            increment, id_col, emb_col, threshold,
+            n_bands, band_bits, max_pairs=max_pairs,
+        )
+    except PairOutputBudgetExceeded:
+        unpersist_intermediates(cross)
+        raise
+    return _roster_update_assemble(cross, batch, rosters, id_col, emit)
 
 
 def ngram_jaccard_pairs_collapsed(

@@ -720,6 +720,97 @@ def dedup_embedding_incremental_planted(spark: SparkSession, sf_dir: str) -> Dat
     return DD.embedding_incremental_probe_pairs(e, twin, threshold=0.95)
 
 
+#: three-generation planted union for the embedding roster-update gate:
+#: originals ∪ exact-×2 twins (the STANDING corpus) ∪ exact-×4 twins
+#: (the ingest batch) — all powers of two, so every generation shares
+#: every sign key and recall is 1.0 by construction at any geometry
+_EMB_PLANT3_CTE = f"""
+    eu AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(2.0 AS DOUBLE) AS FLOAT))
+               AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {2 * _PLANT_OFFSET} AS vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(4.0 AS DOUBLE) AS FLOAT))
+               AS embedding
+      FROM embeddings)
+"""
+
+_EMB_ROSTER_UPDATE_ORACLE = f"""
+    WITH RECURSIVE {_EMB_PLANT3_CTE},
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM eu WHERE embedding IS NOT NULL),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.95),
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM p
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM p),
+    reach AS (
+      SELECT vec_id AS v, vec_id AS r FROM e WHERE nrm > 0
+      UNION
+      SELECT ed.w AS v, reach.r AS r FROM reach JOIN edges ed ON reach.v = ed.v),
+    lab AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           list(v ORDER BY v) AS members
+    FROM lab GROUP BY cluster_id HAVING COUNT(*) >= 2
+"""
+
+
+@_q("dedup_embedding_incremental_rosters", _EMB_ROSTER_UPDATE_ORACLE)
+def dedup_embedding_incremental_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding incremental ROSTER maintenance, gate-visible (round 11
+    — the text family's `dedup_incremental_rosters` twin): the standing
+    corpus is embeddings ∪ their ×2 twins, whose rosters (one {v, v+off}
+    family per vector) are built by `embedding_near_dup_groups`; the
+    ingest batch is the ×4 twins, each of which cross-pairs with BOTH
+    generations of its family (power-of-two scaling shares every sign
+    key). `embedding_roster_update` folds the batch in through the
+    shared quotient-graph assembly — every standing roster is TOUCHED
+    and expands to a 3-member family — and the oracle recomputes the
+    from-scratch recursive-CTE rosters over the three-generation union,
+    so the composition (probe + batch pairs + quotient CC + membership
+    fan-out) is pinned row-for-row with non-empty merged rosters
+    (operators/dedup.py::embedding_roster_update)."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+    def scaled(factor: float, offset: int) -> DataFrame:
+        return e.select(
+            (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * F.lit(factor)).cast("float"),
+            ).alias("embedding"),
+        )
+
+    corpus = e.unionByName(scaled(2.0, _PLANT_OFFSET))
+    increment = scaled(4.0, 2 * _PLANT_OFFSET)
+    standing = DD.embedding_near_dup_groups(corpus, threshold=0.95).persist()
+    out = DD.embedding_roster_update(
+        corpus, increment, standing, threshold=0.95, emit="full"
+    )
+    out._xmlpipe_cached = [
+        *getattr(out, "_xmlpipe_cached", []),
+        standing,
+        *getattr(standing, "_xmlpipe_cached", []),
+    ]
+    return out
+
+
 def _emb_recall_oracle(threshold: float, hex_hi: str) -> str:
     """Oracle for ``dedup_embedding_recall_sampled`` over the planted
     corpus: exact all-pairs cosine on the md5 vec_id stratum (the same

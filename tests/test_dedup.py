@@ -1141,6 +1141,72 @@ def test_incremental_roster_update_iterates_across_ingests(spark):
     standing0.unpersist()
 
 
+def test_embedding_roster_update_matches_full_recompute(spark):
+    """The embedding roster-maintenance twin: standing rosters + one
+    ingest batch compose to EXACTLY the from-scratch embedding rosters
+    over the union, across the merge shapes — a ×4 twin extending a
+    standing {v, 2v} family, a bisector vector BRIDGING two standing
+    families (pairwise cos 0.9747 to each side of a cos-0.90 family
+    pair that standing kept separate), a batch-only identical pair, a
+    zero-norm batch vector contributing nothing — and delta emit is the
+    full set minus untouched."""
+    rng = random.Random(41)
+    v = _unit_vec(rng)
+    # w at cos 0.90 to v: two standing families BELOW threshold apart
+    u = _unit_vec(rng)
+    d = sum(a * b for a, b in zip(u, v))
+    perp_raw = [ui - d * vi for ui, vi in zip(u, v)]
+    pn = math.sqrt(sum(x * x for x in perp_raw))
+    perp = [x / pn for x in perp_raw]
+    c, s = 0.90, math.sqrt(1 - 0.90 * 0.90)
+    w = [c * vi + s * pi for vi, pi in zip(v, perp)]
+    bridge_raw = [vi + wi for vi, wi in zip(v, w)]
+    bn = math.sqrt(sum(x * x for x in bridge_raw))
+    bridge = [x / bn for x in bridge_raw]  # cos 0.9747 to both v and w
+    far = _unit_vec(rng)
+    corpus_rows = [
+        (0, v), (1, [2.0 * x for x in v]),      # standing family A (×2 twin)
+        (10, w), (11, w),                        # standing family B (clones)
+        (20, far),                               # corpus singleton
+    ]
+    inc_rows = [
+        (100, [4.0 * x for x in v]),             # extends A (×4: shared keys)
+        (101, bridge),                           # merges A and B
+        (110, far), (111, far),                  # absorbs singleton 20
+        (120, [0.0] * 32),                       # zero-norm: contributes nothing
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in rows],
+        "vec_id long, embedding array<float>",
+    )
+    corpus, inc = mk(corpus_rows), mk(inc_rows)
+    full = DD.embedding_near_dup_groups(corpus.unionByName(inc), threshold=0.95)
+    expected = _roster_rows(full)
+    DD.unpersist_intermediates(full)
+
+    standing = DD.embedding_near_dup_groups(corpus, threshold=0.95).persist()
+    upd = DD.embedding_roster_update(corpus, inc, standing, threshold=0.95)
+    got = _roster_rows(upd)
+    DD.unpersist_intermediates(upd)
+    assert got == expected
+    by_label = {cid: m for cid, _, m in got}
+    assert {0, 1, 10, 11, 100, 101} <= set(by_label[0])  # A∪B merged via bridge
+    assert by_label[20] == (20, 110, 111)                # singleton absorbed
+    assert all(120 not in m for m in by_label.values())  # zero-norm never rosters
+
+    delta = DD.embedding_roster_update(
+        corpus, inc, standing, threshold=0.95, emit="delta"
+    )
+    got_delta = _roster_rows(delta)
+    DD.unpersist_intermediates(delta)
+    assert got_delta == expected  # every family was touched in this corpus
+    standing.unpersist()
+    with pytest.raises(ValueError, match="emit"):
+        DD.embedding_roster_update(
+            corpus, inc, standing, threshold=0.95, emit="upsert"
+        )
+
+
 def test_incremental_roster_update_empty_batch_and_validation(spark):
     """An empty ingest returns the standing rosters unchanged (full) /
     nothing (delta); an unknown emit mode is a loud ValueError."""

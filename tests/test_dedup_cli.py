@@ -152,3 +152,27 @@ def test_cli_incremental_rosters_contract(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "rows=1" in capsys.readouterr().out  # only the touched family
+
+
+def test_cli_embedding_incremental_rosters_contract(spark, tmp_path, capsys):
+    """The embedding roster-update contract from the same entry point:
+    a batch ×2-twin of each corpus vector merges into its family."""
+    rng_vecs = [
+        [float((i * 7 + j) % 5 - 2) or 1.0 for j in range(8)] for i in range(4)
+    ]
+    corpus_dir, inc_dir = str(tmp_path / "corpus"), str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{corpus_dir}/embeddings.parquet")
+    spark.createDataFrame(
+        [(100 + i, [2.0 * x for x in v]) for i, v in enumerate(rng_vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{inc_dir}/embeddings.parquet")
+    rc = main([
+        "--contract", "embedding-incremental-rosters", "--data-dir", corpus_dir,
+        "--increment-dir", inc_dir, "--emit", "delta",
+    ])
+    assert rc == 0
+    # every corpus vector gains its twin: one changed roster per family
+    assert "rows=4" in capsys.readouterr().out
