@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -93,3 +94,112 @@ def incremental_probe_sink(
         unpersist_intermediates(pairs)
 
     return probe_batch
+
+
+def _list_child_ids(spark, path: str, prefix: str) -> list[int]:
+    """Sorted numeric suffixes of ``<prefix>=<n>`` children under a
+    directory, via the Hadoop FS API so any supported scheme works
+    (local, HDFS, object stores); [] when the directory does not exist."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith(f"{prefix}="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def roster_maintenance_sink(
+    corpus: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_pairs: int | None = None,
+):
+    """``foreachBatch`` ROSTER MAINTENANCE — the stateful big sibling of
+    :func:`incremental_probe_sink`: every micro-batch of documents is
+    folded into STANDING near-dup rosters that persist across batches
+    (and across stream restarts), so after the stream drains, the latest
+    roster snapshot equals ``minhash_groups_collapsed`` over
+    ``corpus ∪ every batch`` — the iterated-ingest composition the batch
+    operator pins per step (tests pin the streamed end-state too).
+
+    State layout under ``state_path``:
+
+    * ``corpus_batches/batch=<id>/`` — each processed batch's documents
+      (the growing ingested corpus; the static ``corpus`` is read from
+      its own source and never copied);
+    * ``rosters/v=<id>/`` — the FULL roster snapshot after batch <id>
+      (``v=-1`` is the standing rosters over the static corpus, computed
+      once at sink construction if absent). Full snapshots keep replay
+      trivially correct; a production deployment upserting
+      ``emit="delta"`` rows into a table is the documented variant.
+
+    Exactly-once under at-least-once replay: the roster snapshot is the
+    LAST artifact each batch writes, so ``rosters/v=<id>`` existing
+    proves batch <id> completed — a replayed batch short-circuits
+    (skip), and a batch that died half-way re-runs on identical inputs
+    (its own docs + strictly-older state), overwriting both artifacts
+    idempotently.
+
+    Scale shape: the roster-update math per batch touches only the
+    batch and the families its edges hit
+    (:func:`~cql_xmlpipe_spark.operators.dedup.incremental_roster_update`);
+    what DOES grow with accumulated ingest here is re-signing the
+    current corpus for the probe — the self-contained in-session cost.
+    A deployment holds that flat by maintaining the bucketed corpus
+    index the probe docstring describes (extend it with each batch's
+    keys instead of re-signing), exactly as
+    :func:`~cql_xmlpipe_spark.operators.dedup.stage_corpus_lsh` does
+    for the static-corpus sink.
+    """
+    from cql_xmlpipe_spark.operators.dedup import (
+        incremental_roster_update,
+        minhash_groups_collapsed,
+        unpersist_intermediates,
+    )
+
+    spark = corpus.sparkSession
+    rosters_dir = f"{state_path}/rosters"
+    batches_dir = f"{state_path}/corpus_batches"
+    if not _list_child_ids(spark, rosters_dir, "v"):
+        standing = minhash_groups_collapsed(corpus, text_col, id_col, threshold, k)
+        standing.write.mode("overwrite").parquet(f"{rosters_dir}/v=-1")
+        unpersist_intermediates(standing)
+
+    def update_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _list_child_ids(spark, rosters_dir, "v")
+        if batch_id in versions:
+            return  # replayed batch: snapshot already committed
+        prior = [b for b in _list_child_ids(spark, batches_dir, "batch")
+                 if b < batch_id]
+        current = corpus.select(F.col(id_col), F.col(text_col))
+        if prior:
+            ingested = spark.read.parquet(
+                *[f"{batches_dir}/batch={b}" for b in prior]
+            ).select(F.col(id_col), F.col(text_col))
+            current = current.unionByName(ingested)
+        standing = spark.read.parquet(
+            f"{rosters_dir}/v={max(v for v in versions if v < batch_id)}"
+        )
+        # write the batch docs first (re-written identically on replay);
+        # the roster snapshot below is the commit marker
+        batch_df.select(F.col(id_col), F.col(text_col)).write.mode(
+            "overwrite"
+        ).parquet(f"{batches_dir}/batch={batch_id}")
+        upd = incremental_roster_update(
+            current,
+            spark.read.parquet(f"{batches_dir}/batch={batch_id}"),
+            standing, text_col, id_col, threshold, k,
+            emit="full", max_pairs=max_pairs,
+        )
+        upd.write.mode("overwrite").parquet(f"{rosters_dir}/v={batch_id}")
+        unpersist_intermediates(upd)
+
+    return update_batch

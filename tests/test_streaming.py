@@ -268,6 +268,108 @@ def test_streaming_incremental_probe_equals_batch(spark, tmp_path):
     assert {(100, 1), (100, 2), (103, 1), (102, 10)} <= {(a, b) for a, b, _ in got}
 
 
+def test_streaming_roster_maintenance_equals_batch(spark, tmp_path):
+    """The stateful roster-maintenance sink: after a 3-micro-batch
+    staged replay, the LATEST roster snapshot equals the from-scratch
+    rosters over corpus ∪ every batch (the streamed form of the
+    iterated-ingest property), intermediate snapshots reflect their
+    prefix of the stream, and a FULL REPLAY with a fresh checkpoint
+    (at-least-once delivery) short-circuits on the committed snapshots
+    and changes nothing."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.streaming.dedup import roster_maintenance_sink
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_fam = "first seen in batch one text with recurring tokens here"
+    corpus = spark.createDataFrame(
+        [(0, fam_a), (1, fam_a), (10, "unique corpus doc number ten words")],
+        "doc_id long, text string",
+    )
+    batches = [
+        [(100, new_fam), (101, fam_a)],
+        [(200, new_fam)],
+        [(300, "novel third batch doc nothing shared at all")],
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "roster_src"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = str(src / f"part-{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (now - 300 + 100 * i, now - 300 + 100 * i))
+
+    state = str(tmp_path / "roster_state")
+    sink = roster_maintenance_sink(corpus, state, threshold=0.35, k=3)
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run("roster_ckpt_1")
+    import glob as _glob
+
+    versions = sorted(
+        int(p.rsplit("=", 1)[1]) for p in _glob.glob(f"{state}/rosters/v=*")
+    )
+    assert versions == [-1, 0, 1, 2]
+
+    union = corpus
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, schema))
+    scratch = DD.minhash_groups_collapsed(union, threshold=0.35, k=3)
+    expected = _rows(scratch, ["cluster_id", "cluster_size"])
+    DD.unpersist_intermediates(scratch)
+    final = spark.read.parquet(f"{state}/rosters/v=2")
+    assert _rows(final, ["cluster_id", "cluster_size"]) == expected
+    members = {r["cluster_id"]: tuple(r["members"]) for r in final.collect()}
+    assert members[0] == (0, 1, 101)      # batch-0 doc joined the corpus family
+    assert members[100] == (100, 200)     # batch-1 doc joined the batch-0 family
+
+    # the v=1 snapshot reflects exactly the first two batches
+    mid = spark.read.parquet(f"{state}/rosters/v=1")
+    mid_members = {r["cluster_id"]: tuple(r["members"]) for r in mid.collect()}
+    assert mid_members[100] == (100, 200)
+
+    # full at-least-once replay: fresh checkpoint reprocesses every file;
+    # the committed snapshots short-circuit and the state is unchanged
+    before = _rows(final, ["cluster_id", "cluster_size"])
+    run("roster_ckpt_2")
+    after_versions = sorted(
+        int(p.rsplit("=", 1)[1]) for p in _glob.glob(f"{state}/rosters/v=*")
+    )
+    assert after_versions == [-1, 0, 1, 2]
+    after = _rows(
+        spark.read.parquet(f"{state}/rosters/v=2"), ["cluster_id", "cluster_size"]
+    )
+    assert after == before
+
+
 def test_streaming_incremental_probe_guard_fails_loudly(spark, tmp_path):
     """The documented guard semantics of the foreachBatch sink: a hot
     micro-batch over the cross-set cap FAILS the streaming query with
