@@ -150,18 +150,22 @@ def roster_maintenance_sink(
 
     Scale shape: the roster-update math per batch touches only the
     batch and the families its edges hit
-    (:func:`~cql_xmlpipe_spark.operators.dedup.incremental_roster_update`);
-    what DOES grow with accumulated ingest here is re-signing the
-    current corpus for the probe — the self-contained in-session cost.
-    A deployment holds that flat by maintaining the bucketed corpus
-    index the probe docstring describes (extend it with each batch's
-    keys instead of re-signing), exactly as
-    :func:`~cql_xmlpipe_spark.operators.dedup.stage_corpus_lsh` does
-    for the static-corpus sink.
+    (:func:`~cql_xmlpipe_spark.operators.dedup.incremental_roster_update`),
+    and the corpus LSH index is EXTENDED, never rebuilt: the static
+    corpus is staged once at construction
+    (:func:`~cql_xmlpipe_spark.operators.dedup.stage_corpus_lsh`) and
+    each completed batch's (sets, buckets) projection is unioned in —
+    so per-batch signing work is O(batch), not O(accumulated corpus).
+    On a restart (fresh sink object resuming a checkpoint), any
+    already-committed batches missing from the in-memory index are
+    re-signed once from their parquet — O(ingested-so-far), paid once
+    per restart, not per batch.
     """
     from cql_xmlpipe_spark.operators.dedup import (
+        _lsh_prep,
         incremental_roster_update,
         minhash_groups_collapsed,
+        stage_corpus_lsh,
         unpersist_intermediates,
     )
 
@@ -172,6 +176,20 @@ def roster_maintenance_sink(
         standing = minhash_groups_collapsed(corpus, text_col, id_col, threshold, k)
         standing.write.mode("overwrite").parquet(f"{rosters_dir}/v=-1")
         unpersist_intermediates(standing)
+    state = {
+        "staged": stage_corpus_lsh(corpus, text_col, id_col, k),
+        "covered": set(),
+    }
+
+    def _extend_staged(batch_ids: list[int]) -> None:
+        for b in batch_ids:
+            if b in state["covered"]:
+                continue
+            docs = spark.read.parquet(f"{batches_dir}/batch={b}")
+            s, bk = _lsh_prep(docs, text_col, id_col, k)
+            sets, buckets = state["staged"]
+            state["staged"] = (sets.unionByName(s), buckets.unionByName(bk))
+            state["covered"].add(b)
 
     def update_batch(batch_df: DataFrame, batch_id: int) -> None:
         versions = _list_child_ids(spark, rosters_dir, "v")
@@ -185,6 +203,7 @@ def roster_maintenance_sink(
                 *[f"{batches_dir}/batch={b}" for b in prior]
             ).select(F.col(id_col), F.col(text_col))
             current = current.unionByName(ingested)
+        _extend_staged(prior)  # no-op except after a restart
         standing = spark.read.parquet(
             f"{rosters_dir}/v={max(v for v in versions if v < batch_id)}"
         )
@@ -198,8 +217,11 @@ def roster_maintenance_sink(
             spark.read.parquet(f"{batches_dir}/batch={batch_id}"),
             standing, text_col, id_col, threshold, k,
             emit="full", max_pairs=max_pairs,
+            corpus_staged=state["staged"],
         )
         upd.write.mode("overwrite").parquet(f"{rosters_dir}/v={batch_id}")
         unpersist_intermediates(upd)
+        # fold THIS batch into the standing index for the next trigger
+        _extend_staged([batch_id])
 
     return update_batch

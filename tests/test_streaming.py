@@ -369,6 +369,29 @@ def test_streaming_roster_maintenance_equals_batch(spark, tmp_path):
     )
     assert after == before
 
+    # restart with half-committed state: kill the last snapshot, build a
+    # FRESH sink object (empty in-memory staged index) and replay — the
+    # committed batches short-circuit, batch 2 re-runs after re-signing
+    # the prior batches from their parquet, and v=2 is rebuilt identically
+    import shutil
+
+    shutil.rmtree(f"{state}/rosters/v=2")
+    sink2 = roster_maintenance_sink(corpus, state, threshold=0.35, k=3)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink2)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "roster_ckpt_3"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rebuilt = _rows(
+        spark.read.parquet(f"{state}/rosters/v=2"), ["cluster_id", "cluster_size"]
+    )
+    assert rebuilt == before
+
 
 def test_streaming_incremental_probe_guard_fails_loudly(spark, tmp_path):
     """The documented guard semantics of the foreachBatch sink: a hot
