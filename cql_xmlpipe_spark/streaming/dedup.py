@@ -162,7 +162,6 @@ def roster_maintenance_sink(
     per restart, not per batch.
     """
     from cql_xmlpipe_spark.operators.dedup import (
-        _lsh_prep,
         incremental_roster_update,
         minhash_groups_collapsed,
         stage_corpus_lsh,
@@ -186,7 +185,7 @@ def roster_maintenance_sink(
             if b in state["covered"]:
                 continue
             docs = spark.read.parquet(f"{batches_dir}/batch={b}")
-            s, bk = _lsh_prep(docs, text_col, id_col, k)
+            s, bk = stage_corpus_lsh(docs, text_col, id_col, k)
             sets, buckets = state["staged"]
             state["staged"] = (sets.unionByName(s), buckets.unionByName(bk))
             state["covered"].add(b)
