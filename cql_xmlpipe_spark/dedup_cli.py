@@ -28,7 +28,9 @@ Contracts:
 * ``incremental-rosters`` / ``embedding-incremental-rosters`` —
   standing rosters (``--rosters-dir``, or recomputed from the corpus)
   updated with the batch; ``--emit delta`` returns only new/changed
-  families (the per-ingest upsert shape)
+  families plus ``(cluster_id, 0, [])`` tombstones for retired labels
+  (the per-ingest upsert shape: delete every delta cluster_id, insert
+  the ``cluster_size >= 2`` rows)
 """
 
 from __future__ import annotations
@@ -81,7 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["full", "delta"],
         default="full",
         help="incremental-rosters only: full updated roster set, or only "
-        "new/changed rosters (the per-ingest upsert shape)",
+        "new/changed rosters plus (cluster_id, 0, []) tombstones for "
+        "retired labels (the per-ingest upsert shape)",
     )
     p.add_argument(
         "--max-pairs",

@@ -1470,30 +1470,45 @@ def embedding_recall_sampled(
         .select(F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("_nrm"))
         .persist()
     )
-    lsh_full = embedding_near_dup_pairs(
-        eligible.select(F.col(id_col), F.col(emb_col)),
-        id_col, emb_col, threshold, n_bands, band_bits,
-        n_hint, auto_geometry,
-    )
-    lsh = lsh_full.select("id_a", "id_b")
-    a = eligible.select(
-        F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"),
-        F.col("_nrm").alias("_na"),
-    )
-    b = eligible.select(
-        F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"),
-        F.col("_nrm").alias("_nb"),
-    )
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            dot(F.col("e_a"), F.col("e_b")) / (F.col("_na") * F.col("_nb")),
+    # mirror embedding_near_dup_groups: the LSH stage runs eager actions
+    # (the geometry COUNT, the pair guard) — a failure there must not
+    # leak the stratum persist for the session's lifetime
+    lsh_full = None
+    try:
+        lsh_full = embedding_near_dup_pairs(
+            eligible.select(F.col(id_col), F.col(emb_col)),
+            id_col, emb_col, threshold, n_bands, band_bits,
+            n_hint, auto_geometry,
         )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
-    )
-    result = _recall_wilson_row(lsh, exact)
+        lsh = lsh_full.select("id_a", "id_b")
+        a = eligible.select(
+            F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"),
+            F.col("_nrm").alias("_na"),
+        )
+        b = eligible.select(
+            F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"),
+            F.col("_nrm").alias("_nb"),
+        )
+        exact = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos",
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("_na") * F.col("_nb")),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b")
+        )
+        result = _recall_wilson_row(lsh, exact)
+    except Exception:
+        for c in (
+            eligible,
+            *(getattr(lsh_full, "_xmlpipe_cached", []) if lsh_full is not None else []),
+        ):
+            try:
+                c.unpersist()
+            except Exception:  # pragma: no cover - session teardown race
+                pass
+        raise
     return _track_cached(
         result, eligible, *getattr(lsh_full, "_xmlpipe_cached", [])
     )
@@ -1701,6 +1716,33 @@ def incremental_probe_pairs(
     )
 
 
+def stage_corpus_sign_keys(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bands: int = 24,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Persist the CORPUS side of the EMBEDDING incremental probe ONCE —
+    the (id, band, bkey) sign-LSH index every ingest reuses, the twin of
+    :func:`stage_corpus_lsh` (round 12; until now each embedding probe
+    re-signed the corpus per call, which a ``foreachBatch`` stream pays
+    per trigger). Geometry is EXPLICIT here by design: the staged keys
+    are only meaningful to a probe run at the same (n_bands, band_bits)
+    — resolve it once with :func:`_resolve_band_geometry` (or
+    ``auto_band_config``) and thread the same pair everywhere, exactly
+    as :func:`embedding_roster_update` documents. Eligibility (non-null,
+    norm > 0) is pushed down before signing, matching every embedding
+    operator. Ownership of the cache stays with the caller."""
+    from cql_xmlpipe_spark.functions.vectors import norm
+    from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
+
+    eligible = corpus.filter(
+        F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0)
+    )
+    return banded_sign_keys(eligible, emb_col, id_col, n_bands, band_bits).persist()
+
+
 def embedding_incremental_probe_pairs(
     corpus: DataFrame,
     increment: DataFrame,
@@ -1712,6 +1754,7 @@ def embedding_incremental_probe_pairs(
     n_hint: int | None = None,
     auto_geometry: bool = True,
     max_pairs: int | None = None,
+    corpus_staged: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup for the EMBEDDING family: cosine near-dup
     pairs between a NEW batch of vectors and an EXISTING corpus, without
@@ -1742,10 +1785,26 @@ def embedding_incremental_probe_pairs(
     vectors across the split emit exactly a·b pairs), stage-2
     lower-bounds cross candidates by the per-band Σ a·b over shared
     (band, bkey) keys.
+
+    ``corpus_staged`` (round 12) is the in-session form of that
+    precomputed corpus index — :func:`stage_corpus_sign_keys`'s
+    persisted keys frame, reused across ingests so only the batch is
+    signed per call (the embedding streaming sinks ride this).
+    Because pair candidacy depends on the geometry the keys were built
+    at, passing it REQUIRES explicit ``n_bands``/``band_bits`` (the
+    caller resolved geometry once when staging); ownership of the
+    cache stays with the caller — refusal/cleanup paths here never
+    unpersist it.
     """
     from cql_xmlpipe_spark.functions.vectors import cosine_safe, norm
     from cql_xmlpipe_spark.operators.similarity import banded_sign_keys
 
+    if corpus_staged is not None and (n_bands is None or band_bits is None):
+        raise ValueError(
+            "corpus_staged requires explicit n_bands and band_bits — the "
+            "staged keys are only meaningful at the geometry they were "
+            "built with (resolve once, thread the same pair everywhere)"
+        )
     ec = corpus.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
     ei = increment.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
     if max_pairs is not None:
@@ -1764,8 +1823,16 @@ def embedding_incremental_probe_pairs(
     n_bands, band_bits = _resolve_band_geometry(
         ec, threshold, n_bands, band_bits, n_hint, auto_geometry
     )
-    ck = banded_sign_keys(ec, emb_col, id_col, n_bands, band_bits).persist()
-    ik = banded_sign_keys(ei, emb_col, id_col, n_bands, band_bits).persist()
+    if corpus_staged is not None:
+        # caller-owned corpus index (stage_corpus_sign_keys): reused
+        # across ingests, so refusal/cleanup must never unpersist it
+        ck = corpus_staged
+        ik = banded_sign_keys(ei, emb_col, id_col, n_bands, band_bits).persist()
+        caches = [ik]
+    else:
+        ck = banded_sign_keys(ec, emb_col, id_col, n_bands, band_bits).persist()
+        ik = banded_sign_keys(ei, emb_col, id_col, n_bands, band_bits).persist()
+        caches = [ck, ik]
     if max_pairs is not None:
         _cross_budget_check(
             ik.select("band", "bkey"), ck.select("band", "bkey"),
@@ -1775,7 +1842,7 @@ def embedding_incremental_probe_pairs(
             "identical-vector pricing cannot see)",
             "embedding_near_dup_groups over the union bounds OUTPUT per "
             "family; the cross verify bill itself remains — raise "
-            "max_pairs only if it is budgeted.", [ck, ik],
+            "max_pairs only if it is budgeted.", caches,
         )
     cands = (
         ik.select(F.col(id_col).alias("inc_id"), "band", "bkey")
@@ -1795,8 +1862,7 @@ def embedding_incremental_probe_pairs(
         .withColumn("cos", cosine_safe(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos") >= threshold)
         .select("inc_id", "corpus_id", "cos"),
-        ck,
-        ik,
+        *caches,
     )
 
 
@@ -1822,9 +1888,13 @@ def incremental_roster_update(
     * ``emit="full"`` — the complete updated roster set, provably equal
       to ``minhash_groups_collapsed(corpus ∪ increment)`` (the oracle
       gate pins this);
-    * ``emit="delta"`` — only NEW or CHANGED rosters (the upsert shape a
-      standing rosters table consumes per ingest; untouched families
-      never cross the wire).
+    * ``emit="delta"`` — only NEW or CHANGED rosters plus a
+      ``(cluster_id, 0, [])`` TOMBSTONE for every retired standing
+      label (a family absorbed into a merged component under a smaller
+      min id — without the tombstone a pure upsert would leave its
+      stale roster standing). Consumers apply the delta as: delete
+      every delta ``cluster_id``, insert the ``cluster_size >= 2``
+      rows; untouched families never cross the wire.
 
     Preconditions: ``rosters`` is the standing output of
     :func:`minhash_groups_collapsed` over ``corpus`` at the SAME
@@ -1961,7 +2031,27 @@ def _roster_update_assemble(
         .select(F.col("_new").alias("cluster_id"), "cluster_size", "members")
     )
     if emit == "delta":
-        result = merged
+        # tombstones (round 12): when a batch edge merges two standing
+        # families, the merged roster survives under the MIN label only —
+        # a pure upsert of the delta would leave the absorbed family's
+        # old cluster_id row standing with members that now also appear
+        # in the merged roster. Emit every RETIRED standing label (a
+        # touched standing family whose label is not the merged
+        # component's min) as a (cluster_id, 0, []) tombstone, so a
+        # consumer applies the delta as: delete every delta cluster_id,
+        # insert the cluster_size >= 2 rows. Touched-but-surviving
+        # labels need no tombstone — their updated roster row already
+        # overwrites in place.
+        retired = (
+            qlab.join(std_labels.select("_q"), "_q", "left_semi")
+            .filter(F.col("_q") != F.col("_new"))
+            .select(
+                F.col("_q").alias("cluster_id"),
+                F.lit(0).cast("long").alias("cluster_size"),
+                F.array().cast(rosters.schema["members"].dataType).alias("members"),
+            )
+        )
+        result = merged.unionByName(retired)
     else:
         untouched = rosters.join(
             qlab.select(F.col("_q").alias("cluster_id")), "cluster_id", "left_anti"
@@ -1989,6 +2079,7 @@ def embedding_roster_update(
     auto_geometry: bool = True,
     emit: str = "full",
     max_pairs: int | None = None,
+    corpus_staged: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ROSTER maintenance for the EMBEDDING family — the
     twin of :func:`incremental_roster_update` (round 11; closes the
@@ -2016,11 +2107,28 @@ def embedding_roster_update(
     the documented <1% banding miss budget, and the planted gate pins
     the exact case. Zero-norm/NULL vectors never enter rosters or
     pairs on either path, so eligibility composes unchanged.
+
+    ``corpus_staged`` (round 12) forwards
+    :func:`stage_corpus_sign_keys`'s persisted corpus index to the
+    probe stage so a stream of ingests signs only each batch — it must
+    have been built at THIS call's resolved geometry (pass the same
+    explicit ``n_bands``/``band_bits`` to both; the embedding
+    streaming sink does exactly that). Ownership stays with the
+    caller.
     """
     from cql_xmlpipe_spark.functions.vectors import norm
 
     if emit not in ("full", "delta"):
         raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
+    if corpus_staged is not None and (n_bands is None or band_bits is None):
+        # an internally-resolved geometry (corpus COUNT) could silently
+        # diverge from the one the staged keys were built at — require
+        # the caller to thread the resolved pair explicitly
+        raise ValueError(
+            "corpus_staged requires explicit n_bands and band_bits — the "
+            "staged keys are only meaningful at the geometry they were "
+            "built with (resolve once, thread the same pair everywhere)"
+        )
     eligible = corpus.filter(
         F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0)
     )
@@ -2030,6 +2138,7 @@ def embedding_roster_update(
     cross = embedding_incremental_probe_pairs(
         corpus, increment, id_col, emb_col, threshold,
         n_bands, band_bits, max_pairs=max_pairs,
+        corpus_staged=corpus_staged,
     )
     try:
         batch = embedding_near_dup_pairs(

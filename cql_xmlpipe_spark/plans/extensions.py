@@ -870,8 +870,11 @@ def dedup_embedding_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     embedding family only pytest/SCALE recall): exact all-pairs cosine
     restricted to a deterministic md5 vec_id stratum vs the banded LSH
     pairs on the same stratum, with the shared Wilson 95% interval. Runs
-    on the PLANTED corpus so the gate pins a positive path — ~¼ of the
-    ×2-twin pairs are stratum-internal at the 50% gate fraction — while
+    on the PLANTED corpus so the gate pins a positive path — a ×2-twin
+    pair is stratum-internal with probability frac² ≈ 1/16 at the 25%
+    gate fraction (twins share the original's md5 stratum fate only
+    through their own shifted ids, so both endpoints must survive) —
+    while
     the production 1% default is measured at the jittered decades
     (SCALE.md), where the frac² exact-bill drop is the point
     (operators/dedup.py::embedding_recall_sampled)."""

@@ -1093,7 +1093,18 @@ def test_incremental_roster_update_matches_full_recompute(spark):
     got_delta = _roster_rows(delta)
     DD.unpersist_intermediates(delta)
     untouched = {(20, 2, (20, 21))}
-    assert got_delta == sorted(set(expected) - untouched)
+    # the B∪E merge RETIRES standing label 15 (absorbed under label 10):
+    # the delta carries its tombstone so a pure upsert consumer deletes
+    # the stale roster instead of leaving it standing (ADVICE r11)
+    assert got_delta == sorted((set(expected) - untouched) | {(15, 0, ())})
+    # and the upsert replay reproduces emit="full" exactly: delete every
+    # delta cluster_id from standing, insert the cluster_size >= 2 rows
+    standing_rows = set(_roster_rows(standing))
+    delta_ids = {c for c, _, _ in got_delta}
+    upserted = {r for r in standing_rows if r[0] not in delta_ids} | {
+        r for r in got_delta if r[1] >= 2
+    }
+    assert sorted(upserted) == expected
     standing.unpersist()
 
 
@@ -1199,7 +1210,9 @@ def test_embedding_roster_update_matches_full_recompute(spark):
     )
     got_delta = _roster_rows(delta)
     DD.unpersist_intermediates(delta)
-    assert got_delta == expected  # every family was touched in this corpus
+    # every family was touched; the A∪B bridge merge retires standing
+    # label 10, whose tombstone rides the delta (ADVICE r11)
+    assert got_delta == sorted(set(expected) | {(10, 0, ())})
     standing.unpersist()
     with pytest.raises(ValueError, match="emit"):
         DD.embedding_roster_update(
