@@ -31,6 +31,17 @@ Contracts:
   families plus ``(cluster_id, 0, [])`` tombstones for retired labels
   (the per-ingest upsert shape: delete every delta cluster_id, insert
   the ``cluster_size >= 2`` rows)
+* ``stream-probe`` / ``embedding-stream-probe`` — the STREAMING form of
+  the incremental probe: a parquet file stream (``--stream-src``) is
+  deduped per micro-batch against the standing corpus
+  (``availableNow`` termination; ``--out`` collects one
+  ``batch=<id>`` partition per micro-batch)
+* ``stream-rosters`` / ``embedding-stream-rosters`` — the STREAMING
+  roster maintenance: each micro-batch folds into standing rosters
+  under ``--state`` (``--snapshot delta`` = the per-ingest upsert
+  layout with periodic full bases; ``--compact-every`` bounds index
+  plan width and restart cost). Replays short-circuit on the commit
+  markers, so re-running the same command is idempotent.
 """
 
 from __future__ import annotations
@@ -52,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
             "pairs", "groups", "embedding-pairs", "embedding-groups",
             "incremental", "embedding-incremental", "incremental-rosters",
             "embedding-incremental-rosters",
+            "stream-probe", "embedding-stream-probe",
+            "stream-rosters", "embedding-stream-rosters",
         ],
     )
     p.add_argument("--data-dir", required=True, help="directory of <table>.parquet")
@@ -94,8 +107,130 @@ def build_parser() -> argparse.ArgumentParser:
         help="pair-output cap; default SPARK_GRAFT_MAX_PAIRS or 1e9; 0 disables",
     )
     p.add_argument("--out", default=None, metavar="DIR",
-                   help="write result parquet here (default: print row count)")
+                   help="write result parquet here (default: print row count; "
+                   "REQUIRED for stream-probe contracts)")
+    p.add_argument(
+        "--stream-src",
+        default=None,
+        metavar="DIR",
+        help="stream contracts only: directory of parquet files consumed as "
+        "a file stream (one micro-batch per --max-files-per-trigger files)",
+    )
+    p.add_argument(
+        "--state",
+        default=None,
+        metavar="DIR",
+        help="stream-rosters contracts only: roster-maintenance state "
+        "directory (rosters/, corpus_batches/, index/ — see "
+        "streaming/dedup.py); managed as a unit with --checkpoint",
+    )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="DIR",
+        help="stream contracts only: structured-streaming checkpoint "
+        "location (default: <--state or --out>/_checkpoint)",
+    )
+    p.add_argument(
+        "--snapshot",
+        choices=["full", "delta"],
+        default="full",
+        help="stream-rosters only: full roster snapshot per batch, or "
+        "delta rows (new/changed + tombstones) with periodic full bases",
+    )
+    p.add_argument(
+        "--compact-every",
+        type=int,
+        default=8,
+        metavar="K",
+        help="stream-rosters only: compact the standing ingest index (and, "
+        "with --snapshot delta, write a full roster base) every K batches",
+    )
+    p.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=1,
+        metavar="N",
+        help="stream contracts only: source files per micro-batch",
+    )
     return p
+
+
+def _run_stream_contract(
+    spark, corpus, args, text_contract: bool, id_col: str,
+    threshold: float, max_pairs: int | None,
+) -> int:
+    """Drive a streaming contract: a parquet file stream from
+    ``--stream-src``, the matching ``foreachBatch`` sink from
+    streaming/dedup.py, ``availableNow`` termination (process every
+    file currently present, then stop — the operational shape for
+    batched catch-up runs; a resident service would drop the trigger).
+    Guard refusals inside ``foreachBatch`` surface as the same exit
+    code 3 as the batch contracts; replays of an already-committed
+    batch short-circuit, so re-running the command is idempotent."""
+    import sys as _sys
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cql_xmlpipe_spark.streaming import dedup as SD
+
+    probe = args.contract.endswith("stream-probe")
+    target = args.out if probe else args.state
+    value_col = args.text_col if text_contract else args.emb_col
+    schema = corpus.select(id_col, value_col).schema
+    if probe and text_contract:
+        sink = SD.incremental_probe_sink(
+            corpus, args.out, args.text_col, id_col, threshold, args.k,
+            max_pairs=max_pairs,
+        )
+    elif probe:
+        sink = SD.embedding_incremental_probe_sink(
+            corpus, args.out, id_col, args.emb_col, threshold,
+            max_pairs=max_pairs,
+        )
+    elif text_contract:
+        sink = SD.roster_maintenance_sink(
+            corpus, args.state, args.text_col, id_col, threshold, args.k,
+            max_pairs=max_pairs, snapshot=args.snapshot,
+            compact_every=args.compact_every,
+        )
+    else:
+        sink = SD.embedding_roster_maintenance_sink(
+            corpus, args.state, id_col, args.emb_col, threshold,
+            max_pairs=max_pairs, snapshot=args.snapshot,
+            compact_every=args.compact_every,
+        )
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.stream_src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", args.checkpoint or f"{target}/_checkpoint")
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    except StreamingQueryException as exc:
+        if "PairOutputBudgetExceeded" in str(exc):
+            print(f"refused: {exc}", file=_sys.stderr)
+            return 3
+        raise
+    finally:
+        sink.close()
+    if probe:
+        n = len(SD._list_child_ids(spark, args.out, "batch"))
+        print(f"wrote {args.out}: {n} micro-batch pair partitions")
+    else:
+        versions = SD._list_child_ids(
+            spark, f"{args.state}/rosters", "v", require_success=True
+        )
+        rows = SD.read_rosters(spark, args.state).count()
+        print(
+            f"state {args.state}: committed versions {versions}; "
+            f"latest rosters rows={rows}"
+        )
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -115,7 +250,8 @@ def main(argv: list[str] | None = None) -> int:
         max_pairs = None if args.max_pairs <= 0 else args.max_pairs
 
     text_contract = args.contract in (
-        "pairs", "groups", "incremental", "incremental-rosters"
+        "pairs", "groups", "incremental", "incremental-rosters",
+        "stream-probe", "stream-rosters",
     )
     incremental = args.contract in (
         "incremental", "embedding-incremental", "incremental-rosters",
@@ -124,8 +260,24 @@ def main(argv: list[str] | None = None) -> int:
     roster_update = args.contract in (
         "incremental-rosters", "embedding-incremental-rosters"
     )
+    stream_contract = args.contract in (
+        "stream-probe", "embedding-stream-probe",
+        "stream-rosters", "embedding-stream-rosters",
+    )
     if incremental and not args.increment_dir:
         print("refused: --increment-dir is required for incremental contracts",
+              file=sys.stderr)
+        return 2
+    if stream_contract and not args.stream_src:
+        print("refused: --stream-src is required for stream contracts",
+              file=sys.stderr)
+        return 2
+    if args.contract.endswith("stream-probe") and not args.out:
+        print("refused: --out is required for stream-probe contracts",
+              file=sys.stderr)
+        return 2
+    if args.contract.endswith("stream-rosters") and not args.state:
+        print("refused: --state is required for stream-rosters contracts",
               file=sys.stderr)
         return 2
     table = args.table or ("documents" if text_contract else "embeddings")
@@ -136,6 +288,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("dedup-cli")
     df = load_table(spark, table, args.data_dir)
+    if stream_contract:
+        return _run_stream_contract(
+            spark, df, args, text_contract, id_col, threshold, max_pairs
+        )
     try:
         if incremental:
             inc = load_table(spark, table, args.increment_dir)

@@ -720,6 +720,61 @@ def dedup_embedding_incremental_planted(spark: SparkSession, sf_dir: str) -> Dat
     return DD.embedding_incremental_probe_pairs(e, twin, threshold=0.95)
 
 
+_EMB_INCREMENTAL_SUBSET_ORACLE = f"""
+    WITH eu AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(2.0 AS DOUBLE) AS FLOAT))
+               AS embedding
+      FROM embeddings WHERE vec_id % 5 = 1),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM eu WHERE embedding IS NOT NULL)
+    SELECT a.vec_id AS inc_id, b.vec_id AS corpus_id,
+           list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+    FROM e a JOIN e b
+      ON a.vec_id >= {_PLANT_OFFSET} AND b.vec_id < {_PLANT_OFFSET}
+    WHERE a.nrm > 0 AND b.nrm > 0
+      AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.95
+"""
+
+
+@_q("dedup_embedding_incremental_subset_planted", _EMB_INCREMENTAL_SUBSET_ORACLE)
+def dedup_embedding_incremental_subset_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_embedding_incremental`` on its own NATURAL corpus split
+    with a positive path (VERDICT r11 #5): the standing corpus is the
+    natural ``vec_id % 5 != 0`` side — exactly the split the natural
+    gate documents, which has zero organic cosine-0.95 cross pairs —
+    and the ingest batch is derived in-query as the exact-×2 twins of
+    the ``% 5 == 1`` corpus SUBSET under shifted ids. Every batch
+    vector therefore cross-pairs with precisely its original inside
+    the natural corpus (IEEE-exact scaling: distinct bytes, shared
+    sign keys — see ``_planted_embeddings``), so the oracle pins
+    non-empty (inc_id, corpus_id, cos) rows through the asymmetric
+    probe on the SAME corpus the no-false-positive gate guards, while
+    the natural gate keeps its 0-row role."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    increment = e.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return DD.embedding_incremental_probe_pairs(corpus, increment, threshold=0.95)
+
+
 #: three-generation planted union for the embedding roster-update gate:
 #: originals ∪ exact-×2 twins (the STANDING corpus) ∪ exact-×4 twins
 #: (the ingest batch) — all powers of two, so every generation shares
@@ -976,6 +1031,93 @@ def dedup_incremental_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the standing pipeline's persisted intermediates (and the standing
     # roster pin itself) ride the result's cleanup hook
+    out._xmlpipe_cached = [
+        *getattr(out, "_xmlpipe_cached", []),
+        standing,
+        *getattr(standing, "_xmlpipe_cached", []),
+    ]
+    return out
+
+
+#: delta-emit oracle (round 12): the upsert rows a standing rosters
+#: table consumes per ingest are EXACTLY (a) the union-roster rows that
+#: differ from the standing rosters over the corpus split — any touched
+#: component gains at least one batch doc or merges families, so
+#: "touched" ≡ "(cluster_id, members) changed" — plus (b) a
+#: (cluster_id, 0, []) tombstone per standing label absent from the
+#: union labels (a label absorbed under a smaller min id can never
+#: resurface: labels are min member ids and members never leave a
+#: family). Both fixpoints recompute independently in SQL over the same
+#: pinned band-key model, so the tombstone semantics (ADVICE r11) are
+#: driver-gate-pinned, not just pytest-pinned.
+_ROSTERS_DELTA_ORACLE = f"""
+    WITH RECURSIVE {_lsh_band_ctes(0.5)},
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.w AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.v
+    ),
+    lab AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v),
+    union_rosters AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             list(v ORDER BY v) AS members
+      FROM lab GROUP BY cluster_id HAVING COUNT(*) >= 2),
+    cedges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+      WHERE id_a % 5 <> 0 AND id_b % 5 <> 0
+    ),
+    creach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents WHERE doc_id % 5 <> 0
+      UNION
+      SELECT e.w AS v, creach.r AS r FROM creach JOIN cedges e ON creach.v = e.v
+    ),
+    clab AS (SELECT v, MIN(r) AS cluster_id FROM creach GROUP BY v),
+    standing AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             list(v ORDER BY v) AS members
+      FROM clab GROUP BY cluster_id HAVING COUNT(*) >= 2)
+    SELECT u.cluster_id, u.cluster_size, u.members
+    FROM union_rosters u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM standing s
+      WHERE s.cluster_id = u.cluster_id AND s.members = u.members)
+    UNION ALL
+    SELECT s.cluster_id, CAST(0 AS BIGINT) AS cluster_size,
+           CAST([] AS BIGINT[]) AS members
+    FROM standing s
+    WHERE s.cluster_id NOT IN (SELECT cluster_id FROM union_rosters)
+"""
+
+
+@_q("dedup_incremental_rosters_delta", _ROSTERS_DELTA_ORACLE)
+def dedup_incremental_rosters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_rosters`` with ``emit="delta"`` — the
+    per-ingest UPSERT shape, gate-visible (round 12): only the rosters
+    the batch created or changed cross the wire, plus a
+    ``(cluster_id, 0, [])`` tombstone for every standing label the
+    batch's merges retired (ADVICE r11 — without tombstones a pure
+    upsert leaves the absorbed family's stale roster standing). The
+    oracle recomputes BOTH roster fixpoints (union and corpus-only)
+    over the pinned band-key model and derives the delta
+    set-algebraically, so new/changed/retired classification is pinned
+    by value, not asserted
+    (operators/dedup.py::incremental_roster_update,
+    ``_roster_update_assemble``)."""
+    d = load_table(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    increment = d.filter(F.col("doc_id") % 5 == 0)
+    standing = DD.minhash_groups_collapsed(corpus, threshold=0.5, k=3).persist()
+    out = DD.incremental_roster_update(
+        corpus, increment, standing, threshold=0.5, k=3, emit="delta"
+    )
     out._xmlpipe_cached = [
         *getattr(out, "_xmlpipe_cached", []),
         standing,

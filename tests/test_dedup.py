@@ -1406,3 +1406,75 @@ def test_embedding_incremental_probe_cross_guard(spark):
     ok = DD.embedding_incremental_probe_pairs(corpus, batch, max_pairs=100_000)
     assert ok.count() == 10_000
     DD.unpersist_intermediates(ok)
+
+
+def test_embedding_probe_corpus_staged(spark):
+    """Round 12: the caller-owned staged corpus sign-key index — the
+    staged probe returns exactly the unstaged result at the same
+    geometry, the staged cache survives the probe's cleanup AND its
+    guard refusal (caller-owns contract), and passing a staged index
+    without explicit geometry is a loud ValueError on both the probe
+    and the roster update (a count-resolved geometry could silently
+    diverge from the staged keys')."""
+    import random as _random
+
+    rng = _random.Random(7)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(16)] for _ in range(6)]
+    mk = lambda rows: spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = mk(list(enumerate(vecs)))
+    batch = mk([(100 + i, [2.0 * x for x in v]) for i, v in enumerate(vecs[:3])])
+
+    staged = DD.stage_corpus_sign_keys(corpus, n_bands=8, band_bits=8)
+    got_df = DD.embedding_incremental_probe_pairs(
+        corpus, batch, threshold=0.95, n_bands=8, band_bits=8,
+        corpus_staged=staged,
+    )
+    got = sorted((r["inc_id"], r["corpus_id"]) for r in got_df.collect())
+    DD.unpersist_intermediates(got_df)
+    assert staged.is_cached  # cleanup never touches the caller's cache
+    ref_df = DD.embedding_incremental_probe_pairs(
+        corpus, batch, threshold=0.95, n_bands=8, band_bits=8
+    )
+    ref = sorted((r["inc_id"], r["corpus_id"]) for r in ref_df.collect())
+    DD.unpersist_intermediates(ref_df)
+    assert got == ref == [(100, 0), (101, 1), (102, 2)]
+
+    # guard refusal must not unpersist the caller's staged index either
+    hot = mk([(i, vecs[0]) for i in range(50)])
+    hot_staged = DD.stage_corpus_sign_keys(hot, n_bands=8, band_bits=8)
+    with pytest.raises(DD.PairOutputBudgetExceeded):
+        DD.embedding_incremental_probe_pairs(
+            hot, mk([(1000 + i, vecs[0]) for i in range(50)]),
+            n_bands=8, band_bits=8, max_pairs=10, corpus_staged=hot_staged,
+        )
+    assert hot_staged.is_cached
+    hot_staged.unpersist()
+
+    with pytest.raises(ValueError, match="explicit n_bands"):
+        DD.embedding_incremental_probe_pairs(
+            corpus, batch, corpus_staged=staged
+        )
+    rosters = DD.embedding_near_dup_groups(
+        corpus, threshold=0.95, n_bands=8, band_bits=8
+    )
+    with pytest.raises(ValueError, match="explicit n_bands"):
+        DD.embedding_roster_update(
+            corpus, batch, rosters, corpus_staged=staged
+        )
+    # and WITH geometry the staged roster update matches the unstaged one
+    upd_s = DD.embedding_roster_update(
+        corpus, batch, rosters, threshold=0.95, n_bands=8, band_bits=8,
+        corpus_staged=staged,
+    )
+    got_rost = _roster_rows(upd_s)
+    DD.unpersist_intermediates(upd_s)
+    upd_u = DD.embedding_roster_update(
+        corpus, batch, rosters, threshold=0.95, n_bands=8, band_bits=8
+    )
+    assert got_rost == _roster_rows(upd_u)
+    DD.unpersist_intermediates(upd_u)
+    DD.unpersist_intermediates(rosters)
+    staged.unpersist()

@@ -176,3 +176,144 @@ def test_cli_embedding_incremental_rosters_contract(spark, tmp_path, capsys):
     assert rc == 0
     # every corpus vector gains its twin: one changed roster per family
     assert "rows=4" in capsys.readouterr().out
+
+
+def _stage_stream_files(spark, src_dir, frames):
+    """One parquet file per micro-batch, mtime-ordered."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(src_dir, exist_ok=True)
+    now = time.time()
+    for i, df in enumerate(frames):
+        staging = f"{src_dir}/_stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch-{i}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (now - 600 + 60 * i, now - 600 + 60 * i))
+
+
+def test_cli_stream_rosters_contract(spark, tmp_path, capsys):
+    """stream-rosters: the streaming roster maintenance is operator-
+    reachable (VERDICT r11 #7) — a parquet file stream folds into
+    standing rosters under --state with availableNow termination, the
+    delta layout and compaction knobs ride the same flags, and
+    re-running the command is an idempotent no-op (commit markers)."""
+    fam = "the same near duplicate document text shared by corpus and stream"
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, fam), (2, fam), (3, "another corpus family text entirely")],
+        "doc_id long, text string",
+    ).write.parquet(f"{corpus_dir}/documents.parquet")
+    src = str(tmp_path / "stream_src")
+    _stage_stream_files(spark, src, [
+        spark.createDataFrame([(100, fam)], "doc_id long, text string"),
+        spark.createDataFrame(
+            [(200, "novel second batch doc")], "doc_id long, text string"
+        ),
+    ])
+    state = str(tmp_path / "state")
+    argv = [
+        "--contract", "stream-rosters", "--data-dir", corpus_dir,
+        "--stream-src", src, "--state", state,
+        "--threshold", "0.35", "--snapshot", "delta", "--compact-every", "2",
+    ]
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "committed versions [0, 1]" in out
+    assert "rows=1" in out  # {1, 2, 100} — batch 1 doc pairs with nothing
+    # delta layout on disk: base + per-batch deltas
+    from cql_xmlpipe_spark.streaming.dedup import read_rosters
+
+    got = {
+        (r["cluster_id"], tuple(r["members"]))
+        for r in read_rosters(spark, state).collect()
+    }
+    assert got == {(1, (1, 2, 100))}
+    # idempotent re-run: every batch short-circuits on its commit marker
+    rc = main(argv)
+    assert rc == 0
+    assert "committed versions [0, 1]" in capsys.readouterr().out
+
+    # missing --state / --stream-src are usage errors, not crashes
+    assert main(["--contract", "stream-rosters", "--data-dir", corpus_dir]) == 2
+    assert "stream-src" in capsys.readouterr().err
+    assert main([
+        "--contract", "stream-rosters", "--data-dir", corpus_dir,
+        "--stream-src", src,
+    ]) == 2
+    assert "--state" in capsys.readouterr().err
+
+
+def test_cli_stream_probe_contract(spark, tmp_path, capsys):
+    """stream-probe: per-micro-batch cross pairs land as batch=<id>
+    partitions under --out; the guard rides --max-pairs and refuses
+    with exit code 3 through the streaming wrapper too."""
+    fam = "the same near duplicate document text shared by corpus and stream"
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, fam), (2, fam)], "doc_id long, text string"
+    ).write.parquet(f"{corpus_dir}/documents.parquet")
+    src = str(tmp_path / "probe_src")
+    _stage_stream_files(spark, src, [
+        spark.createDataFrame([(100, fam)], "doc_id long, text string"),
+    ])
+    out_dir = str(tmp_path / "pairs_out")
+    rc = main([
+        "--contract", "stream-probe", "--data-dir", corpus_dir,
+        "--stream-src", src, "--out", out_dir, "--threshold", "0.35",
+    ])
+    assert rc == 0
+    assert "1 micro-batch pair partitions" in capsys.readouterr().out
+    pairs = {
+        (r["inc_id"], r["corpus_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert pairs == {(100, 1), (100, 2)}
+    assert main([
+        "--contract", "stream-probe", "--data-dir", corpus_dir,
+        "--stream-src", src,
+    ]) == 2  # missing --out
+
+
+def test_cli_embedding_stream_rosters_contract(spark, tmp_path, capsys):
+    """The embedding streaming twin from the same entry point: ×2-twin
+    batches fold into standing vector rosters."""
+    vecs = [
+        [float((i * 7 + j) % 5 - 2) or 1.0 for j in range(8)] for i in range(3)
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{corpus_dir}/embeddings.parquet")
+    src = str(tmp_path / "emb_src")
+    _stage_stream_files(spark, src, [
+        spark.createDataFrame(
+            [(100 + i, [2.0 * x for x in v]) for i, v in enumerate(vecs[:2])],
+            "vec_id long, embedding array<float>",
+        ),
+        spark.createDataFrame(
+            [(102, [2.0 * x for x in vecs[2]])],
+            "vec_id long, embedding array<float>",
+        ),
+    ])
+    state = str(tmp_path / "emb_state")
+    rc = main([
+        "--contract", "embedding-stream-rosters", "--data-dir", corpus_dir,
+        "--stream-src", src, "--state", state,
+    ])
+    assert rc == 0
+    assert "rows=3" in capsys.readouterr().out  # one {v, 2v} family per vector
+    from cql_xmlpipe_spark.streaming.dedup import read_rosters
+
+    got = {
+        (r["cluster_id"], tuple(r["members"]))
+        for r in read_rosters(spark, state).collect()
+    }
+    assert got == {(0, (0, 100)), (1, (1, 101)), (2, (2, 102))}

@@ -539,3 +539,472 @@ def test_session_window_append_late_data_semantics(spark, tmp_path):
         # its 20:00 session stays open/held (no row)
         (99, epoch + 600 * min_us, epoch + 600 * min_us + gap_us, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# round 12: roster-sink state hardening (compaction, delta layout, replay
+# validation, disjointness guard, embedding twins, cleanup handles)
+# ---------------------------------------------------------------------------
+
+
+def _stage_parquet_batches(src_dir, batches, build_table):
+    """Write one parquet file per batch with strictly increasing mtimes
+    so maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    src_dir.mkdir(parents=True, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = str(src_dir / f"part-{i}.parquet")
+        pq.write_table(build_table(rows), f)
+        os.utime(f, (now - 600 + 60 * i, now - 600 + 60 * i))
+
+
+def _text_table(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def _emb_table(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+_TEXT_SCHEMA = "doc_id long, text string"
+_EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _drain(spark, src, schema_ddl, sink, ckpt, max_files=1):
+    from pyspark.sql import types as T
+
+    q = (
+        spark.readStream.schema(T._parse_datatype_string(schema_ddl))
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    assert q.awaitTermination(600)
+
+
+def test_roster_sink_compaction_bounds_state(spark, tmp_path):
+    """VERDICT r11 #1: the staged ingest index is COMPACTED every K
+    batches — after a 9-batch drain at K=3 the in-memory state is one
+    parquet-backed base frame (upto=8) plus an EMPTY pending set (plan
+    width O(K), not O(stream lifetime)), superseded index snapshots are
+    pruned, a fresh sink (restart) resumes from the compacted snapshot
+    instead of re-signing history, and the final rosters still equal
+    the from-scratch build."""
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.streaming.dedup import (
+        read_rosters,
+        roster_maintenance_sink,
+    )
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(0, fam_a), (1, fam_a), (10, "unique corpus doc number ten words")],
+        _TEXT_SCHEMA,
+    )
+    batches = [
+        [(1000 + 2 * i, fam_a), (1001 + 2 * i, f"novel batch {i} doc with distinct words w{i}a w{i}b")]
+        for i in range(9)
+    ]
+    src = tmp_path / "cmp_src"
+    _stage_parquet_batches(src, batches, _text_table)
+    state = str(tmp_path / "cmp_state")
+    sink = roster_maintenance_sink(
+        corpus, state, threshold=0.35, k=3, compact_every=3
+    )
+    pending_sizes = []
+
+    def spy(df, bid):
+        sink(df, bid)
+        pending_sizes.append(len(sink.state["pending"]))
+
+    _drain(spark, src, _TEXT_SCHEMA, spy, tmp_path / "cmp_ckpt")
+
+    # bounded in-memory state: compactions fired at batches 2, 5, 8
+    assert max(pending_sizes) <= 3 - 1  # never reaches K uncompacted
+    assert sink.state["base_upto"] == 8
+    assert sink.state["pending"] == {}
+    assert sink.state["covered"] == set(range(9))
+    # superseded index snapshots pruned; only upto=8 remains
+    assert sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{state}/index/upto=*")
+    ) == [8]
+
+    union = corpus
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, _TEXT_SCHEMA))
+    scratch = DD.minhash_groups_collapsed(union, threshold=0.35, k=3)
+    expected = _rows(scratch, ["cluster_id", "cluster_size"])
+    DD.unpersist_intermediates(scratch)
+    assert _rows(read_rosters(spark, state), ["cluster_id", "cluster_size"]) == expected
+    sink.close()
+    assert sink.state["base"] is None
+
+    # restart: a fresh sink resumes from the compacted snapshot — no
+    # per-batch re-signing of committed history
+    sink2 = roster_maintenance_sink(
+        corpus, state, threshold=0.35, k=3, compact_every=3
+    )
+    assert sink2.state["base_upto"] == 8
+    assert sink2.state["covered"] == set(range(9))
+    assert sink2.state["pending"] == {}
+    # full at-least-once replay under the restarted sink: every batch
+    # short-circuits (after replay validation), state unchanged
+    _drain(spark, src, _TEXT_SCHEMA, sink2, tmp_path / "cmp_ckpt2")
+    assert _rows(read_rosters(spark, state), ["cluster_id", "cluster_size"]) == expected
+    sink2.close()
+
+
+def test_roster_sink_delta_layout(spark, tmp_path):
+    """VERDICT r11 #2: snapshot="delta" writes O(touched-families) rows
+    per trigger — new/changed rosters plus tombstones for retired
+    labels — with periodic full bases, and read_rosters reconstructs
+    exactly the from-scratch state at every as_of."""
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.streaming.dedup import (
+        read_rosters,
+        roster_maintenance_sink,
+    )
+
+    fam_b = " ".join(f"bee{i}" for i in range(40))
+    fam_e = " ".join(f"eel{i}" for i in range(40))
+    new_fam = "first seen in batch zero text with recurring tokens here"
+    corpus_rows = [(10, fam_b), (11, fam_b), (15, fam_e), (16, fam_e),
+                   (20, "unique corpus doc about nothing shared at all")]
+    # 200 untouched filler clone-families: the standing state the delta
+    # layout exists to NOT rewrite per trigger
+    corpus_rows += [
+        (5000 + 2 * i + half, f"filler family {i} " + " ".join(
+            f"f{i}w{t}" for t in range(10)))
+        for i in range(200) for half in (0, 1)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, _TEXT_SCHEMA)
+    batches = [
+        [(100, new_fam), (101, new_fam)],                      # new family
+        [(130 + j, fam_b + " " + fam_e + f" glue{j}") for j in range(4)],  # merge B+E
+        [(200, new_fam)],                                      # extend {100,101}
+    ]
+    src = tmp_path / "delta_src"
+    _stage_parquet_batches(src, batches, _text_table)
+    state = str(tmp_path / "delta_state")
+    sink = roster_maintenance_sink(
+        corpus, state, threshold=0.35, k=3, snapshot="delta", compact_every=2
+    )
+    _drain(spark, src, _TEXT_SCHEMA, sink, tmp_path / "delta_ckpt")
+    sink.close()
+
+    # per-trigger write amplification is touched-families only
+    v0 = _rows(spark.read.parquet(f"{state}/rosters/v=0"),
+               ["cluster_id", "cluster_size"])
+    assert v0 == [(100, 2)]
+    v1 = _rows(spark.read.parquet(f"{state}/rosters/v=1"),
+               ["cluster_id", "cluster_size"])
+    assert (15, 0) in v1              # tombstone for the absorbed family
+    assert [c for c, s in v1 if s >= 2] == [10]   # merged roster only
+    assert all(c != 100 for c, _ in v1)           # untouched family not rewritten
+    v2 = _rows(spark.read.parquet(f"{state}/rosters/v=2"),
+               ["cluster_id", "cluster_size"])
+    assert v2 == [(100, 3)]
+    # roster base compaction fired at batch 1 (K=2); middles pruned
+    assert sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{state}/rosters_base/upto=*")
+    ) == [-1, 1]
+
+    # written BYTES per trigger are O(touched families), not O(standing
+    # state): a full-snapshot sink re-serializes all ~203 rosters at
+    # batch 2, the delta sink writes the one touched family
+    def _du(path):
+        import os as _os
+
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(path) for f in fs
+        )
+
+    full_state = str(tmp_path / "full_state")
+    sink_full = roster_maintenance_sink(
+        corpus, full_state, threshold=0.35, k=3, snapshot="full"
+    )
+    _drain(spark, src, _TEXT_SCHEMA, sink_full, tmp_path / "full_ckpt")
+    sink_full.close()
+    full_rows = spark.read.parquet(f"{full_state}/rosters/v=2").count()
+    assert full_rows >= 202          # every standing family rewritten
+    # (200 fillers + merged B∪E + {100,101,200})
+    assert len(v2) == 1              # the delta wrote one
+    assert _du(f"{state}/rosters/v=2") < _du(f"{full_state}/rosters/v=2") / 3
+    # and both layouts reconstruct to the same state
+    assert _rows(read_rosters(spark, full_state),
+                 ["cluster_id", "cluster_size", "members"]) == _rows(
+        read_rosters(spark, state), ["cluster_id", "cluster_size", "members"]
+    )
+
+    # reconstruction equals from-scratch at every prefix
+    union = corpus
+    for i, rows in enumerate(batches):
+        union = union.unionByName(spark.createDataFrame(rows, _TEXT_SCHEMA))
+        scratch = DD.minhash_groups_collapsed(union, threshold=0.35, k=3)
+        expected = _rows(scratch, ["cluster_id", "cluster_size", "members"])
+        DD.unpersist_intermediates(scratch)
+        got = _rows(read_rosters(spark, state, as_of=i),
+                    ["cluster_id", "cluster_size", "members"])
+        assert got == expected, f"as_of={i}"
+    assert _rows(read_rosters(spark, state),
+                 ["cluster_id", "cluster_size", "members"]) == expected
+
+    # full replay with a fresh checkpoint is a no-op (commit markers)
+    sink2 = roster_maintenance_sink(
+        corpus, state, threshold=0.35, k=3, snapshot="delta", compact_every=2
+    )
+    _drain(spark, src, _TEXT_SCHEMA, sink2, tmp_path / "delta_ckpt2")
+    sink2.close()
+    assert _rows(read_rosters(spark, state),
+                 ["cluster_id", "cluster_size", "members"]) == expected
+
+
+def test_embedding_roster_sink_equals_batch(spark, tmp_path):
+    """VERDICT r11 #3: the embedding foreachBatch roster composition —
+    a multi-file staged replay of planted power-of-two twins must leave
+    exactly the from-scratch embedding rosters (geometry resolved ONCE
+    at sink construction and threaded everywhere, so the equality is
+    non-vacuous through the real sign-LSH path)."""
+    import random as _random
+
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.streaming.dedup import (
+        embedding_roster_maintenance_sink,
+        read_rosters,
+    )
+
+    rng = _random.Random(1207)
+    base = [
+        [rng.uniform(-1.0, 1.0) for _ in range(16)] for _ in range(6)
+    ]
+    w = [rng.uniform(-1.0, 1.0) for _ in range(16)]
+    corpus_rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    corpus_rows += [(10, [float(x) for x in w]), (11, [float(x) for x in w])]
+    corpus = spark.createDataFrame(corpus_rows, _EMB_SCHEMA)
+    batches = [
+        [(100, [2.0 * x for x in base[0]]),
+         (101, [float(x) for x in [rng.uniform(-1.0, 1.0) for _ in range(16)]])],
+        [(102, [2.0 * x for x in w]),          # extends the clone family
+         (103, [4.0 * x for x in base[0]])],   # extends {0, 100} cross-batch
+        [(104, [2.0 * x for x in base[1]])],
+    ]
+    src = tmp_path / "emb_src"
+    _stage_parquet_batches(src, batches, _emb_table)
+    state = str(tmp_path / "emb_state")
+    sink = embedding_roster_maintenance_sink(
+        corpus, state, threshold=0.95, n_bands=8, band_bits=8,
+        snapshot="delta", compact_every=2,
+    )
+    assert sink.state["corpus_staged"][0].is_cached
+    _drain(spark, src, _EMB_SCHEMA, sink, tmp_path / "emb_ckpt")
+    sink.close()
+
+    union = corpus
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, _EMB_SCHEMA))
+    scratch = DD.embedding_near_dup_groups(
+        union, threshold=0.95, n_bands=8, band_bits=8
+    )
+    expected = _rows(scratch, ["cluster_id", "cluster_size", "members"])
+    DD.unpersist_intermediates(scratch)
+    got = _rows(read_rosters(spark, state),
+                ["cluster_id", "cluster_size", "members"])
+    assert got == expected
+    by_label = {c: tuple(m) for c, _, m in got}
+    assert by_label[0] == (0, 100, 103)      # cross-batch ×2/×4 family
+    assert by_label[10] == (10, 11, 102)     # clone family extended
+
+
+def test_embedding_probe_sink_equals_batch(spark, tmp_path):
+    """The embedding probe sink twin: per-micro-batch cross pairs union
+    to exactly one batch probe of the whole increment at the sink's
+    frozen geometry."""
+    from cql_xmlpipe_spark.operators import dedup as DD
+    from cql_xmlpipe_spark.streaming.dedup import embedding_incremental_probe_sink
+
+    vecs = [
+        [float((i * 7 + j) % 5 - 2) or 1.0 for j in range(8)] for i in range(4)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], _EMB_SCHEMA
+    )
+    batches = [
+        [(100, [2.0 * x for x in vecs[0]]), (101, [2.0 * x for x in vecs[1]])],
+        [(102, [2.0 * x for x in vecs[2]])],
+    ]
+    src = tmp_path / "ep_src"
+    _stage_parquet_batches(src, batches, _emb_table)
+    out = str(tmp_path / "ep_out")
+    sink = embedding_incremental_probe_sink(
+        corpus, out, threshold=0.95, n_bands=8, band_bits=8
+    )
+    nb, bb = sink.geometry
+    assert (nb, bb) == (8, 8)
+    _drain(spark, src, _EMB_SCHEMA, sink, tmp_path / "ep_ckpt")
+
+    got = _rows(spark.read.parquet(out), ["inc_id", "corpus_id", "cos"])
+    increment = spark.createDataFrame(
+        [r for rows in batches for r in rows], _EMB_SCHEMA
+    )
+    expected_df = DD.embedding_incremental_probe_pairs(
+        corpus, increment, threshold=0.95, n_bands=8, band_bits=8
+    )
+    expected = _rows(expected_df, ["inc_id", "corpus_id", "cos"])
+    DD.unpersist_intermediates(expected_df)
+    assert got == expected
+    assert {(100, 0), (101, 1), (102, 2)} <= {(a, b) for a, b, _ in got}
+    # cleanup handle releases the staged corpus index
+    assert sink.staged.is_cached
+    sink.close()
+    assert not sink.staged.is_cached
+
+
+def test_probe_sink_close_releases_caches(spark):
+    """ADVICE r11: the text probe sink exposes close() so a long-lived
+    ingest session can release the staged corpus index."""
+    from cql_xmlpipe_spark.streaming.dedup import incremental_probe_sink
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus document text here"), (2, "another corpus doc")],
+        _TEXT_SCHEMA,
+    )
+    sink = incremental_probe_sink(corpus, "/tmp/unused_probe_out")
+    sets, buckets = sink.staged
+    assert sets.is_cached and buckets.is_cached
+    sink.close()
+    assert not sets.is_cached and not buckets.is_cached
+
+
+def test_roster_sink_rejects_redelivered_ids(spark, tmp_path):
+    """VERDICT r11 #4: a NEW batch carrying an already-ingested doc_id
+    (an upstream update, not a Spark replay) violates the roster
+    update's disjointness precondition and fails the stream loudly
+    with the remediation, instead of silently double-counting."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cql_xmlpipe_spark.streaming.dedup import roster_maintenance_sink
+
+    fam = "shared family text with many common tokens across documents"
+    corpus = spark.createDataFrame(
+        [(1, fam), (2, fam), (3, "other unique corpus text entirely")],
+        _TEXT_SCHEMA,
+    )
+    src = tmp_path / "redeliver_src"
+    _stage_parquet_batches(
+        src, [[(100, fam)], [(1, fam + " updated upstream")]], _text_table
+    )
+    state = str(tmp_path / "redeliver_state")
+    sink = roster_maintenance_sink(corpus, state, threshold=0.35, k=3)
+    from pyspark.sql import types as T
+
+    q = (
+        spark.readStream.schema(T._parse_datatype_string(_TEXT_SCHEMA))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "redeliver_ckpt"))
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(600)
+    sink.close()
+    assert "redelivers already-ingested ids [1]" in str(ei.value)
+    assert "anti-join" in str(ei.value)
+
+
+def test_roster_sink_rejects_foreign_state(spark, tmp_path):
+    """ADVICE r11: pointing a NEW stream (fresh checkpoint, different
+    source) at an existing state_path must fail loudly instead of
+    silently dropping the new batches as phantom replays — the sink
+    validates every replayed batch against the stored batch's rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cql_xmlpipe_spark.streaming.dedup import roster_maintenance_sink
+
+    fam = "shared family text with many common tokens across documents"
+    corpus = spark.createDataFrame(
+        [(1, fam), (2, fam)], _TEXT_SCHEMA
+    )
+    src_a = tmp_path / "foreign_src_a"
+    _stage_parquet_batches(src_a, [[(100, fam)]], _text_table)
+    state = str(tmp_path / "foreign_state")
+    sink = roster_maintenance_sink(corpus, state, threshold=0.35, k=3)
+    _drain(spark, src_a, _TEXT_SCHEMA, sink, tmp_path / "foreign_ckpt_a")
+    sink.close()
+
+    # unrelated source, fresh checkpoint, SAME state_path: its batch 0
+    # collides with the committed batch 0 and must be refused
+    src_b = tmp_path / "foreign_src_b"
+    _stage_parquet_batches(
+        src_b, [[(500, "completely different stream content here")]], _text_table
+    )
+    sink2 = roster_maintenance_sink(corpus, state, threshold=0.35, k=3)
+    from pyspark.sql import types as T
+
+    q = (
+        spark.readStream.schema(T._parse_datatype_string(_TEXT_SCHEMA))
+        .parquet(str(src_b))
+        .writeStream.foreachBatch(sink2)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "foreign_ckpt_b"))
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(600)
+    sink2.close()
+    assert "managed as a unit" in str(ei.value)
+
+
+def test_list_child_ids_skips_junk_dirs(spark, tmp_path):
+    """VERDICT r11 #6: a stray non-numeric v=… / batch=… directory in
+    the sink state (partial copy, manual touch) is skipped with a
+    warning instead of crashing the sink."""
+    import warnings as _warnings
+
+    from cql_xmlpipe_spark.streaming.dedup import (
+        _list_child_ids,
+        roster_maintenance_sink,
+    )
+
+    fam = "shared family text with many common tokens across documents"
+    corpus = spark.createDataFrame([(1, fam), (2, fam)], _TEXT_SCHEMA)
+    state = tmp_path / "junk_state"
+    sink = roster_maintenance_sink(corpus, str(state), threshold=0.35, k=3)
+    sink.close()
+    (state / "rosters" / "v=abc").mkdir(parents=True)
+    (state / "rosters" / "v=0.5").mkdir()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ids = _list_child_ids(spark, f"{state}/rosters", "v")
+        assert ids == [-1]
+        assert sum("non-numeric" in str(w.message) for w in caught) == 2
+    # a fresh sink over the polluted state still constructs and skips
+    # the junk (v=-1 present, so no rebuild)
+    sink2 = roster_maintenance_sink(corpus, str(state), threshold=0.35, k=3)
+    sink2.close()
