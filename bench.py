@@ -138,11 +138,13 @@ HEADLINE = [
     "dedup_embedding_recall_sampled",
     "dedup_incremental_rosters",
     # round-12 additions are GATE-ONLY by the curation rule: the list
-    # sits at the 65 cap and both ride already-timed machinery —
+    # sits at the 65 cap and all ride already-timed machinery —
     # dedup_incremental_rosters_delta is the emit="delta" projection of
     # dedup_incremental_rosters (same probe+quotient-CC cost, smaller
     # output), dedup_embedding_incremental_subset_planted the planted
-    # positive path of dedup_embedding_incremental's probe join.
+    # positive path of dedup_embedding_incremental's probe join, and
+    # multimodal_audio_features[_codec] the audio siblings of the timed
+    # multimodal_image_features_codec mapInPandas shape.
 ]
 assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 

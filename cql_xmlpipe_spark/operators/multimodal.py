@@ -11,10 +11,13 @@ librosa) are NOT in this container. The IMAGE path is nonetheless real:
 ``use_codec=True`` decodes/encodes uncompressed 24-bit BMP with the
 pure-numpy codec in ``functions/bmpcodec.py`` (decode → stats / resample
 → re-encode); other image formats raise ``NotImplementedError`` there.
-The VIDEO frame-sampling path stays stubbed behind ``use_codec=True``
-(container formats genuinely need ffmpeg). The default remains a
-deterministic fake decode (hash-derived pixel stats) so plumbing tests
-don't depend on payloads being valid media.
+The AUDIO path is real too: ``use_codec=True`` decodes canonical PCM16
+mono WAV with the pure-struct codec in ``functions/wavcodec.py``
+(decode → duration/RMS/peak/zero-crossing stats); compressed audio
+raises. The VIDEO frame-sampling path stays stubbed behind
+``use_codec=True`` (container formats genuinely need ffmpeg). The
+default remains a deterministic fake decode (hash-derived pixel/sample
+stats) so plumbing tests don't depend on payloads being valid media.
 
 Scale design: mapInPandas keeps the binary payload inside the executor
 (one pass, no shuffle); downstream joins/aggregations operate on the small
@@ -200,6 +203,146 @@ def decode_image_features(media: DataFrame, use_codec: bool = False) -> DataFram
 
     imgs = media.filter(F.col("meta.modality") == "image")
     return imgs.mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
+def synth_samples(text: str) -> tuple[np.ndarray, int]:
+    """Deterministic (int16 samples, sample rate) derived from document
+    text: seed, length and rate come from sha256(text), samples from a
+    seeded PRNG — the audio sibling of ``synth_pixels``. This is the
+    INPUT generator for the codec-true gate path (the system under test
+    is encode_wav/decode_wav + the feature math, not this); the fixture
+    script imports it so both sides agree on the input samples."""
+    d = hashlib.sha256(text.encode("utf-8")).digest()
+    seed = int.from_bytes(d[:8], "big") % (2**32)
+    n = 256 + (int.from_bytes(d[8:10], "big") % 3000)
+    rate = (8000, 16000, 22050, 44100)[d[10] % 4]
+    samples = np.random.RandomState(seed).randint(
+        -32768, 32768, size=n, dtype=np.int32
+    ).astype(np.int16)
+    return samples, rate
+
+
+def synthesize_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media ingest simulator with REAL audio payloads: derive
+    deterministic PCM16 samples from each document's text and encode them
+    as canonical mono WAV (``functions/wavcodec.encode_wav``), emitting
+    the standard (payload, meta) media schema — the audio sibling of
+    ``synthesize_bmp_media``. Every payload decodes; this feeds the
+    codec-true ``use_codec=True`` audio path. Arrow-batched mapInPandas;
+    payloads are born and stay executor-side."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.wavcodec import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf["text"]):
+                samples, rate = synth_samples(text)
+                payload = encode_wav(samples, rate)
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "audio",
+                            "mime": "audio/wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": int(len(samples) * 1000 // rate),
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return docs.select(id_col, "text").mapInPandas(_synth, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_features_from_samples(samples: np.ndarray, rate: int) -> dict:
+    """Feature math shared by both decode paths (and re-stated
+    independently by the fixture script): integer-exact duration, RMS in
+    float64, peak over int64 |s| (int16 min would overflow in-width),
+    zero-crossing rate as the fraction of adjacent strictly-sign-opposed
+    pairs."""
+    s = samples.astype(np.float64)
+    n = len(samples)
+    zc = float(((s[:-1] * s[1:]) < 0).mean()) if n > 1 else 0.0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": n,
+        "duration_ms": int(n * 1000 // rate),
+        "rms": float(np.sqrt((s * s).mean())) if n else 0.0,
+        "peak": int(np.abs(samples.astype(np.int64)).max()) if n else 0,
+        "zero_cross_rate": zc,
+    }
+
+
+def _fake_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """Deterministic stand-in for a real audio decode: seed a PRNG from
+    the payload digest so 'samples' are stable across runs/partitions —
+    the audio sibling of ``_fake_pixels``. Length derives from the
+    payload size (bounded, so fake decode cost can't blow up on a long
+    meta duration); rate is fixed."""
+    d = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(d[:8], "big") % (2**32)
+    n = 160 + len(payload) % 3841
+    samples = np.random.RandomState(seed).randint(
+        -32768, 32768, size=n, dtype=np.int32
+    ).astype(np.int16)
+    return samples, 16000
+
+
+def decode_audio_features(media: DataFrame, use_codec: bool = False) -> DataFrame:
+    """Per-clip stats via mapInPandas (Arrow-batched, zero shuffle) — the
+    audio sibling of ``decode_image_features``.
+
+    ``use_codec=True`` runs a REAL decode (pure-struct PCM16 mono WAV,
+    ``functions/wavcodec.py``); rate/length then come from the RIFF
+    chunks, not the metadata struct. Non-WAV payloads raise
+    NotImplementedError — the honest boundary of an audio-library-free
+    container."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.wavcodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if use_codec:
+                    if payload[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "only PCM16 mono WAV decodes in-container; "
+                            "install soundfile/librosa for other formats"
+                        )
+                    samples, rate = decode_wav(payload)
+                else:
+                    samples, rate = _fake_samples(payload)
+                rows.append({"doc_id": doc_id, **audio_features_from_samples(samples, rate)})
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    clips = media.filter(F.col("meta.modality") == "audio")
+    return clips.mapInPandas(_decode, AUDIO_FEATURES_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -2438,6 +2438,117 @@ def multimodal_image_features_codec(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_FAKE_AUDIO_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "fake_audio_features.parquet",
+)
+
+#: Oracle for the DEFAULT (codec-free) audio decode path via pinned
+#: fixture (scripts/make_wav_features_fixture.py): the fake samples are a
+#: deterministic spec (RandomState seeded from sha256(payload)), restated
+#: independently by the fixture script — so the gate pins the mapInPandas
+#: plumbing (modality routing, Arrow batching, schema, per-clip math).
+#: Keyed by md5(text) (the fake payload IS the text bytes); same loud
+#: UNION ALL drift guard as the image fixtures.
+_FAKE_AUDIO_ORACLE = f"""
+    WITH clips AS (
+      SELECT doc_id, md5(text) AS tmd5 FROM documents WHERE doc_id % 3 = 1),
+    miss AS (
+      SELECT COUNT(*) AS n FROM clips c
+      LEFT JOIN read_parquet('{_FAKE_AUDIO_FIXTURE}') f ON c.tmd5 = f.text_md5
+      WHERE f.text_md5 IS NULL)
+    SELECT c.doc_id, f.sample_rate, f.n_samples, f.duration_ms, f.rms,
+           f.peak, f.zero_cross_rate
+    FROM clips c JOIN read_parquet('{_FAKE_AUDIO_FIXTURE}') f
+      ON c.tmd5 = f.text_md5
+    UNION ALL
+    SELECT CAST(error('fake audio features fixture missing ' || n ||
+                      ' documents: rerun scripts/make_wav_features_fixture.py')
+                AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_audio_features", _FAKE_AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas audio decode path, DEFAULT (codec-free)
+    variant: deterministic hash-derived sample stats (duration / RMS /
+    peak / zero-crossing rate) — the audio sibling of
+    multimodal_image_features, giving the 'audio' third of
+    attach_media_columns a first-class consumer. Hash-gated against an
+    out-of-band recompute of the sample spec (see _FAKE_AUDIO_ORACLE);
+    the codec-TRUE path is separately gated by
+    multimodal_audio_features_codec."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        attach_media_columns,
+        decode_audio_features,
+    )
+
+    media = attach_media_columns(load_table(spark, "documents", sf_dir))
+    return decode_audio_features(media)
+
+
+_WAV_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "wav_audio_features.parquet",
+)
+
+#: Codec-true audio oracle via pinned fixture (scripts/
+#: make_wav_features_fixture.py): features computed straight from the
+#: synthesized samples (no codec round-trip) and payload_md5 from the
+#: INDEPENDENT stdlib-``wave`` encoder — so the gate byte-pins encode_wav
+#: AND sample-pins decode_wav. Same loud drift guard as the BMP fixture.
+_WAV_CODEC_ORACLE = f"""
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN read_parquet('{_WAV_FIXTURE}') f ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL)
+    SELECT d.doc_id, f.payload_md5, f.sample_rate, f.n_samples,
+           f.duration_ms, f.rms, f.peak, f.zero_cross_rate
+    FROM documents d
+    JOIN read_parquet('{_WAV_FIXTURE}') f ON md5(d.text) = f.text_md5
+    UNION ALL
+    SELECT CAST(error('wav features fixture missing ' || n ||
+                      ' documents: rerun scripts/make_wav_features_fixture.py')
+                AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_audio_features_codec", _WAV_CODEC_ORACLE)
+def multimodal_audio_features_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-TRUE audio feature extraction: deterministic PCM16 samples
+    derived from each document's text are encoded as genuine mono WAV
+    (functions/wavcodec.encode_wav) and decoded back by the real
+    ``use_codec=True`` path before the feature math runs — no fake
+    decode anywhere; the audio sibling of
+    multimodal_image_features_codec. ``payload_md5`` additionally
+    byte-pins the encoder against the fixture's independent stdlib-wave
+    encoder. Both mapInPandas passes keep payloads executor-side; the
+    final join is a doc_id equi-join of two narrow feature tables (AQE
+    broadcasts the small side at gate scale; at 100 TB both sides are
+    already co-partitioned by the same upstream scan)."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        decode_audio_features,
+        synthesize_wav_media,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    # persist: feats and sigs are two independent consumers of the
+    # synthesized payloads; without this the sample synthesis + WAV
+    # encode (the dominant cost) executes twice. Dropped by the
+    # caller's clearCache once the result is consumed.
+    media = synthesize_wav_media(d).persist()
+    feats = decode_audio_features(media, use_codec=True)
+    sigs = media.select("doc_id", F.md5("payload").alias("payload_md5"))
+    return feats.join(sigs, "doc_id").select(
+        "doc_id", "payload_md5", "sample_rate", "n_samples",
+        "duration_ms", "rms", "peak", "zero_cross_rate",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decontamination — eval-set n-gram overlap flagging
 # ---------------------------------------------------------------------------

@@ -147,3 +147,141 @@ def test_real_codec_decode_and_resize(spark):
         yi = (np.arange(5) * h) // 5
         xi = (np.arange(4) * w) // 4
         assert (small == px[yi][:, xi]).all()
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV codec) path — sibling of the BMP tests above
+# ---------------------------------------------------------------------------
+
+
+def test_wav_format_pin_bytelevel():
+    """Decode a hand-constructed WAV (not produced by our encoder) so the
+    decoder is pinned to the public layout — including an extra LIST
+    chunk and an odd-sized chunk's pad byte, which the stdlib writer
+    never emits."""
+    import struct
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.wavcodec import decode_wav
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], np.int16)
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"junkdata!"  # 9 bytes -> odd size, pad byte required
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    got, rate = decode_wav(payload)
+    assert rate == 8000 and (got == samples).all()
+
+
+def test_wav_roundtrip_and_stdlib_byte_identity():
+    """encode->decode identity, and encode_wav's bytes are identical to
+    the stdlib wave module's output (two independent implementations of
+    the same canonical layout)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.wavcodec import decode_wav, encode_wav
+
+    rng = np.random.RandomState(3)
+    for n, rate in [(1, 8000), (7, 16000), (500, 22050), (4096, 44100)]:
+        s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        payload = encode_wav(s, rate)
+        got, got_rate = decode_wav(payload)
+        assert got_rate == rate and (got == s).all()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(s.tobytes())
+        assert payload == buf.getvalue()
+
+
+def test_wav_decode_rejects_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cql_xmlpipe_spark.functions.wavcodec import decode_wav, encode_wav
+
+    s = np.zeros(4, np.int16)
+    good = encode_wav(s, 8000)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + good[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-2])
+    # stereo: patch channels=2 in the fmt chunk (offset 12+8+2)
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 22, 2)
+    with _pytest.raises(ValueError, match="PCM16 mono"):
+        decode_wav(bytes(stereo))
+    with _pytest.raises(ValueError, match="fmt or data"):
+        decode_wav(good[:12])
+
+
+def test_audio_features_fake_path(media):
+    """Default decode: audio rows only, deterministic, sane ranges."""
+    from cql_xmlpipe_spark.operators.multimodal import decode_audio_features
+
+    n_audio = media.filter(F.col("meta.modality") == "audio").count()
+    feats = decode_audio_features(media)
+    a = feats.orderBy("doc_id").limit(5).collect()
+    b = decode_audio_features(media).orderBy("doc_id").limit(5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert feats.count() == n_audio
+    for r in a:
+        assert r["sample_rate"] == 16000 and 160 <= r["n_samples"] <= 4000
+        assert 0 <= r["zero_cross_rate"] <= 1 and 0 <= r["peak"] <= 32768
+        assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+
+
+def test_audio_codec_stub_raises(media):
+    """Non-WAV payloads on the codec-true path fail loudly."""
+    from cql_xmlpipe_spark.operators.multimodal import decode_audio_features
+
+    with pytest.raises(Exception) as ei:
+        decode_audio_features(media, use_codec=True).limit(1).collect()
+    assert "NotImplementedError" in str(ei.value) or "WAV" in str(ei.value)
+
+
+def test_real_wav_codec_end_to_end(spark):
+    """synthesize_wav_media -> decode_audio_features(use_codec=True)
+    matches a local numpy computation on the same synthesized samples."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_samples,
+        synthesize_wav_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"audio end-to-end doc {i} " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    media = synthesize_wav_media(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert all(bytes(r["payload"])[:4] == b"RIFF" for r in rows.values())
+    assert all(r["meta"]["modality"] == "audio" for r in rows.values())
+    got = {r["doc_id"]: r for r in
+           decode_audio_features(media, use_codec=True).collect()}
+    assert set(got) == set(range(6))
+    for i in range(6):
+        s, rate = synth_samples(f"audio end-to-end doc {i} " * (i + 1))
+        f = s.astype(np.float64)
+        assert got[i]["sample_rate"] == rate and got[i]["n_samples"] == len(s)
+        assert got[i]["duration_ms"] == len(s) * 1000 // rate
+        assert got[i]["rms"] == pytest.approx(float(np.sqrt((f * f).mean())))
+        assert got[i]["peak"] == int(np.abs(s.astype(np.int64)).max())
+        assert got[i]["zero_cross_rate"] == pytest.approx(
+            float(((f[:-1] * f[1:]) < 0).mean())
+        )
