@@ -142,9 +142,11 @@ HEADLINE = [
     # dedup_incremental_rosters_delta is the emit="delta" projection of
     # dedup_incremental_rosters (same probe+quotient-CC cost, smaller
     # output), dedup_embedding_incremental_subset_planted the planted
-    # positive path of dedup_embedding_incremental's probe join, and
+    # positive path of dedup_embedding_incremental's probe join,
     # multimodal_audio_features[_codec] the audio siblings of the timed
-    # multimodal_image_features_codec mapInPandas shape.
+    # multimodal_image_features_codec mapInPandas shape, and
+    # text_compressibility one Arrow-batched scalar UDF projection over
+    # the documents scan (the shape text_quality_scores already times).
 ]
 assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 

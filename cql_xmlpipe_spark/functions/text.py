@@ -8,6 +8,7 @@ deliberately regex-portable between Java regex and RE2.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -75,3 +76,30 @@ def stopword_hits(tokens: Column, stops: list[str]) -> Column:
 
 def langid_scores(tokens: Column) -> dict[str, Column]:
     return {lang: stopword_hits(tokens, stops) for lang, stops in LANG_STOPWORDS.items()}
+
+
+#: zlib level pinned so the signal is stable across sessions (6 is the
+#: zlib default, but an implicit default is not a contract).
+ZLIB_LEVEL = 6
+
+
+def zlib_bytes(col: Column) -> Column:
+    """Compressed size (bytes) of the column's UTF-8 text under zlib
+    level :data:`ZLIB_LEVEL` — the one text signal here that genuinely
+    cannot be a Column expression. Arrow-batched scalar pandas UDF
+    (never row-at-a-time): the hot loop is C zlib over each batch, so
+    this holds up as a per-document scan signal at 100 TB. Used by the
+    compressibility quality filter (the CCNet/Gopher-class heuristic:
+    highly compressible text is boilerplate/repetition, nearly
+    incompressible text is noise/binary junk)."""
+    import zlib
+
+    @F.pandas_udf("long")
+    def _z(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+            if t is not None
+            else None
+        ).astype("Int64")
+
+    return _z(col)

@@ -1927,6 +1927,75 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZLIB_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "zlib_compressibility.parquet",
+)
+
+#: DuckDB has no zlib scalar, so z_bytes is pinned by fixture
+#: (scripts/make_compressibility_fixture.py recomputes it straight from
+#: the parquet texts, no Spark/engine imports); every OTHER column —
+#: n_bytes, the ratio, the band classification — is derived in SQL from
+#: the fixture's z_bytes, so the gate checks the engine's Column math,
+#: not a fixture echo. Same loud drift guard as the other fixtures.
+_COMPRESS_ORACLE = f"""
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN read_parquet('{_ZLIB_FIXTURE}') f ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL),
+    s AS (
+      SELECT d.doc_id,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+             f.z_bytes
+      FROM documents d
+      JOIN read_parquet('{_ZLIB_FIXTURE}') f ON md5(d.text) = f.text_md5)
+    SELECT doc_id, n_bytes, z_bytes,
+           CAST(z_bytes AS DOUBLE) / n_bytes AS compress_ratio,
+           CASE WHEN CAST(z_bytes AS DOUBLE) / n_bytes < 0.4 THEN 'repetitive'
+                WHEN CAST(z_bytes AS DOUBLE) / n_bytes > 1.0 THEN 'incompressible'
+                ELSE 'normal' END AS band
+    FROM s WHERE n_bytes > 0
+    UNION ALL
+    SELECT CAST(error('zlib compressibility fixture missing ' || n ||
+                      ' documents: rerun '
+                      || 'scripts/make_compressibility_fixture.py') AS BIGINT),
+           NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("text_compressibility", _COMPRESS_ORACLE)
+def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the CCNet/Gopher-class filter:
+    highly compressible text is boilerplate/repetition, a ratio over 1
+    is noise/binary junk): zlib level-6 compressed size per document via
+    an Arrow-batched scalar pandas UDF (``functions/text.zlib_bytes`` —
+    the C zlib hot loop over each Arrow batch; one narrow projection, no
+    shuffle, so the signal scans at 100 TB like any other per-document
+    column). The band thresholds (0.4 / 1.0) are illustrative cut
+    points a pipeline would tune; the oracle recomputes ratio and band
+    from the pinned z_bytes so the engine-side math is what's checked."""
+    d = load_table(spark, "documents", sf_dir)
+    n_bytes = F.octet_length("text").cast("long")
+    base = d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        TX.zlib_bytes(F.col("text")).alias("z_bytes"),
+    ).filter(F.col("n_bytes") > 0)
+    ratio = F.col("z_bytes").cast("double") / F.col("n_bytes")
+    return base.select(
+        "doc_id",
+        "n_bytes",
+        "z_bytes",
+        ratio.alias("compress_ratio"),
+        F.when(ratio < 0.4, "repetitive")
+        .when(ratio > 1.0, "incompressible")
+        .otherwise("normal")
+        .alias("band"),
+    )
+
+
 _REPETITION_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 WORK = "/tmp/sparkgraft_r12_stream"
-N_BATCHES = int(os.environ.get("R12_BATCHES", "20"))
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "20"))
 BATCH_CLONES = 50   # docs cloning a corpus text (touch standing families)
 BATCH_NOVEL = 50    # novel texts (new singletons/families)
 K = 6
