@@ -400,6 +400,64 @@ def resize_images(
     )
 
 
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int = 16000, use_codec: bool = False
+) -> DataFrame:
+    """Audio rate conversion — the audio sibling of :func:`resize_images`.
+    ``use_codec=True``: decode PCM16 WAV → nearest-neighbor resample
+    (pure-numpy index grid, the same duration-preserving grid rule as
+    the image resize: output index i reads input sample
+    ``(i * n_in) // n_out`` with ``n_out = round(n_in * target/source)``)
+    → re-encode WAV, all inside the Arrow batch loop. Default:
+    passthrough stub re-emitting payloads tagged with the target rate
+    (plumbing shape without valid media)."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.wavcodec import decode_wav, encode_wav
+
+        for pdf in batches:
+            if use_codec:
+                payloads, counts = [], []
+                for payload in pdf["payload"]:
+                    s, rate = decode_wav(bytes(payload))
+                    n_out = max(1, int(round(len(s) * target_rate / rate)))
+                    idx = (np.arange(n_out) * len(s)) // n_out
+                    out = s[idx]
+                    payloads.append(encode_wav(out, target_rate))
+                    counts.append(len(out))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": payloads,
+                        "sample_rate": np.int32(target_rate),
+                        "n_samples": np.array(counts, np.int64),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "sample_rate": np.int32(target_rate),
+                    "n_samples": np.int64(0),
+                }
+            )
+
+    return media.filter(F.col("meta.modality") == "audio").mapInPandas(
+        _resample, RESAMPLE_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

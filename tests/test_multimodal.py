@@ -285,3 +285,35 @@ def test_real_wav_codec_end_to_end(spark):
         assert got[i]["zero_cross_rate"] == pytest.approx(
             float(((f[:-1] * f[1:]) < 0).mean())
         )
+
+
+def test_resample_audio_codec_true(spark):
+    """decode -> nearest-neighbor rate conversion -> re-encode: output
+    decodes at the target rate with the duration-preserving grid values."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.wavcodec import decode_wav, encode_wav
+    from cql_xmlpipe_spark.operators.multimodal import resample_audio
+
+    rng = np.random.RandomState(11)
+    clips = {i: (rng.randint(-32768, 32768, size=n).astype(np.int16), rate)
+             for i, (n, rate) in enumerate([(800, 8000), (441, 44100), (1, 22050)])}
+    rows = [
+        (i, bytearray(encode_wav(s, r)),
+         ("audio", "audio/wav", 0, 0, len(s) * 1000 // r, len(encode_wav(s, r))))
+        for i, (s, r) in clips.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    out = {r["doc_id"]: r for r in resample_audio(df, 16000, use_codec=True).collect()}
+    assert set(out) == set(clips)
+    for i, (s, rate) in clips.items():
+        got, got_rate = decode_wav(bytes(out[i]["payload"]))
+        n_out = max(1, int(round(len(s) * 16000 / rate)))
+        assert got_rate == 16000 and out[i]["sample_rate"] == 16000
+        assert len(got) == n_out == out[i]["n_samples"]
+        idx = (np.arange(n_out) * len(s)) // n_out
+        assert (got == s[idx]).all()
