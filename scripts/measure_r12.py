@@ -2,17 +2,22 @@
 
 A. roster_maintenance_sink per-trigger wall across a 24-batch stream,
    compact_every=6 vs no compaction — the bounded-plan claim measured,
-   not asserted (VERDICT r11 #1).
+   not asserted (VERDICT r11 #1). Batches are SMALL relative to the
+   corpus (30 docs on a 5,000-doc corpus → +14% data over the whole
+   run) so plan-width growth, not data growth, is what the trigger
+   walls expose.
 B. snapshot="delta" vs "full" write amplification per trigger
-   (rows + bytes written, VERDICT r11 #2).
+   (bytes under rosters/v=<id>, VERDICT r11 #2).
 C. restart cost: fresh sink after 24 committed batches — compacted
    (reads one index snapshot, re-signs <= K batches) vs uncompacted
    (re-signs all 24) — timed on the 25th-batch update.
 
-Run: python scripts/measure_r12.py [corpus_dir] (default sf0.01).
+Run: python scripts/measure_r12.py [corpus_dir] (default sf0.1).
 The sink callbacks are driven directly (sink(df, batch_id)) — the
 foreachBatch mechanics are pytest-pinned; this isolates per-trigger
-engine cost from file-source scheduling noise.
+engine cost from file-source scheduling noise. Compaction triggers
+(len(pending) reaches K inside a batch) pay the snapshot write in that
+trigger's wall — reported separately from the non-compaction median.
 """
 
 from __future__ import annotations
@@ -24,11 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATA = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+DATA = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 WORK = "/tmp/sparkgraft_r12_stream"
-N_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "20"))
-BATCH_CLONES = 50   # docs cloning a corpus text (touch standing families)
-BATCH_NOVEL = 50    # novel texts (new singletons/families)
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "24"))
+BATCH_CLONES = 15   # docs cloning a corpus text (touch standing families)
+BATCH_NOVEL = 15    # novel texts (new singletons/families)
 K = 6
 
 
@@ -40,9 +45,26 @@ def du_bytes(path: str) -> int:
     return total
 
 
+def stats(walls: list[float], compaction_idx: set[int]) -> str:
+    plain = [w for i, w in enumerate(walls) if i not in compaction_idx and i > 0]
+    early = plain[: len(plain) // 2]
+    late = plain[len(plain) // 2 :]
+    comp = [walls[i] for i in sorted(compaction_idx)]
+    med = sorted(plain)[len(plain) // 2]
+    out = (
+        f"non-compaction triggers (excl. warm-up t0): "
+        f"first-half mean {sum(early)/len(early):.2f}s | "
+        f"second-half mean {sum(late)/len(late):.2f}s | median {med:.2f}s"
+    )
+    if comp:
+        out += f"\ncompaction triggers ({sorted(compaction_idx)}): " + " ".join(
+            f"{w:.2f}" for w in comp
+        )
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
-    from pyspark.sql import functions as F
 
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import load_table
@@ -70,7 +92,6 @@ def main() -> None:
             ))
         batches.append(spark.createDataFrame(rows, "doc_id long, text string"))
 
-    results = {}
     for label, compact_every, snapshot in (
         ("compact6_delta", K, "delta"),
         ("nocompact_full", 10**9, "full"),
@@ -83,25 +104,25 @@ def main() -> None:
             snapshot=snapshot, compact_every=compact_every,
         )
         build = time.time() - t0
-        walls = []
+        walls, compaction_idx = [], set()
         for b in range(N_BATCHES):
+            before = sink.state["base_upto"]
             t0 = time.time()
             sink(batches[b], b)
             walls.append(time.time() - t0)
+            if sink.state["base_upto"] != before:
+                compaction_idx.add(b)
         sink.close()
         spark.catalog.clearCache()
-        results[label] = walls
-        ros_bytes = {
-            v: du_bytes(f"{state}/rosters/v={v}") for v in (0, N_BATCHES - 1)
-        }
         print(f"\n== {label}: standing build {build:.1f}s")
         print("per-trigger walls:", " ".join(f"{w:.2f}" for w in walls))
-        print(
-            f"trigger 2-7 mean {sum(walls[1:7])/6:.2f}s | "
-            f"18-23 mean {sum(walls[17:23])/6:.2f}s"
-        )
-        print(f"rosters bytes v=0 {ros_bytes[0]:,} | v={N_BATCHES-1} "
-              f"{ros_bytes[N_BATCHES-1]:,}")
+        print(stats(walls, compaction_idx))
+        v_bytes = {
+            v: du_bytes(f"{state}/rosters/v={v}") for v in (0, N_BATCHES - 1)
+        }
+        print(f"rosters/v bytes: v=0 {v_bytes[0]:,} | v={N_BATCHES-1} "
+              f"{v_bytes[N_BATCHES-1]:,} | all v dirs "
+              f"{du_bytes(f'{state}/rosters'):,}")
 
         # C: restart — fresh sink object over the committed state, one
         # more batch (includes any catch-up re-signing)
@@ -116,13 +137,11 @@ def main() -> None:
         first_after = time.time() - t0
         covered0 = "compacted" if sink2.state["base_upto"] >= 0 else "none"
         print(f"restart: construct {construct:.1f}s (index base: {covered0}), "
-              f"batch {N_BATCHES} update {first_after:.1f}s")
+              f"batch {N_BATCHES} update {first_after:.1f}s "
+              f"(re-signs {'<=' + str(K) if covered0 == 'compacted' else 'ALL'} "
+              "committed batches)")
         sink2.close()
         spark.catalog.clearCache()
-
-    print("\nsummary (per-trigger mean early -> late):")
-    for label, walls in results.items():
-        print(f"  {label}: {sum(walls[1:7])/6:.2f}s -> {sum(walls[17:23])/6:.2f}s")
 
 
 if __name__ == "__main__":
