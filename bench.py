@@ -143,7 +143,8 @@ HEADLINE = [
     # dedup_incremental_rosters (same probe+quotient-CC cost, smaller
     # output), dedup_embedding_incremental_subset_planted the planted
     # positive path of dedup_embedding_incremental's probe join,
-    # multimodal_audio_features[_codec] the audio siblings of the timed
+    # multimodal_audio_features[_codec] / multimodal_audio_resample_codec
+    # the audio siblings of the timed
     # multimodal_image_features_codec mapInPandas shape, and
     # text_compressibility one Arrow-batched scalar UDF projection over
     # the documents scan (the shape text_quality_scores already times).

@@ -2618,6 +2618,61 @@ def multimodal_audio_features_codec(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_WAV_RS_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "wav_resample16k.parquet",
+)
+
+#: Resample-chain oracle via pinned fixture: the nearest-neighbor grid
+#: rule is RESTATED by the fixture script straight on the synthesized
+#: samples and the resampled payload re-encoded with the independent
+#: stdlib-wave encoder — so the gate pins decode→resample→re-encode
+#: end to end, including the output bytes. Same loud drift guard.
+_WAV_RS_ORACLE = f"""
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN read_parquet('{_WAV_RS_FIXTURE}') f ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL)
+    SELECT d.doc_id, f.payload_md5, CAST(16000 AS INTEGER) AS sample_rate,
+           f.n_samples
+    FROM documents d
+    JOIN read_parquet('{_WAV_RS_FIXTURE}') f ON md5(d.text) = f.text_md5
+    UNION ALL
+    SELECT CAST(error('wav resample fixture missing ' || n ||
+                      ' documents: rerun scripts/make_wav_features_fixture.py')
+                AS BIGINT),
+           NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_audio_resample_codec", _WAV_RS_ORACLE)
+def multimodal_audio_resample_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-TRUE audio rate conversion: synthesized WAV payloads are
+    decoded, nearest-neighbor-resampled to 16 kHz and RE-ENCODED inside
+    one Arrow batch loop (``operators/multimodal.resample_audio`` —
+    the audio sibling of the image resize path), and the gate pins the
+    OUTPUT BYTES (md5 of the re-encoded payload) against the fixture's
+    independent grid + stdlib-wave recompute — so decode, the grid
+    math, and the encoder are all on the hook, end to end. Payloads
+    never leave the executors; the emitted rows are narrow
+    (id, md5, rate, count)."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        resample_audio,
+        synthesize_wav_media,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    out = resample_audio(synthesize_wav_media(d), 16000, use_codec=True)
+    return out.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        "sample_rate",
+        "n_samples",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decontamination — eval-set n-gram overlap flagging
 # ---------------------------------------------------------------------------

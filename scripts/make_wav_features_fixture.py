@@ -31,12 +31,22 @@ Keyed by md5(text) so one fixture serves every sf it was generated over
 (sf0.001 + sf0.01 + sf0.1); the oracles carry a loud coverage guard
 against testdata drift, same as the BMP fixtures.
 
+Resample gate (wav_resample16k.parquet): the Spark path under test is
+synth_samples → encode_wav → resample_audio(use_codec=True) (decode →
+nearest-neighbor grid → re-encode). Ground truth restates the grid rule
+here (n_out = max(1, round(n·16000/rate)), index i reads sample
+(i·n)//n_out) straight on the synthesized samples — no engine
+decode/encode — and payload_md5 again comes from the stdlib ``wave``
+encoder, so the gate pins the whole decode→resample→re-encode chain.
+
 Output: tests/fixtures/wav_audio_features.parquet
   (text_md5, payload_md5, sample_rate, n_samples, duration_ms, rms,
    peak, zero_cross_rate)
         tests/fixtures/fake_audio_features.parquet
   (text_md5, sample_rate, n_samples, duration_ms, rms, peak,
    zero_cross_rate)
+        tests/fixtures/wav_resample16k.parquet
+  (text_md5, payload_md5, n_samples)
 """
 
 from __future__ import annotations
@@ -123,11 +133,20 @@ def _write(rows: dict[str, dict], name: str, extra: list[str]) -> None:
     print(f"wrote {out}: {len(rows)} distinct texts")
 
 
+def resample16k_independent(samples: np.ndarray, rate: int) -> np.ndarray:
+    """The documented nearest-neighbor grid (operators/multimodal.
+    resample_audio), restated: duration-preserving output length, output
+    index i reads input sample (i * n_in) // n_out."""
+    n_out = max(1, int(round(len(samples) * 16000 / rate)))
+    return samples[(np.arange(n_out) * len(samples)) // n_out]
+
+
 def main() -> None:
     import duckdb
 
     codec_rows: dict[str, dict] = {}
     fake_rows: dict[str, dict] = {}
+    rs_rows: dict[str, dict] = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         for (text,) in duckdb.sql(
             f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'"
@@ -143,8 +162,35 @@ def main() -> None:
             codec_rows[key] = rec
             # fake path: payload is the raw text bytes (attach_media_columns)
             fake_rows[key] = features(*fake_samples_independent(text.encode("utf-8")))
+            rs = resample16k_independent(samples, rate)
+            rs_rows[key] = {
+                "payload_md5": hashlib.md5(
+                    encode_wav_independent(rs, 16000)
+                ).hexdigest(),
+                "n_samples": len(rs),
+            }
     _write(codec_rows, "wav_audio_features.parquet", ["payload_md5"])
     _write(fake_rows, "fake_audio_features.parquet", [])
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "wav_resample16k.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "text_md5": pa.array(list(rs_rows), pa.string()),
+                "payload_md5": pa.array(
+                    [rs_rows[k]["payload_md5"] for k in rs_rows], pa.string()
+                ),
+                "n_samples": pa.array(
+                    [rs_rows[k]["n_samples"] for k in rs_rows], pa.int64()
+                ),
+            }
+        ),
+        out,
+        compression="zstd",
+    )
+    print(f"wrote {out}: {len(rs_rows)} distinct texts")
 
 
 if __name__ == "__main__":

@@ -57,3 +57,20 @@ def test_sdbm_scalar_vs_vectorized(s, base):
     # same conversion the production UDF applies: int64 -> uint64 view
     got = _sdbm_batch(np.array([base], dtype=np.int64).view(np.uint64), pd.Series([s]))
     assert int(got[0]) == sdbm_key_py(base, s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=512),
+    st.sampled_from([8000, 16000, 22050, 44100, 3]),
+)
+def test_wav_roundtrip_any_samples(samples, rate):
+    """encode_wav -> decode_wav identity for arbitrary int16 content and
+    rates, including pathological rate=3 and extreme sample values."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.wavcodec import decode_wav, encode_wav
+
+    s = np.array(samples, np.int16)
+    got, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and (got == s).all()
