@@ -147,7 +147,9 @@ HEADLINE = [
     # the audio siblings of the timed
     # multimodal_image_features_codec mapInPandas shape, and
     # text_compressibility one Arrow-batched scalar UDF projection over
-    # the documents scan (the shape text_quality_scores already times).
+    # the documents scan (the shape text_quality_scores already times),
+    # and text_dup_spans the gram-hash machinery text_crossdoc_ngram_dup
+    # already times plus one partition-local window.
 ]
 assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 

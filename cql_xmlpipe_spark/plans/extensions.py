@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cql_xmlpipe_spark.functions import text as TX
 from cql_xmlpipe_spark.operators import dedup as DD
@@ -2136,6 +2137,94 @@ def text_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "cross_dup_grams",
         (F.col("cross_dup_grams").cast("double") / F.col("n_grams")).alias("cross_dup_frac"),
+    )
+
+
+_DUP_SPANS_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+            FROM t WHERE len(toks) >= 8)),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+    m AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > 8 THEN 1 ELSE 0 END AS brk
+      FROM p),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m)
+    SELECT doc_id,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+@_q("text_dup_spans", _DUP_SPANS_ORACLE)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-SPAN extraction — the interval form of
+    exact-substring training-data dedup (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better': remove every repeated
+    ≥k-token span, not whole documents): per document, the MAXIMAL token
+    intervals covered by 8-grams that occur ≥2 times anywhere in the
+    corpus (cross-document or within-document — repetition inside one
+    doc is equally removable). ``text_crossdoc_ngram_dup`` reports the
+    per-doc dup FRACTION; this emits the actual (span_start, span_end)
+    intervals a pipeline would cut or keep-first.
+
+    Span algebra: a duplicated gram at position p covers tokens
+    [p, p+7]; sorted positions within a doc merge while the gap to the
+    previous duplicated position is ≤ 8 (adjacent coverage stays one
+    contiguous cut region), split otherwise — the gaps-and-islands
+    window pattern, identical in the oracle.
+
+    100 TB shape: gram strings never shuffle (positions carry an 8-byte
+    xxhash64, same as text_crossdoc_ngram_dup); the duplicated-hash set
+    is the output of one hash-keyed count and semi-joins back against
+    the (doc, pos, hash) stream (AQE broadcasts it when small — the
+    common case); the island assembly is one window over each doc's own
+    duplicated positions — partition-local work, output linear in
+    duplicated-span count."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.words(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    grams = base.select(
+        "doc_id", F.posexplode(TX.ngrams(F.col("toks"), 8)).alias("pos", "gram")
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    p = grams.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > 8, 1).otherwise(0)
+    isl = p.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            "doc_id",
+            F.col("_s").cast("int").alias("span_start"),
+            (F.col("_e") + 7).cast("int").alias("span_end"),
+            (F.col("_e") + 8 - F.col("_s")).cast("int").alias("span_tokens"),
+        )
     )
 
 
