@@ -7,8 +7,11 @@ The headline set covers every execution shape the engine claims: scan+agg
 (q1), multi-join (q3/q5), window (top3/running), set/distinct, the xmlpipe2
 kernel (sdbm ids + document assembly — the reference's entire workload),
 and the §2D extensions (dedup exact/minhash/jaccard, cosine top-k, text
-analysis). Each query is forced with a cheap count() so the timing is the
-full plan execution, not driver-side collection bandwidth.
+analysis). Each query is forced by xxhash64-folding EVERY column into one
+scalar (see _force) so the timing is the full plan execution including
+all projected columns — a bare count() would let Catalyst prune unused
+projections (UDF columns especially) — without driver-side collection
+bandwidth.
 
 BASELINE.md context: the reference is a single-threaded row-at-a-time
 exporter; its measured proxy here is `xmlpipe_orders_export` /
