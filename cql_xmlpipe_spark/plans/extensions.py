@@ -2228,6 +2228,110 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_REMOVAL_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+            FROM t WHERE len(toks) >= 8)),
+    cut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM g) WHERE rn >= 2),
+    cut_idx AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx FROM cut),
+    tok AS (
+      SELECT doc_id, toks[i] AS tok, i - 1 AS idx
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM t)),
+    kept AS (
+      SELECT tok.doc_id, tok.tok, tok.idx
+      FROM tok LEFT JOIN cut_idx
+        ON tok.doc_id = cut_idx.doc_id AND tok.idx = cut_idx.idx
+      WHERE cut_idx.doc_id IS NULL)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+           COALESCE(k.text_deduped, '') AS text_deduped
+    FROM t LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS text_deduped
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+    WHERE len(t.toks) > 0
+"""
+
+
+@_q("text_dup_span_removal", _DUP_REMOVAL_ORACLE)
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-FIRST substring deduplication — the transform Lee et al.
+    2022 actually apply to the training corpus (where
+    ``text_dup_spans`` only reports the intervals): every occurrence of
+    a duplicated 8-gram EXCEPT the globally first (smallest
+    (doc_id, pos)) is cut, the union of the cut grams' [p, p+7] token
+    coverage is removed, and the surviving tokens re-join as
+    ``text_deduped``. One occurrence of every repeated passage survives
+    corpus-wide — cross-document AND within-document.
+
+    The rank trick makes 'duplicated' implicit: a gram's occurrences
+    ranked by (doc_id, pos) have rank ≥ 2 rows iff the gram repeats, so
+    the cut set is exactly the rank ≥ 2 rows — no separate
+    duplicated-gram table. 100 TB shape: ranking partitions by the
+    8-byte gram hash (strings never shuffle; same collision-probability
+    stance as text_crossdoc_ngram_dup), the cut-coverage explode is
+    ≤ 8 rows per cut position, and the token-keep anti-join plus the
+    ordered reassembly (sort_array over (idx, tok) structs — no window)
+    are both per-doc local. Output is one row per non-empty document."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.words(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    grams = (
+        base.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id", F.posexplode(TX.ngrams(F.col("toks"), 8)).alias("pos", "gram")
+        )
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    cut = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + 7)).alias("idx"))
+        .distinct()
+    )
+    tok = base.select(
+        "doc_id", F.posexplode("toks").alias("idx", "tok")
+    )
+    kept = tok.join(cut, ["doc_id", "idx"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_deduped"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_cut_tokens"
+            ),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
 def _langid_oracle() -> str:
     hits = {
         lang: (
