@@ -93,3 +93,35 @@ def test_percentile_filter_keeps_upper_deciles(spark, tmp_path):
     _write_documents(spark, sf, docs)
     kept = {r["doc_id"] for r in quality_percentile_filter(spark, sf).collect()}
     assert kept == set(range(1, 10))  # only the pr=0 doc (doc_id 0) drops
+
+
+def test_dup_span_removal_keep_first_semantics(spark, tmp_path):
+    """Keep-first substring dedup on a hand-built corpus: the globally
+    first occurrence (smallest (doc_id, pos)) of a repeated passage
+    survives, later occurrences are cut, unique text is untouched, and
+    a doc repeating a passage internally keeps only its first copy."""
+    from cql_xmlpipe_spark.plans.extensions import text_dup_span_removal
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    unique = "entirely original words " + " ".join(f"u{i}" for i in range(8))
+    inner = " ".join(f"m{i}" for i in range(8))  # 8 tokens, repeated in doc 4
+    docs = [
+        (1, passage + " plus a unique tail here also", "en", "s", 0),
+        (2, passage, "en", "s", 0),                       # full later copy -> all cut
+        (3, unique, "en", "s", 0),                        # untouched
+        (4, inner + " " + inner, "en", "s", 0),           # within-doc repeat
+    ]
+    _write_documents(spark, str(tmp_path), docs)
+    got = {r["doc_id"]: r for r in text_dup_span_removal(spark, str(tmp_path)).collect()}
+
+    # doc 1 is the first occurrence: nothing cut
+    assert got[1]["n_cut_tokens"] == 0
+    assert got[1]["text_deduped"].startswith("the quick brown fox")
+    # doc 2 repeats the whole passage later: fully cut
+    assert got[2]["n_cut_tokens"] == got[2]["n_tokens"] == 10
+    assert got[2]["text_deduped"] == ""
+    # doc 3 shares no 8-gram: untouched
+    assert got[3]["n_cut_tokens"] == 0 and got[3]["text_deduped"] == unique
+    # doc 4: 16 tokens, the second 8-token copy is cut, first kept
+    assert got[4]["n_tokens"] == 16 and got[4]["n_cut_tokens"] == 8
+    assert got[4]["text_deduped"] == inner
