@@ -2278,15 +2278,19 @@ def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_deduped``. One occurrence of every repeated passage survives
     corpus-wide — cross-document AND within-document.
 
-    The rank trick makes 'duplicated' implicit: a gram's occurrences
-    ranked by (doc_id, pos) have rank ≥ 2 rows iff the gram repeats, so
-    the cut set is exactly the rank ≥ 2 rows — no separate
-    duplicated-gram table. 100 TB shape: ranking partitions by the
-    8-byte gram hash (strings never shuffle; same collision-probability
-    stance as text_crossdoc_ngram_dup), the cut-coverage explode is
-    ≤ 8 rows per cut position, and the token-keep anti-join plus the
-    ordered reassembly (sort_array over (idx, tok) structs — no window)
-    are both per-doc local. Output is one row per non-empty document."""
+    The cut set is 'every occurrence that is not its gram's global
+    minimum': computed as a hash-keyed MIN(struct(doc_id, pos)) + COUNT
+    aggregate joined back against the occurrence stream — deliberately
+    NOT a row_number window, which would single-partition-SORT a hot
+    gram's occurrences (one boilerplate passage in 10⁸ documents = one
+    unsortable partition); min/count are partially aggregable map-side,
+    so the hot key costs one combiner cell, and the join back fans out
+    linearly in occurrences. 100 TB shape: gram strings never shuffle
+    (8-byte xxhash64 keys; same collision-probability stance as
+    text_crossdoc_ngram_dup), the cut-coverage explode is ≤ 8 rows per
+    cut position, and the token-keep anti-join plus the ordered
+    reassembly (sort_array over (idx, tok) structs — no window) are
+    both per-doc local. Output is one row per non-empty document."""
     d = load_table(spark, "documents", sf_dir)
     toks = TX.words(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
@@ -2297,10 +2301,13 @@ def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    firsts = grams.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    ).filter(F.col("_n") >= 2)
     cut = (
-        grams.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") >= 2)
+        grams.join(firsts, "h")
+        .filter(F.struct("doc_id", "pos") != F.col("_first"))
         .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + 7)).alias("idx"))
         .distinct()
     )
