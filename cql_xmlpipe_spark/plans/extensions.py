@@ -4439,3 +4439,281 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     increment = d.filter(F.col("doc_id") % 5 == 0)
     return DD.incremental_probe_pairs(corpus, increment, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# round-12 additions: training-order sharding, statistical LM quality
+# scoring (CCNet-style), DSIR importance weighting, SemDeDup pruning
+# ---------------------------------------------------------------------------
+
+#: seed namespace for the deterministic training-order shuffle — a
+#: contract constant (changing it re-shuffles every epoch's order)
+_SHUFFLE_SEED = "shuf42"
+
+
+@_q(
+    "corpus_shuffle_shards",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents)
+    SELECT doc_id,
+           substring(skey, 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY substring(skey, 1, 1)
+                ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded GLOBAL SHUFFLE into training shards — the
+    step between a curated corpus and an epoch's read order: every doc
+    gets a shard (16-way, the md5 key's first hex digit) and a position
+    within the shard (md5 key order). The order is a pure function of
+    (seed, doc_id): reproducible across runs/engines, and changing the
+    seed constant is a full epoch re-shuffle.
+
+    Scale shape: there is NO global sort — the md5 key hash-partitions
+    docs into shards (one corpus-sized exchange) and each shard sorts
+    locally (Spark's window sort per partition key). At 100 TB the
+    per-shard sorts run in parallel and a writer emits shard files in
+    position order; a global ORDER BY (one total-order range exchange)
+    is exactly what this avoids. doc_id tie-breaks after the (unique)
+    md5 key for belt-and-braces determinism."""
+    d = load_table(spark, "documents", sf_dir)
+    skey = F.md5(F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")))
+    k = d.select("doc_id", skey.alias("skey"), F.substring(skey, 1, 1).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return k.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+#: shared CTE: word tokens of every document (the ≥2-token slice that
+#: can form bigrams) — the corpus the bigram LM is trained on and scored
+#: over. Mirrors TX.words exactly.
+_LM_TOKS_CTE = """
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2)
+"""
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH {_LM_TOKS_CTE},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t2),
+    docbg AS (
+      SELECT doc_id, bigram, COUNT(*) AS dcnt FROM bg GROUP BY doc_id, bigram),
+    c12 AS (
+      SELECT bigram, CAST(SUM(dcnt) AS BIGINT) AS c12 FROM docbg GROUP BY bigram),
+    c1 AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+      FROM c12 GROUP BY string_split(bigram, ' ')[1]),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM t2)),
+    typ AS (
+      SELECT c12.bigram,
+             CAST(floor((-ln(CAST(c12.c12 + 1 AS DOUBLE)
+                              / CAST(c1.c1 + v.v AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nllq
+      FROM c12
+      JOIN c1 ON string_split(c12.bigram, ' ')[1] = c1.w1, v)
+    SELECT d.doc_id,
+           CAST(SUM(d.dcnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.dcnt * ty.nllq) AS DOUBLE)
+             / (CAST(SUM(d.dcnt) AS BIGINT) * 1000000.0) AS ce_nats
+    FROM docbg d JOIN typ ty ON d.bigram = ty.bigram
+    GROUP BY d.doc_id
+"""
+
+
+@_q("text_bigram_lm_score", _BIGRAM_LM_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet/KenLM-class filter,
+    self-trained): an add-one-smoothed word-bigram LM is fit on the
+    corpus itself and every document is scored by per-bigram
+    cross-entropy ``ce_nats`` = mean −ln p(w₂|w₁) — low = fluent and
+    in-distribution, high = noise/junk. The standard pretraining-data
+    quality signal when no external LM is shippable.
+
+    Cross-engine determinism of a transcendental: ``ln`` is NOT
+    bit-stable between the JVM and libm (measured ~6% of values differ
+    by 1 ulp), so the per-bigram-TYPE negative log-prob is quantized to
+    1e-6 fixed point (``floor(x·1e6 + 0.5)`` — the same device as the
+    kmeans centroid means) ON THE TYPE TABLE, then per-document sums are
+    exact integer arithmetic and the final division is one IEEE op. A
+    1-ulp ln wobble (≲1e-8 at this magnitude) only matters if a value
+    sits within it of a floor boundary; tests/test_lm_scores.py measures
+    the minimum boundary distance over every (c12, c1) type at the gate
+    corpora (≳1e-3 — five orders of safety).
+
+    Scale shape: tokenize once into per-(doc, bigram) counts (ONE
+    corpus-sized shuffle with map-side combine); the LM tables (c12, c1,
+    V) all derive from that compact type table; scoring joins doc-bigram
+    counts to type nll on the bigram key — the only other corpus-scale
+    shuffle, AQE-skew-safe because hot bigrams are single type-table
+    rows. The vocab scalar V broadcasts. Nothing re-tokenizes.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", TX.words(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select("doc_id", F.explode(TX.ngrams(F.col("toks"), 2)).alias("bigram"))
+    docbg = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("dcnt"))
+    docbg = docbg.persist()
+    c12 = docbg.groupBy("bigram").agg(F.sum("dcnt").alias("c12"))
+    c1 = c12.groupBy(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    v = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    typ = (
+        c12.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.floor((-F.log(p)) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("nllq"),
+        )
+    )
+    out = (
+        docbg.join(typ, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dcnt").alias("n_bigrams"),
+            F.sum(F.col("dcnt") * F.col("nllq")).alias("tot"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("tot").cast("double")
+                / (F.col("n_bigrams") * F.lit(1000000.0))
+            ).alias("ce_nats"),
+        )
+    )
+    out._xmlpipe_cached = [docbg]
+    return out
+
+
+#: DSIR hashed-feature space: 256 buckets keyed by the first two hex
+#: digits of md5(token) — engine-portable (md5 string compare, the same
+#: device as the sampling strata) and collision-uniform.
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    occ AS (
+      SELECT doc_id, lang, substring(md5(w), 1, 2) AS bucket
+      FROM (SELECT doc_id, lang, unnest(toks) AS w FROM t)),
+    raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM occ GROUP BY bucket),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM occ
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM occ) AS nr,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM occ
+              WHERE lang = '{_DSIR_TARGET_LANG}') AS nt),
+    bw AS (
+      SELECT raw.bucket,
+             CAST(floor(ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                            * CAST(tot.nr + 256 AS DOUBLE))
+                           / (CAST(raw.cr + 1 AS DOUBLE)
+                              * CAST(tot.nt + 256 AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lwq
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot),
+    docb AS (
+      SELECT doc_id, bucket, COUNT(*) AS dcnt FROM occ GROUP BY doc_id, bucket)
+    SELECT d.doc_id,
+           CAST(SUM(d.dcnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.dcnt * bw.lwq) AS DOUBLE) / 1000000.0 AS dsir_logweight
+    FROM docb d JOIN bw ON d.bucket = bw.bucket
+    GROUP BY d.doc_id
+"""
+
+
+@_q("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights over hashed unigram features: the target
+    distribution is the corpus's ``lang = 'en'`` slice, the raw
+    distribution is the whole corpus, features are 256 md5-prefix
+    buckets, and each document's log importance weight is
+    Σ_occurrences ln(p̂_target(b)/p̂_raw(b)) with add-one smoothing —
+    resample by these weights to tilt a raw crawl toward the target
+    domain. Output: (doc_id, n_tokens, dsir_logweight).
+
+    Determinism: the per-BUCKET log-ratio is a single ``ln`` of one
+    exactly-computed double ratio (integer products, one division),
+    quantized to 1e-6 fixed point on the 256-row bucket table — the same
+    ln-wobble containment as ``text_bigram_lm_score``; per-document sums
+    are exact integer ops. Boundary distance is asserted in
+    tests/test_lm_scores.py.
+
+    Scale shape: one tokenize pass into per-(doc, bucket) counts (the
+    only corpus-sized shuffle, 256-way bounded fan-in per doc with
+    map-side combine); the raw/target bucket tables are 256 rows each,
+    the weight table BROADCASTS, and the scoring join is map-side. The
+    hashed-feature trick is exactly what makes DSIR run at crawl scale —
+    the feature space never grows with the corpus.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    occ = d.select(
+        "doc_id", "lang", F.explode(TX.words(F.col("text"))).alias("w")
+    ).select(
+        "doc_id", "lang", F.substring(F.md5(F.col("w")), 1, 2).alias("bucket")
+    )
+    occ = occ.persist()
+    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = occ.filter(F.col("lang") == _DSIR_TARGET_LANG).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = occ.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("nt"),
+    )
+    num = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") * (
+        F.col("nr") + 256
+    ).cast("double")
+    den = (F.col("cr") + 1).cast("double") * (F.col("nt") + 256).cast("double")
+    bw = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(F.log(num / den) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("lwq"),
+        )
+    )
+    docb = occ.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("dcnt"))
+    out = (
+        docb.join(F.broadcast(bw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dcnt").alias("n_tokens"),
+            F.sum(F.col("dcnt") * F.col("lwq")).alias("tot"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("tot").cast("double") / F.lit(1000000.0)).alias("dsir_logweight"),
+        )
+    )
+    out._xmlpipe_cached = [occ]
+    return out

@@ -1,0 +1,186 @@
+"""Model tests for the round-12 statistical scoring operators:
+bigram-LM cross-entropy, DSIR importance weights, shuffle shards.
+
+The fixed-point-quantized ln device (see text_bigram_lm_score's
+docstring) is safe only while no per-type value sits within the ln
+implementations' 1-ulp disagreement (~1e-8 at the 1e6 scale) of a floor
+boundary — test_*_boundary_distance measures the actual minimum over
+the gate corpora and asserts orders-of-magnitude headroom.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _doc_view(con, sf_dir):
+    con.sql(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_bigram_lm_boundary_distance(sf_dir):
+    """Every bigram type's -ln(p)*1e6 + 0.5 must sit far from an integer
+    floor boundary relative to the ~1e-8 cross-engine ln wobble."""
+    con = duckdb.connect()
+    _doc_view(con, sf_dir)
+    (dist, n) = con.sql(
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+          FROM documents),
+        t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t2),
+        c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, SUM(c12) AS c1
+               FROM c12 GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM t2)),
+        x AS (
+          SELECT (-ln(CAST(c12.c12 + 1 AS DOUBLE)
+                      / CAST(c1.c1 + v.v AS DOUBLE))) * 1000000.0 + 0.5 AS q
+          FROM c12 JOIN c1 ON string_split(c12.bigram, ' ')[1] = c1.w1, v)
+        SELECT MIN(LEAST(q - floor(q), ceil(q) - q)), COUNT(*) FROM x
+        """
+    ).fetchone()
+    assert n > 100, "corpus too small to exercise the type table"
+    assert dist > 1e-4, f"ln boundary margin too small: {dist}"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_dsir_boundary_distance(sf_dir):
+    con = duckdb.connect()
+    _doc_view(con, sf_dir)
+    (dist, n) = con.sql(
+        """
+        WITH occ AS (
+          SELECT doc_id, lang, substring(md5(w), 1, 2) AS bucket
+          FROM (SELECT doc_id, lang,
+                       unnest(list_filter(string_split(regexp_replace(
+                          lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                          x -> x <> '')) AS w
+                FROM documents)),
+        raw AS (SELECT bucket, COUNT(*) AS cr FROM occ GROUP BY bucket),
+        tgt AS (SELECT bucket, COUNT(*) AS ct FROM occ
+                WHERE lang = 'en' GROUP BY bucket),
+        tot AS (SELECT (SELECT COUNT(*) FROM occ) AS nr,
+                       (SELECT COUNT(*) FROM occ WHERE lang = 'en') AS nt),
+        x AS (
+          SELECT ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                     * CAST(tot.nr + 256 AS DOUBLE))
+                    / (CAST(raw.cr + 1 AS DOUBLE)
+                       * CAST(tot.nt + 256 AS DOUBLE)))
+                 * 1000000.0 + 0.5 AS q
+          FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot)
+        SELECT MIN(LEAST(q - floor(q), ceil(q) - q)), COUNT(*) FROM x
+        """
+    ).fetchone()
+    # the synthetic corpus vocabulary is ~31 words, so only ~31 of the
+    # 256 buckets are populated — the table is small but real
+    assert n >= 16
+    assert dist > 1e-4, f"ln boundary margin too small: {dist}"
+
+
+def test_bigram_lm_hand_model(spark, tmp_path):
+    """Hand corpus: the engine's ce_nats must equal the pure-Python
+    add-one bigram LM to within the 1e-6 quantization grid."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the cat food"),
+        (3, "dogs bark"),
+        (4, "x"),  # single token: no bigrams, must not appear
+        (5, ""),  # empty: must not appear
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="t", n_chars=0
+    ).to_parquet(tmp_path / "documents.parquet")
+    from cql_xmlpipe_spark.plans.extensions import text_bigram_lm_score
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ce_nats"])
+        for r in text_bigram_lm_score(spark, str(tmp_path)).collect()
+    }
+    # pure-python model
+    toks = {i: t.split() for i, t in rows if len(t.split()) >= 2}
+    bigrams = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    from collections import Counter
+
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = {w for ts in toks.values() for w in ts}
+    want = {}
+    for i, bs in bigrams.items():
+        nll = [
+            math.floor(
+                -math.log((c12[b] + 1) / (c1[b[0]] + len(vocab))) * 1e6 + 0.5
+            )
+            for b in bs
+        ]
+        want[i] = (len(bs), sum(nll) / (len(bs) * 1e6))
+    assert set(got) == set(want) == {1, 2, 3}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+    # doc 2 repeats "the cat" — higher-probability bigrams, lower ce than
+    # the unique-bigram doc 3
+    assert got[2][1] < got[3][1]
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """On the real corpus, en docs must average a higher DSIR logweight
+    than non-en docs (the target slice IS en) — the directional sanity
+    of the importance weights, deterministic given the fixed corpus."""
+    from pyspark.sql import functions as F
+
+    from cql_xmlpipe_spark.plans.extensions import dsir_importance_weights
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    w = dsir_importance_weights(spark, SF_SMOKE)
+    d = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang")
+    per = (
+        w.join(d, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("dsir_logweight") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in per}
+    assert means[True] > means[False]
+
+
+def test_shuffle_shards_contract(spark):
+    """Shards partition the corpus; positions are 1..n contiguous per
+    shard; the order is reproducible run to run."""
+    from cql_xmlpipe_spark.plans.extensions import corpus_shuffle_shards
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    a = corpus_shuffle_shards(spark, SF_SMOKE).collect()
+    b = corpus_shuffle_shards(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_docs = load_table(spark, "documents", SF_SMOKE).count()
+    assert len(a) == n_docs
+    assert len({r["doc_id"] for r in a}) == n_docs
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {format(i, "x") for i in range(16)}
+    assert len(by_shard) == 16  # 500 docs over 16 hex shards: all hit
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # balance: md5 is uniform, no shard should be pathologically hot
+    sizes = sorted(len(p) for p in by_shard.values())
+    assert sizes[-1] <= 3 * max(1, sizes[0])
