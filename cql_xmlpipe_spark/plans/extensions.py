@@ -4717,3 +4717,164 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._xmlpipe_cached = [occ]
     return out
+
+
+#: SemDeDup cosine threshold — high enough that only true semantic
+#: twins prune (the planted ×2 twins sit at cosine ≈ 1.0)
+_SEMDEDUP_TAU = 0.95
+
+
+def _semdedup_oracle(tau: float) -> str:
+    """Unrolled oracle for :func:`semdedup_prune`: 3 exact Lloyd
+    iterations over the PLANTED union (same fixed-point centroid means
+    as ``_kmeans_iter_oracle``, retargeted from ``embeddings`` to the
+    ``eu`` CTE), the final assignment, then within-cluster keep-first
+    cosine pruning at ``tau``."""
+
+    def fold_dist(emb: str, cemb: str) -> str:
+        return f"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len({emb}) + 1),
+            i -> (CAST({emb}[i] AS DOUBLE) - CAST({cemb}[i] AS DOUBLE))
+               * (CAST({emb}[i] AS DOUBLE) - CAST({cemb}[i] AS DOUBLE)))),
+          (a, b) -> a + b)"""
+
+    ctes = [
+        _EMB_PLANT_CTE.strip().rstrip(),
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb"
+        " FROM eu WHERE vec_id < 8)",
+    ]
+    for it in range(2):
+        ctes.append(f"""s{it} AS (
+      SELECT e.vec_id, c.cid, {fold_dist('e.embedding', 'c.cemb')} AS dist
+      FROM eu e, c{it} c)""")
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM s{it})""")
+        ctes.append(f"""m{it} AS (
+      SELECT a.cid, e.embedding FROM a{it} a JOIN eu e USING (vec_id)
+      WHERE a.rn = 1)""")
+        ctes.append(f"""u{it} AS (
+      SELECT cid, i - 1 AS dim,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS val,
+             COUNT(*) AS n_members
+      FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS i, embedding
+            FROM m{it})
+      GROUP BY cid, i)""")
+        ctes.append(f"""c{it + 1} AS (
+      SELECT cid, list(val ORDER BY dim) AS cemb FROM u{it} GROUP BY cid)""")
+    ctes.append(f"""s2 AS (
+      SELECT e.vec_id, c.cid, {fold_dist('e.embedding', 'c.cemb')} AS dist
+      FROM eu e, c2 c)""")
+    ctes.append("""a2 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM s2)""")
+    ctes.append("""asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1)""")
+    ctes.append("""e2 AS (
+      SELECT eu.vec_id, eu.embedding, asg.cid,
+             sqrt(list_reduce(list_transform(eu.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM eu JOIN asg USING (vec_id))""")
+    ctes.append(f"""pr AS (
+      SELECT b.vec_id AS vid, MIN(a.vec_id) AS kept_by
+      FROM e2 a JOIN e2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND list_reduce(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) >= {tau}
+      GROUP BY b.vec_id)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cluster_id,
+           pr.kept_by IS NOT NULL AS is_pruned, pr.kept_by
+    FROM asg LEFT JOIN pr ON asg.vec_id = pr.vid
+"""
+    )
+
+
+@_q("semdedup_prune", _semdedup_oracle(_SEMDEDUP_TAU))
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: kmeans the
+    embedding space (3 exact Lloyd iterations, pinned init — the same
+    deterministic trajectory as ``embedding_kmeans_iter3``), then within
+    each cluster prune every vector whose cosine to a LOWER-id vector in
+    the same cluster is ≥ τ (keep-first — the survivor rule the text
+    dedup family uses). Runs on the PLANTED ×2-twin corpus so the gate
+    pins a non-empty pruned set: a twin that lands in its original's
+    cluster is pruned by it at cosine ≈ 1.0; a twin pulled into another
+    cluster survives — the known SemDeDup property that cluster
+    boundaries bound recall, here gate-visible.
+
+    Output: (vec_id, cluster_id, is_pruned, kept_by) — the full audit
+    form; filter ``NOT is_pruned`` for the surviving corpus.
+
+    Scale shape: clustering is the SemDeDup scaling device — the
+    all-pairs cosine bill is confined within clusters (K grows with the
+    corpus to bound cluster size, the paper's operating point), so pair
+    candidates are Σ|cluster|², never N². Assignment is the zero-shuffle
+    broadcast argmin fold; the within-cluster self-join shuffles on the
+    int cluster id; a hot cluster is an AQE skew case, and the τ filter
+    runs inside the join's codegen. At 100 TB with K ≈ N/5000, the
+    per-cluster bill is ~5000² cheap fused dot products."""
+    from cql_xmlpipe_spark.functions.vectors import cosine, norm, sqdist
+
+    e = _planted_embeddings(spark, sf_dir)
+    cent = _kmeans_init_centroids(e)
+    for _ in range(2):
+        cent = _update_to_centroids(_lloyd_update(e, cent)).localCheckpoint()
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cents")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cands",
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(F.col("embedding"), c["cemb"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cid")
+    )
+    asg = scored.select(
+        "vec_id",
+        F.aggregate(
+            F.col("cands"),
+            init,
+            lambda acc, d: F.when(d["dist"] < acc["dist"], d).otherwise(acc),
+        )["cid"].alias("cluster_id"),
+        "embedding",
+    ).persist()
+    el = asg.filter(norm(F.col("embedding")) > 0)
+    a = el.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = el.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    pruned = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(_SEMDEDUP_TAU))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("kept_by"))
+    )
+    out = (
+        asg.select("vec_id", "cluster_id")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("kept_by").isNotNull().alias("is_pruned"),
+            "kept_by",
+        )
+    )
+    out._xmlpipe_cached = [asg]
+    return out
