@@ -381,3 +381,180 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", "cos")
     )
+
+
+def _pq_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Subspace [start, end) dim boundaries: dim//m each, remainder to
+    the last — one definition shared by train/encode/LUT so the three
+    stages can never disagree on the split."""
+    d0 = dim // m
+    if d0 == 0:
+        raise ValueError(f"pq_topk: {m} subspaces over {dim} dims leaves an empty subspace")
+    return [(s * d0, (s + 1) * d0 if s < m - 1 else dim) for s in range(m)]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    shortlist: int | None = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION (Jégou et al., PAMI
+    2011) with exact re-ranking: the embedding space splits into ``m``
+    subspaces, each learns a ``ks``-codeword codebook (seeded Spark ML
+    KMeans per subspace — deterministic), every corpus vector compresses
+    to ``m`` small ints, and each query scores the WHOLE corpus by ADC
+    (asymmetric distance: Σ_s lut[s][code_s], the query's precomputed
+    distance to every codeword) — then only the ``shortlist`` best ADC
+    candidates per query are re-ranked by exact cosine for the final
+    top-k. ``shortlist=None`` disables pruning (≡ brute force — the
+    fullprobe gate identity).
+
+    Scale shape: the corpus is scanned ONCE to encode (Arrow-batched
+    argmin matmuls; codes are m bytes — a 64-dim float corpus compresses
+    64×), ADC scoring is a zero-shuffle broadcast crossJoin with a
+    per-row fold over m LUT lookups (no dot products, no vectors moved),
+    and only shortlist×|Q| full vectors are touched for re-ranking. At
+    100 TB this is the classic memory-bound ANN layout: codes resident,
+    vectors fetched per shortlist hit. Recall/latency trades via
+    (m, ks, shortlist); the recall gate pins the operating point.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    # one-row action to learn the dimensionality (the subspace split is
+    # static Column arithmetic) — a pruned single-vector fetch, same
+    # cost class as the pre-flight guard aggregates elsewhere
+    probe = corpus.filter(F.col(emb_col).isNotNull()).select(emb_col).first()
+    if probe is None:
+        raise ValueError("pq_topk: corpus has no non-null embeddings")
+    bounds = _pq_bounds(len(probe[0]), m)
+
+    # per-subspace codebooks: seeded KMeans over the sliced columns
+    books: list[np.ndarray] = []
+    for s, (lo, hi) in enumerate(bounds):
+        train = corpus.filter(F.col(emb_col).isNotNull()).select(
+            array_to_vector(F.slice(F.col(emb_col), lo + 1, hi - lo)).alias(
+                "features"
+            )
+        )
+        try:
+            model = KMeans(
+                k=ks, seed=42 + s, maxIter=20, featuresCol="features"
+            ).fit(train)
+        except Exception:
+            dims = (
+                corpus.filter(F.col(emb_col).isNotNull())
+                .groupBy(F.size(F.col(emb_col)).alias("dim"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("dim")
+                .collect()
+            )
+            if len(dims) > 1:
+                raise ValueError(
+                    f"pq_topk: ragged '{emb_col}' dimensions "
+                    f"{[(r['dim'], r['n']) for r in dims]}; embeddings "
+                    "must share one dimension"
+                ) from None
+            raise
+        books.append(
+            np.stack(
+                [
+                    c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+                    for c in model.clusterCenters()
+                ]
+            )
+        )  # ks × (hi-lo)
+
+    def _stack(vals, what: str):
+        try:
+            return np.stack(vals.to_numpy()).astype(np.float64)
+        except ValueError as exc:
+            lens = vals.map(len)
+            raise ValueError(
+                f"pq_topk: ragged {what} lengths "
+                f"{sorted(lens.unique().tolist())} in one batch; "
+                "embeddings must share one dimension"
+            ) from exc
+
+    def _encode(batch: "pd.Series") -> "pd.Series":
+        out: list = [None] * len(batch)
+        mask = batch.notna()
+        if not mask.any():
+            return pd.Series(out)
+        M = _stack(batch[mask], "embedding")
+        codes = np.empty((M.shape[0], m), dtype=np.int32)
+        for s, (lo, hi) in enumerate(bounds):
+            sub = M[:, lo:hi]
+            # argmin |x-c|² = argmin -2xCᵀ + |c|²; ties → lowest code
+            d = sub @ books[s].T * -2.0 + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d, axis=1)
+        for i, c in zip(np.flatnonzero(mask.to_numpy()), codes):
+            out[i] = [int(x) for x in c]
+        return pd.Series(out)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            yield _encode(batch)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def query_lut(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # flat m×ks table of squared L2 distances from the query's
+        # subvector to every codeword — the ADC lookup table
+        for batch in it:
+            out: list = [None] * len(batch)
+            mask = batch.notna()
+            if mask.any():
+                Q = _stack(batch[mask], "query embedding")
+                luts = np.empty((Q.shape[0], m * ks), dtype=np.float64)
+                for s, (lo, hi) in enumerate(bounds):
+                    diff = Q[:, None, lo:hi] - books[s][None, :, :]
+                    luts[:, s * ks : (s + 1) * ks] = (diff**2).sum(axis=2)
+                for i, l in zip(np.flatnonzero(mask.to_numpy()), luts):
+                    out[i] = [float(x) for x in l]
+            yield pd.Series(out)
+
+    # NULL embeddings never become candidates or queries — the same
+    # semantics as the Column-expression paths, made explicit here
+    # because a NULL adc would otherwise sort FIRST in the ascending
+    # shortlist window and displace real candidates
+    c = corpus.withColumn("code", encode(F.col(emb_col))).filter(
+        F.col("code").isNotNull()
+    )
+    q = queries.withColumn("lut", query_lut(F.col(q_emb_col))).filter(
+        F.col("lut").isNotNull()
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"), s * ks + F.element_at(F.col("code"), s + 1) + 1
+        ),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .withColumn("adc", adc)
+    )
+    if shortlist is not None:
+        w_adc = W.partitionBy(q_id_col).orderBy(F.col("adc"), F.col(id_col))
+        scored = scored.withColumn("arank", F.row_number().over(w_adc)).filter(
+            F.col("arank") <= shortlist
+        )
+    reranked = scored.withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cos")
+    )

@@ -1508,13 +1508,13 @@ def _ann_recall(spark: SparkSession, sf_dir: str, algo: str) -> DataFrame:
     approximate top-10 ∩ brute-force top-10 (the brute-force baseline is
     itself oracle-gated by similarity_cosine_topk). Every q_id emits a
     row even at 0 hits (left join from the query set)."""
-    from cql_xmlpipe_spark.operators.similarity import ivf_topk, lsh_topk
+    from cql_xmlpipe_spark.operators.similarity import ivf_topk, lsh_topk, pq_topk
 
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    approx = (lsh_topk if algo == "lsh" else ivf_topk)(e, q, k=10)
+    approx = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[algo](e, q, k=10)
     exact = brute_force_topk(e, q, k=10)
     hits = (
         approx.select("q_id", "vec_id")
@@ -4878,3 +4878,49 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._xmlpipe_cached = [asg]
     return out
+
+
+@_q("similarity_pq_topk", _ann_topk_oracle("pq"))
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via PRODUCT QUANTIZATION + exact re-rank
+    (operators/similarity.py::pq_topk — 4 subspaces × 16 codewords,
+    ADC shortlist 50). Hash-gated against the pinned frozen-run fixture
+    (per-subspace seeded KMeans is deterministic — stability-asserted
+    across shuffle settings before pinning); recall is separately gated
+    by similarity_pq_recall and machinery exactness by the fullprobe
+    twin (shortlist=None ≡ brute force)."""
+    from cql_xmlpipe_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_topk(e, q, k=10)
+
+
+@_q("similarity_pq_fullprobe_topk", _COSINE_ORACLE)
+def similarity_pq_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ machinery under the exact-cosine oracle: with
+    ``shortlist=None`` the ADC stage prunes nothing, so
+    codebook-train → encode → LUT → ADC-score → exact-rerank must
+    reproduce brute-force top-k EXACTLY (same tie-break: cos desc, id).
+    Makes the PQ code path gate-visible end to end; the production
+    shortlist-50 variant above stays fixture-pinned with a live recall
+    gate."""
+    from cql_xmlpipe_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_topk(e, q, k=10, shortlist=None)
+
+
+@_q("similarity_pq_recall", _ann_recall_oracle("pq"))
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the PRODUCTION 4×16 shortlist-50 PQ: per-query recall@10
+    vs live brute force against pinned frozen-run values (per-subspace
+    seeded KMeans — deterministic). Machinery exactness is separately
+    gated by similarity_pq_fullprobe_topk (shortlist=None ≡ brute
+    force)."""
+    return _ann_recall(spark, sf_dir, "pq")

@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from cql_xmlpipe_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from cql_xmlpipe_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    pq_topk,
+)
 from cql_xmlpipe_spark.sources.registry import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -63,11 +68,12 @@ def clustered(spark):
 @pytest.mark.parametrize("impl,kwargs,floor", [
     ("lsh", {}, 0.6),
     ("ivf", {"n_cells": 10, "n_probe": 3}, 0.8),
+    ("pq", {"m": 4, "ks": 8, "shortlist": 40}, 0.8),
 ])
 def test_ann_recall_on_clustered_data(impl, kwargs, floor, clustered):
     e, q = clustered
     truth = _pairs(brute_force_topk(e, q, k=10))
-    fn = lsh_topk if impl == "lsh" else ivf_topk
+    fn = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[impl]
     approx = _pairs(fn(e, q, k=10, **kwargs))
     recall = len(truth & approx) / len(truth)
     assert recall >= floor, f"{impl} recall {recall:.2f} < {floor}"
@@ -79,7 +85,11 @@ def test_ann_runs_on_driver_embeddings(corpus_and_queries):
     """On the real (unclustered) table the contract is shape + validity,
     not recall: rank ≤ k per query, no self-matches, cos within [-1, 1]."""
     e, q = corpus_and_queries
-    for df in (lsh_topk(e, q, k=10), ivf_topk(e, q, k=10, n_cells=8, n_probe=2)):
+    for df in (
+        lsh_topk(e, q, k=10),
+        ivf_topk(e, q, k=10, n_cells=8, n_probe=2),
+        pq_topk(e, q, k=10, m=4, ks=8, shortlist=30),
+    ):
         rows = df.collect()
         assert rows, "ANN returned nothing"
         for r in rows:
@@ -116,4 +126,43 @@ def test_ivf_null_and_ragged_embeddings(spark):
     )
     with pytest.raises(Exception) as ei:
         ivf_topk(ragged, rq, k=2, n_cells=2, n_probe=1).collect()
+    assert "ragged" in str(ei.value)
+
+
+def test_pq_fullprobe_equals_brute_force(clustered):
+    """shortlist=None must reproduce brute force EXACTLY (ranks and
+    cosines, not just the id sets) — the machinery-identity the
+    similarity_pq_fullprobe_topk gate pins on the driver corpus."""
+    e, q = clustered
+    exact = sorted(map(tuple, brute_force_topk(e, q, k=10).collect()))
+    full = sorted(map(tuple, pq_topk(e, q, k=10, m=4, ks=8, shortlist=None).collect()))
+    assert full == exact
+
+
+def test_pq_null_and_ragged_embeddings(spark):
+    """Same NULL/ragged contract as ivf_topk: null vectors are never
+    candidates, null queries yield no rows, raggedness is named."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((40, None))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (1, None)], "q_id long, q_emb array<float>"
+    )
+    got = pq_topk(e, q, k=5, m=2, ks=4, shortlist=10).collect()
+    assert got, "PQ returned nothing for the valid query"
+    assert all(r["q_id"] == 0 for r in got)
+    assert all(r["vec_id"] != 40 for r in got)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0, 0.5]), (2, [1.0, -2.0, 3.0, 0.5]), (3, [1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    rq = spark.createDataFrame(
+        [(0, [1.0, -2.0, 3.0, 0.5])], "q_id long, q_emb array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        pq_topk(ragged, rq, k=2, m=2, ks=2, shortlist=None).collect()
     assert "ragged" in str(ei.value)
