@@ -4821,10 +4821,22 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     int cluster id; a hot cluster is an AQE skew case, and the τ filter
     runs inside the join's codegen. At 100 TB with K ≈ N/5000, the
     per-cluster bill is ~5000² cheap fused dot products."""
+    return _semdedup_core(_planted_embeddings(spark, sf_dir), 8, _SEMDEDUP_TAU)
+
+
+def _semdedup_core(e: DataFrame, n_clusters: int, tau: float) -> DataFrame:
+    """The SemDeDup pipeline over an (vec_id, embedding) frame with the
+    cluster count as a parameter: the gate runs it at the pinned
+    ``n_clusters=8`` (matching the unrolled oracle's ``vec_id < 8``
+    init); the decade measurements (scripts/measure_r12b.py) run it at
+    K ∝ N — the paper's operating point, where cluster size and hence
+    the per-cluster pair bill stay constant as the corpus grows."""
     from cql_xmlpipe_spark.functions.vectors import cosine, norm, sqdist
 
-    e = _planted_embeddings(spark, sf_dir)
-    cent = _kmeans_init_centroids(e)
+    cent = e.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cemb"),
+    )
     for _ in range(2):
         cent = _update_to_centroids(_lloyd_update(e, cent)).localCheckpoint()
     cents = cent.agg(
@@ -4862,7 +4874,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(_SEMDEDUP_TAU))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(tau))
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("kept_by"))
     )
@@ -4924,3 +4936,113 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated by similarity_pq_fullprobe_topk (shortlist=None ≡ brute
     force)."""
     return _ann_recall(spark, sf_dir, "pq")
+
+
+_GOPHER_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n_words,
+             CAST(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(toks) AS alpha_frac,
+             len(list_filter(['the','and','of','to','in','is','that','it',
+                              'for','was'], s -> list_contains(toks, s)))
+               AS n_stop
+      FROM t WHERE len(toks) > 0),
+    mode_w AS (
+      SELECT doc_id, MAX(c) AS max_word
+      FROM (SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+            GROUP BY doc_id, w)
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           b.n_words BETWEEN 50 AND 100000 AS r_wordcount,
+           b.mean_len >= 3.0 AND b.mean_len <= 10.0 AS r_meanlen,
+           b.alpha_frac >= 0.8 AS r_alpha,
+           b.n_stop >= 1 AS r_stop,
+           CAST(m.max_word AS DOUBLE) / b.n_words <= 0.2 AS r_maxword,
+           (b.n_words BETWEEN 50 AND 100000)
+             AND b.mean_len >= 3.0 AND b.mean_len <= 10.0
+             AND b.alpha_frac >= 0.8 AND b.n_stop >= 1
+             AND CAST(m.max_word AS DOUBLE) / b.n_words <= 0.2 AS keep
+    FROM base b JOIN mode_w m USING (doc_id)
+"""
+
+
+@_q("text_gopher_rules", _GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-class rule-based quality FILTER VERDICTS (Rae et al. 2021
+    §A1.1 / the RedPajama-v2 quality-signal recipe, restricted to rules
+    the corpus's lines-free text can express): per document, named
+    booleans for word count ∈ [50, 10⁵], mean word length ∈ [3, 10],
+    ≥80% words containing a letter, ≥1 distinct English stopword (the
+    synthetic corpus's 31-word vocabulary carries only 'the' from the
+    stop inventory — Gopher's ≥2 would be vacuously false), and
+    no single word above 20% of the tokens — plus the conjunction as
+    ``keep``. Emitting per-rule verdicts (not just the final bit) is
+    what makes threshold audits and rule ablations possible downstream.
+
+    Scale shape: every rule but the mode is a per-row Column fold over
+    the token array (zero shuffle); the mode-word rule tokenizes into
+    per-(doc, word) counts — one corpus-sized shuffle with map-side
+    combine, doc_id-keyed max — and joins back on doc_id. At 100 TB
+    this is two scans and one combinable aggregate; no rule looks
+    across documents."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = TX.words(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    n_words = F.size("toks")
+    mean_len = tok_len_sum.cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in TX.LANG_STOPWORDS["en"]]),
+            lambda s: F.array_contains(F.col("toks"), s),
+        )
+    )
+    sig = base.select(
+        "doc_id",
+        "toks",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+    )
+    mode_w = (
+        sig.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_word"))
+    )
+    j = sig.join(mode_w, "doc_id")
+    r_wordcount = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_meanlen = (F.col("mean_len") >= 3.0) & (F.col("mean_len") <= 10.0)
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("n_stop") >= 1
+    r_maxword = F.col("max_word").cast("double") / F.col("n_words") <= 0.2
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_maxword.alias("r_maxword"),
+        (r_wordcount & r_meanlen & r_alpha & r_stop & r_maxword).alias("keep"),
+    )

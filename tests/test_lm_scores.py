@@ -184,3 +184,29 @@ def test_shuffle_shards_contract(spark):
     # balance: md5 is uniform, no shard should be pathologically hot
     sizes = sorted(len(p) for p in by_shard.values())
     assert sizes[-1] <= 3 * max(1, sizes[0])
+
+
+def test_gopher_rules_hand_corpus(spark, tmp_path):
+    """Each rule must trip on a document built to violate exactly it."""
+    import pandas as pd
+
+    filler = "the quick brown fox jumps over lazy dogs near rivers today "
+    good = (filler * 5).strip()  # 50+ words, has 'the', varied
+    rows = [
+        (1, good),  # passes everything
+        (2, "the cat"),  # too short -> r_wordcount False
+        (3, ("spam " * 60 + "the").strip()),  # 'spam' >20% -> r_maxword False
+        (4, good.replace("the", "xx") + " zz"),  # no stopword -> r_stop False
+        (5, ("1 2 3 4 5 " * 12 + "the word").strip()),  # digits -> r_alpha False
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="t", n_chars=0
+    ).to_parquet(tmp_path / "documents.parquet")
+    from cql_xmlpipe_spark.plans.extensions import text_gopher_rules
+
+    got = {r["doc_id"]: r.asDict() for r in text_gopher_rules(spark, str(tmp_path)).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["r_wordcount"] is False and got[2]["keep"] is False
+    assert got[3]["r_maxword"] is False and got[3]["keep"] is False
+    assert got[4]["r_stop"] is False and got[4]["keep"] is False
+    assert got[5]["r_alpha"] is False and got[5]["keep"] is False
