@@ -5046,3 +5046,179 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_maxword.alias("r_maxword"),
         (r_wordcount & r_meanlen & r_alpha & r_stop & r_maxword).alias("keep"),
     )
+
+
+def _power_iter_oracle(n_iter: int) -> str:
+    """Unrolled oracle for ``embedding_top_pc_power``: center by the
+    fixed-point per-dim mean, start from the uniform unit vector, and
+    run ``n_iter`` power iterations. Every arithmetic step is either
+    exact integer math (the quantized cross-row sums), a single
+    correctly-rounded IEEE op (products, divisions, sqrt), or a
+    left-to-right double fold — no transcendentals — so the whole
+    trajectory is bit-identical across engines with no wobble budget."""
+    head = """
+    e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    comp AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+            FROM e)),
+    mu AS (
+      SELECT dim,
+             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000.0) AS m
+      FROM comp GROUP BY dim),
+    d AS (SELECT COUNT(*) AS nd FROM mu),
+    xc AS (
+      SELECT c.vec_id, c.dim, c.x - mu.m AS x
+      FROM comp c JOIN mu USING (dim)),
+    z0 AS (SELECT dim, 1.0 / sqrt(CAST(d.nd AS DOUBLE)) AS z FROM mu, d)
+    """
+    ctes = [head.strip()]
+    for it in range(n_iter):
+        ctes.append(f"""za{it} AS (
+      SELECT list(z ORDER BY dim) AS zl FROM z{it})""")
+        ctes.append(f"""s{it} AS (
+      SELECT xc.vec_id,
+             SUM(xc.x * za.zl[xc.dim + 1]) AS s
+      FROM xc, za{it} za GROUP BY xc.vec_id, za.zl)""")
+        # NOTE: the per-row dot above is a SUM over the row's dims — safe
+        # because DuckDB and Spark both fold the per-(vec, dim) products
+        # in dim order here? NO — cross-engine SUM order is NOT pinned,
+        # so the dot is computed as an ordered list fold instead:
+        ctes[-1] = f"""xr{it} AS (
+      SELECT vec_id, list(x ORDER BY dim) AS xl FROM xc GROUP BY vec_id),
+    s{it} AS (
+      SELECT xr.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(xr.xl) + 1),
+                 i -> xr.xl[i] * za.zl[i])), (a, b) -> a + b) AS s
+      FROM xr{it} xr, za{it} za)"""
+        ctes.append(f"""y{it} AS (
+      SELECT xc.dim,
+             CAST(SUM(CAST(floor(xc.x * s.s * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS y
+      FROM xc JOIN s{it} s USING (vec_id) GROUP BY xc.dim)""")
+        ctes.append(f"""n{it} AS (
+      SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list(y ORDER BY dim), v -> v * v)),
+               (a, b) -> a + b)) AS nz
+      FROM y{it})""")
+        ctes.append(f"""z{it + 1} AS (
+      SELECT y.dim, y.y / n.nz AS z FROM y{it} y, n{it} n)""")
+    last = n_iter - 1
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(y.dim AS INTEGER) AS dim, y.y AS y, z.z AS component
+    FROM y{last} y JOIN z{n_iter} z USING (dim)
+"""
+    )
+
+
+@_q("embedding_top_pc_power", _power_iter_oracle(3))
+def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by POWER ITERATION (3 rounds, centered)
+    — the embedding post-processing primitive behind common-direction
+    removal ("all-but-the-top", Mu & Viswanath 2018) and whitening
+    diagnostics: z ← normalize(Σᵢ xᵢ(xᵢ·z)) over mean-centered vectors,
+    from the uniform unit start. Output: (dim, y, component) — the
+    final unnormalized accumulator and unit component per dimension.
+
+    Why this is hash-exact with NO wobble budget (unlike the ln-based
+    scores): the trajectory uses only exact integer sums (per-(row,dim)
+    contributions quantized to 1e-6 fixed point — the kmeans-centroid
+    device — so cross-row accumulation order can't matter), single
+    correctly-rounded IEEE ops (products, divisions, sqrt), and
+    left-to-right per-row dot folds. Both engines therefore compute
+    bit-identical doubles at every iteration.
+
+    Scale shape per iteration: broadcast the D-element z, one corpus
+    scan computing per-row dots (codegen fold), one (dim)-keyed int64
+    partial-sum shuffle of D rows per task — the same
+    broadcast-out/tiny-agg-back pattern as the kmeans step, linear in
+    corpus size, state is O(D). The tiny z table is localCheckpointed
+    per round to keep lineage flat."""
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    mu = comp.groupBy("dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("m")
+    )
+    mu_arr = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("ml"),
+        F.count(F.lit(1)).alias("nd"),
+    ).localCheckpoint()
+    xc = e.crossJoin(F.broadcast(mu_arr.select("ml"))).select(
+        "vec_id",
+        F.zip_with(
+            "embedding", "ml", lambda x, m: x.cast("double") - m
+        ).alias("xl"),
+    )
+    z_arr = mu_arr.select(
+        F.transform(
+            "ml", lambda _: F.lit(1.0) / F.sqrt(F.col("nd").cast("double"))
+        ).alias("zl")
+    ).localCheckpoint()
+    y = None
+    for _ in range(3):
+        s = xc.crossJoin(F.broadcast(z_arr)).select(
+            "vec_id", "xl", vdot(F.col("xl"), F.col("zl")).alias("s")
+        )
+        y = (
+            s.select("vec_id", "s", F.posexplode("xl").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("x") * F.col("s") * 1e6 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.lit(1e6)
+                ).alias("y")
+            )
+        )
+        z_arr = (
+            y.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "y"))),
+                    lambda st: st["y"],
+                ).alias("yl")
+            )
+            .select(
+                F.transform(
+                    "yl",
+                    lambda v: v
+                    / F.sqrt(
+                        F.aggregate(
+                            F.transform("yl", lambda w: w * w),
+                            F.lit(0.0),
+                            lambda a, b: a + b,
+                        )
+                    ),
+                ).alias("zl")
+            )
+            .localCheckpoint()
+        )
+    zt = (
+        z_arr.select(F.posexplode("zl").alias("dim", "component"))
+        .withColumn("dim", F.col("dim").cast("int"))
+    )
+    return (
+        y.withColumn("dim", F.col("dim").cast("int"))
+        .join(zt, "dim")
+        .select("dim", "y", "component")
+    )

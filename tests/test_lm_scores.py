@@ -210,3 +210,41 @@ def test_gopher_rules_hand_corpus(spark, tmp_path):
     assert got[3]["r_maxword"] is False and got[3]["keep"] is False
     assert got[4]["r_stop"] is False and got[4]["keep"] is False
     assert got[5]["r_alpha"] is False and got[5]["keep"] is False
+
+
+def test_power_iteration_matches_numpy_model(spark):
+    """The engine trajectory must equal an independent numpy
+    re-implementation of the same quantized recurrence (same centering,
+    same init, same 1e-6 fixed-point cross-row sums), and the final
+    component must be unit-norm."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.plans.extensions import embedding_top_pc_power
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    got = {
+        r["dim"]: (r["y"], r["component"])
+        for r in embedding_top_pc_power(spark, SF_SMOKE).collect()
+    }
+    X = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in load_table(spark, "embeddings", SF_SMOKE)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    mu = np.floor(X * 1e6 + 0.5).astype(np.int64).sum(axis=0) / (len(X) * 1e6)
+    Xc = X - mu
+    d = X.shape[1]
+    z = np.full(d, 1.0 / math.sqrt(d))
+    for _ in range(3):
+        s = Xc @ z
+        y = np.floor(Xc * s[:, None] * 1e6 + 0.5).astype(np.int64).sum(axis=0) / 1e6
+        z = y / math.sqrt(float((y * y).sum()))
+    assert set(got) == set(range(d))
+    for i in range(d):
+        assert got[i][0] == pytest.approx(y[i], abs=1e-9)
+        assert got[i][1] == pytest.approx(z[i], abs=1e-9)
+    assert sum(c * c for _, c in got.values()) == pytest.approx(1.0, abs=1e-9)
