@@ -69,7 +69,8 @@ HEADLINE = [
     "dedup_cluster_assign",
     "similarity_cosine_topk",
     "text_quality_scores",
-    "text_langid_heuristic",
+    # text_langid_heuristic (0.454 s) dropped in round 12 (same rule,
+    # text_ family; still in the correctness gate).
     "text_tfidf_top_terms",
     "doc_pack_sequences",
     # round-5 additions: A4 array export, B9 token kernel, and the
@@ -82,7 +83,6 @@ HEADLINE = [
     # round-6 additions: stateful streaming (session windows), paragraph
     # dedup, and the codec-true BMP decode path
     "streaming_session_window",
-    "dedup_paragraphs",
     "multimodal_image_features_codec",
     # round-6 TPC-H completion (plans/tpch.py): the heavier join shapes —
     # bilateral nation pairing, profit rollup, sole-late-supplier
@@ -104,7 +104,10 @@ HEADLINE = [
     "embedding_kmeans_iter3",
     "text_vocab_oov",
     "source_overlap_jaccard",
-    "dedup_prefix_hash_groups",
+    # dedup_prefix_hash_groups (0.347 s) and dedup_paragraphs (0.582 s)
+    # dropped in round 12 by the curation rule: the round-12 additions
+    # crossed the cap and dedup_ is the most-represented family; both
+    # remain in the driver's full correctness gate.
     "dedup_graph_degree",
     "events_user_ewma",
     "streaming_user_profile_state",
@@ -131,6 +134,13 @@ HEADLINE = [
     "dedup_embedding_groups",
     "dedup_minhash_recall_sampled",
     "dedup_embedding_incremental",
+    # round-12 session-2 additions: the PQ ANN variant (the heaviest
+    # similarity timing row — per-subspace KMeans + encode + ADC +
+    # re-rank), the self-trained bigram-LM quality scorer, and SemDeDup
+    # (kmeans + within-cluster cosine pruning on the planted corpus)
+    "similarity_pq_topk",
+    "text_bigram_lm_score",
+    "semdedup_prune",
     # round-11: the embedding-family sampled recall health check and the
     # incremental ROSTER maintenance contract (per-ingest upsert path).
     # Its embedding twin (dedup_embedding_incremental_rosters) is

@@ -4573,8 +4573,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c12.groupBy(
         F.split(F.col("bigram"), " ").getItem(0).alias("w1")
     ).agg(F.sum("c12").alias("c1"))
-    v = toks.select(F.explode("toks").alias("w")).agg(
-        F.countDistinct("w").alias("v")
+    # V = distinct tokens over the >=2-token docs — derived from the
+    # COMPACT bigram-type table, not a second corpus tokenize pass: in a
+    # >=2-token doc every token position lands in a bigram half (first
+    # word or second word), so the union of the halves IS the token set.
+    # The oracle spells the same value from the tokens directly.
+    v = (
+        c12.select(F.explode(F.split(F.col("bigram"), " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
     )
     p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
     typ = (

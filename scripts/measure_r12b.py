@@ -39,7 +39,9 @@ def main() -> int:
         _semdedup_core,
         corpus_shuffle_shards,
         dsir_importance_weights,
+        embedding_top_pc_power,
         text_bigram_lm_score,
+        text_gopher_rules,
     )
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import load_table
@@ -71,6 +73,8 @@ def main() -> int:
         timed("corpus_shuffle_shards", lambda: corpus_shuffle_shards(spark, d))
         timed("text_bigram_lm_score", lambda: text_bigram_lm_score(spark, d))
         timed("dsir_importance_weights", lambda: dsir_importance_weights(spark, d))
+        timed("text_gopher_rules", lambda: text_gopher_rules(spark, d))
+        timed("embedding_top_pc_power", lambda: embedding_top_pc_power(spark, d))
         q = e.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
