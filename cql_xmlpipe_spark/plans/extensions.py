@@ -5308,3 +5308,158 @@ def embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(resid_sq, F.lit(0.0), lambda a, b: a + b)
         ).alias("norm_after"),
     )
+
+
+_HARD_NEG_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+          FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y) / (e.nrm * q.q_nrm) AS cos
+      FROM e, q
+      WHERE e.vec_id <> q.q_id AND e.label <> q.q_label
+        AND e.nrm > 0 AND q.q_nrm > 0)
+    SELECT q_id, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS INTEGER) AS rank, cos
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10
+"""
+
+
+@_q("similarity_hard_negatives", _HARD_NEG_ORACLE)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (the DPR/Contriever
+    recipe): for each query vector, the top-10 most-cosine-similar
+    vectors carrying a DIFFERENT label — the negatives that actually
+    move a contrastive loss, as opposed to random negatives. Exact
+    brute-force form (the verifier); swap the candidate generator for
+    ``pq_topk``/``lsh_topk`` shortlists at corpus scale and keep the
+    label anti-filter on the re-rank — the filter composes with any of
+    the three ANN variants because it runs on the scored candidates.
+
+    Scale shape: identical to ``similarity_cosine_topk`` (broadcast
+    query set, codegen cosine folds, per-query rank window) plus one
+    codegen label predicate — zero additional shuffles. Zero-norm
+    vectors are excluded on both sides (cosine undefined)."""
+    from cql_xmlpipe_spark.functions.vectors import cosine, norm
+
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .filter(norm(F.col("embedding")) > 0)
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .withColumn("cos", cosine(F.col("embedding"), F.col("q_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "rank", "cos")
+    )
+
+
+#: stratum fraction for the kNN label audit — the established md5
+#: device; queries scale by frac, the exact bill by frac·N
+_KNN_AUDIT_FRAC = 0.25
+
+_KNN_LABEL_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+          FROM e
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+                  <= '{DD.stratum_hex_hi(_KNN_AUDIT_FRAC)}'
+            AND nrm > 0),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.label, e.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y) / (e.nrm * q.q_nrm) AS cos
+      FROM e, q WHERE e.vec_id <> q.q_id AND e.nrm > 0),
+    topk AS (
+      SELECT q_id, q_label, label,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+    SELECT q_id, CAST(q_label AS INTEGER) AS label,
+           CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same,
+           CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / 10.0 AS consistency
+    FROM topk WHERE rn <= 10
+    GROUP BY q_id, q_label
+"""
+
+
+@_q("embedding_knn_label_consistency", _KNN_LABEL_ORACLE)
+def embedding_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE AUDIT by kNN consistency (the deep-kNN mislabeling
+    heuristic): for a deterministic md5 stratum of vectors, the fraction
+    of each vector's 10 nearest neighbors (exact cosine) that share its
+    label — rows with near-zero consistency are relabel/review
+    candidates before the dataset trains anything. The stratum is the
+    repo's standard sampling device: membership depends only on vec_id,
+    so the audit is an unbiased sample and the exact bill scales by
+    frac·N, not N².
+
+    Scale shape: the stratum query side broadcasts, the corpus side
+    streams through one codegen cosine scan, and the only shuffle is
+    the per-query rank window on frac·N rows. At full-corpus audits the
+    candidate generator swaps for banded sign-LSH exactly as in the
+    recall gates."""
+    from cql_xmlpipe_spark.functions.vectors import cosine, norm
+
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .filter(norm(F.col("embedding")) > 0)
+    )
+    q = e.filter(DD.stratum_filter("vec_id", _KNN_AUDIT_FRAC)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("embedding"), F.col("q_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    same = F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("q_id", F.col("q_label").alias("label"))
+        .agg(
+            F.sum(same).alias("n_same"),
+            (F.sum(same).cast("double") / F.lit(10.0)).alias("consistency"),
+        )
+    )

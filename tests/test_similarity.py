@@ -166,3 +166,36 @@ def test_pq_null_and_ragged_embeddings(spark):
     with pytest.raises(Exception) as ei:
         pq_topk(ragged, rq, k=2, m=2, ks=2, shortlist=None).collect()
     assert "ragged" in str(ei.value)
+
+
+def test_hard_negatives_never_share_label(spark):
+    from cql_xmlpipe_spark.plans.extensions import similarity_hard_negatives
+
+    rows = similarity_hard_negatives(spark, SF).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, "embeddings", SF).collect()
+    }
+    for r in rows:
+        assert labels[r["q_id"]] != labels[r["vec_id"]]
+        assert 1 <= r["rank"] <= 10 and r["q_id"] != r["vec_id"]
+
+
+def test_knn_label_consistency_contract(spark):
+    from cql_xmlpipe_spark.operators.dedup import stratum_filter
+    from cql_xmlpipe_spark.plans.extensions import (
+        _KNN_AUDIT_FRAC,
+        embedding_knn_label_consistency,
+    )
+
+    rows = embedding_knn_label_consistency(spark, SF).collect()
+    n_stratum = (
+        load_table(spark, "embeddings", SF)
+        .filter(stratum_filter("vec_id", _KNN_AUDIT_FRAC))
+        .count()
+    )
+    assert len(rows) == n_stratum > 0
+    for r in rows:
+        assert 0 <= r["n_same"] <= 10
+        assert r["consistency"] == r["n_same"] / 10.0
