@@ -4837,8 +4837,13 @@ def _semdedup_core(e: DataFrame, n_clusters: int, tau: float) -> DataFrame:
     init); the decade measurements (scripts/measure_r12b.py) run it at
     K ∝ N — the paper's operating point, where cluster size and hence
     the per-cluster pair bill stay constant as the corpus grows."""
-    from cql_xmlpipe_spark.functions.vectors import cosine, norm, sqdist
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+    from cql_xmlpipe_spark.functions.vectors import norm, sqdist
 
+    # the input frame is scanned once per Lloyd round plus once for the
+    # final assignment — persist it so a derived input (the planted
+    # union, a filtered corpus) is computed once, not per scan
+    e = e.persist()
     cent = e.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cemb"),
@@ -4870,17 +4875,42 @@ def _semdedup_core(e: DataFrame, n_clusters: int, tau: float) -> DataFrame:
         )["cid"].alias("cluster_id"),
         "embedding",
     ).persist()
-    el = asg.filter(norm(F.col("embedding")) > 0)
+    # per-vector norms are computed ONCE here, not per pair: the pair
+    # filter below then costs a single dot fold per candidate instead of
+    # three (dot + both norms) — same doubles, the oracle divides the
+    # same per-vector nrm values
+    el = asg.withColumn("nrm", norm(F.col("embedding"))).filter(F.col("nrm") > 0)
+    # SALT the within-cluster pair join: cluster_id alone has only K
+    # distinct keys, so at the gate's pinned K=8 the heavy pair stage
+    # would run on ≤8 tasks no matter how many cores exist. The b side
+    # gets a deterministic bucket (xxhash64(id) mod S), the a side
+    # replicates S× — every pair still forms exactly once (the b row's
+    # bucket decides), parallelism becomes K×S. Production K ∝ N makes
+    # this a no-op-ish safety; at low K it is the difference between 8
+    # and 64 active tasks.
+    n_salt = 8
     a = el.select(
-        "cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
     )
     b = el.select(
-        "cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).cast("int").alias("salt"),
     )
     pruned = (
-        a.join(b, "cluster_id")
+        a.join(b, ["cluster_id", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(tau))
+        .filter(
+            vdot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+            >= F.lit(tau)
+        )
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("kept_by"))
     )
@@ -4894,7 +4924,7 @@ def _semdedup_core(e: DataFrame, n_clusters: int, tau: float) -> DataFrame:
             "kept_by",
         )
     )
-    out._xmlpipe_cached = [asg]
+    out._xmlpipe_cached = [asg, e]
     return out
 
 
@@ -5352,17 +5382,20 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     query set, codegen cosine folds, per-query rank window) plus one
     codegen label predicate — zero additional shuffles. Zero-norm
     vectors are excluded on both sides (cosine undefined)."""
-    from cql_xmlpipe_spark.functions.vectors import cosine, norm
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+    from cql_xmlpipe_spark.functions.vectors import norm
 
     e = (
         load_table(spark, "embeddings", sf_dir)
         .filter(F.col("embedding").isNotNull())
-        .filter(norm(F.col("embedding")) > 0)
+        .withColumn("nrm", norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
     )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -5370,7 +5403,11 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") != F.col("q_id"))
             & (F.col("label") != F.col("q_label"))
         )
-        .withColumn("cos", cosine(F.col("embedding"), F.col("q_emb")))
+        .withColumn(
+            "cos",
+            vdot(F.col("embedding"), F.col("q_emb"))
+            / (F.col("nrm") * F.col("q_nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -5435,22 +5472,29 @@ def embedding_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFra
     the per-query rank window on frac·N rows. At full-corpus audits the
     candidate generator swaps for banded sign-LSH exactly as in the
     recall gates."""
-    from cql_xmlpipe_spark.functions.vectors import cosine, norm
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+    from cql_xmlpipe_spark.functions.vectors import norm
 
     e = (
         load_table(spark, "embeddings", sf_dir)
         .filter(F.col("embedding").isNotNull())
-        .filter(norm(F.col("embedding")) > 0)
+        .withColumn("nrm", norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
     )
     q = e.filter(DD.stratum_filter("vec_id", _KNN_AUDIT_FRAC)).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", cosine(F.col("embedding"), F.col("q_emb")))
+        .withColumn(
+            "cos",
+            vdot(F.col("embedding"), F.col("q_emb"))
+            / (F.col("nrm") * F.col("q_nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     same = F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
