@@ -186,70 +186,73 @@ if _only:
 #: run; BASELINE.md). Used ONLY as the stall-detection threshold —
 #: never reported as results. Covers all 61 headline queries.
 RECORDS = {
-    "corpus_mix_resample": 0.463,
+    "corpus_mix_resample": 0.4,
     "dedup_cluster_assign": 3.575,
-    "dedup_embedding_groups": 3.4,
-    "dedup_embedding_incremental": 1.0,
+    "dedup_embedding_groups": 2.4,
+    "dedup_embedding_incremental": 0.8,
     "dedup_embedding_recall_sampled": 3.923,
-    "dedup_incremental_rosters": 14.538,
     "dedup_exact_hash_groups": 0.212,
-    "dedup_graph_degree": 4.158,
-    "dedup_incremental_probe": 3.444,
-    "dedup_minhash_groups": 5.3,
+    "dedup_graph_degree": 4.0,
+    "dedup_incremental_probe": 3.4,
+    "dedup_incremental_rosters": 13.1,
+    "dedup_minhash_groups": 4.4,
     "dedup_minhash_lsh": 2.82,
-    "dedup_minhash_recall_sampled": 7.9,
+    "dedup_minhash_recall_sampled": 6.8,
     "dedup_ngram_jaccard": 3.841,
     "dedup_paragraphs": 0.582,
     "dedup_prefix_hash_groups": 0.347,
-    "dedup_survivor_selection": 5.528,
+    "dedup_survivor_selection": 5.3,
     "distinct_counts": 0.613,
-    "doc_id_sdbm_customer": 0.302,
+    "doc_id_sdbm_customer": 0.3,
     "doc_pack_sequences": 0.287,
-    "embedding_kmeans_iter3": 1.449,
-    "embedding_kmeans_step": 0.616,
-    "events_cohort_retention": 0.526,
-    "events_funnel_conversion": 0.561,
-    "events_interarrival_histogram": 0.518,
-    "events_peak_concurrency": 0.876,
+    "embedding_kmeans_iter3": 1.3,
+    "embedding_kmeans_step": 0.6,
+    "events_cohort_retention": 0.5,
+    "events_funnel_conversion": 0.5,
+    "events_interarrival_histogram": 0.5,
+    "events_peak_concurrency": 0.8,
     "events_session_paths": 0.761,
     "events_sessionize": 0.388,
-    "events_type_transitions": 0.555,
+    "events_type_transitions": 0.5,
     "events_user_ewma": 0.415,
-    "events_value_outliers": 0.502,
+    "events_value_outliers": 0.5,
     "multimodal_image_features_codec": 1.528,
-    "outer_join_order_distribution": 0.432,
+    "outer_join_order_distribution": 0.4,
     "phrase_search_postings": 0.593,
     "q17_small_quantity_revenue": 0.846,
     "q1_pricing_summary": 1.021,
-    "q21_late_suppliers": 1.338,
-    "q2_min_cost_supplier": 1.48,
-    "q3_shipping_priority": 0.612,
+    "q21_late_suppliers": 1.3,
+    "q2_min_cost_supplier": 1.3,
+    "q3_shipping_priority": 0.6,
     "q5_local_supplier_volume": 0.696,
-    "q7_volume_shipping": 0.812,
+    "q7_volume_shipping": 0.8,
     "q8_market_share": 1.274,
-    "q9_product_profit": 0.81,
-    "similarity_cosine_topk": 0.52,
-    "source_overlap_jaccard": 2.664,
-    "streaming_session_window": 1.435,
-    "streaming_session_window_append": 2.018,
+    "q9_product_profit": 0.8,
+    "semdedup_prune": 6.5,
+    "similarity_cosine_topk": 0.5,
+    "similarity_pq_topk": 4.4,
+    "source_overlap_jaccard": 2.5,
+    "streaming_session_window": 1.3,
+    "streaming_session_window_append": 1.9,
     "streaming_tumbling_window": 1.399,
-    "streaming_user_profile_state": 1.613,
-    "streaming_watermark_dedup": 1.553,
+    "streaming_user_profile_state": 1.5,
+    "streaming_watermark_dedup": 1.5,
+    "text_bigram_lm_score": 2.1,
     "text_crossdoc_ngram_dup": 2.711,
-    "text_decontaminate_eval_overlap": 1.672,
-    "text_lang_confusion": 0.661,
+    "text_decontaminate_eval_overlap": 1.6,
+    "text_lang_confusion": 0.6,
     "text_langid_heuristic": 0.454,
-    "text_quality_scores": 0.507,
+    "text_quality_scores": 0.5,
     "text_repetition_scores": 1.698,
-    "text_term_cooccurrence": 1.234,
+    "text_term_cooccurrence": 1.2,
     "text_tfidf_top_terms": 0.849,
-    "text_vocab_oov": 1.448,
+    "text_vocab_oov": 1.4,
     "token_orders_murmur3": 0.36,
     "topk_orders": 0.165,
     "variant_extraction_events": 0.464,
     "window_running_revenue": 0.444,
-    "window_top3_orders_per_customer": 0.403,
-    "xmlpipe_embeddings_export": 0.281,
+    "window_top3_orders_per_customer": 0.4,
+    "xmlpipe_embeddings_export": 0.2,
     "xmlpipe_lineitem_export": 1.925,
     "xmlpipe_orders_export": 0.546,
 }
