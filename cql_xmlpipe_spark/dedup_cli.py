@@ -36,6 +36,10 @@ Contracts:
   deduped per micro-batch against the standing corpus
   (``availableNow`` termination; ``--out`` collects one
   ``batch=<id>`` partition per micro-batch)
+* ``semdedup``         — SemDeDup semantic pruning verdicts
+                         (kmeans K = --n-clusters, then within-cluster
+                         keep-first cosine pruning at --threshold;
+                         linear output, no cap)
 * ``stream-rosters`` / ``embedding-stream-rosters`` — the STREAMING
   roster maintenance: each micro-batch folds into standing rosters
   under ``--state`` (``--snapshot delta`` = the per-ingest upsert
@@ -65,6 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
             "embedding-incremental-rosters",
             "stream-probe", "embedding-stream-probe",
             "stream-rosters", "embedding-stream-rosters",
+            "semdedup",
         ],
     )
     p.add_argument("--data-dir", required=True, help="directory of <table>.parquet")
@@ -83,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=None,
                    help="default: 0.5 (Jaccard) / 0.95 (cosine)")
     p.add_argument("--k", type=int, default=3, help="shingle width (text contracts)")
+    p.add_argument(
+        "--n-clusters", type=int, default=8,
+        help="semdedup only: kmeans cluster count — scale it with the "
+        "corpus (K ~ N/500) so the within-cluster pair bill stays flat",
+    )
     p.add_argument(
         "--rosters-dir",
         default=None,
@@ -352,6 +362,20 @@ def main(argv: list[str] | None = None) -> int:
         elif args.contract == "groups":
             result = DD.minhash_groups_collapsed(
                 df, args.text_col, id_col, threshold, args.k
+            )
+        elif args.contract == "semdedup":
+            # the SemDeDup core lives with the other kmeans plumbing in
+            # plans/extensions; the pipeline expects (vec_id, embedding)
+            from cql_xmlpipe_spark.plans.extensions import _semdedup_core
+            from pyspark.sql import functions as F
+
+            result = _semdedup_core(
+                df.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(args.emb_col).alias("embedding"),
+                ),
+                args.n_clusters,
+                threshold,
             )
         elif args.contract == "embedding-pairs":
             result = DD.embedding_near_dup_pairs(

@@ -5507,3 +5507,50 @@ def embedding_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFra
             (F.sum(same).cast("double") / F.lit(10.0)).alias("consistency"),
         )
     )
+
+
+_CCNET_BUCKETS_ORACLE = f"""
+    WITH scored AS ({_BIGRAM_LM_ORACLE}),
+    lg AS (SELECT doc_id, lang FROM documents),
+    pr AS (
+      SELECT s.doc_id, lg.lang, s.ce_nats,
+             PERCENT_RANK() OVER (PARTITION BY lg.lang
+                  ORDER BY s.ce_nats, s.doc_id) AS p
+      FROM scored s JOIN lg USING (doc_id))
+    SELECT doc_id, lang, ce_nats,
+           CASE WHEN p < 1.0/3.0 THEN 'head'
+                WHEN p < 2.0/3.0 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM pr
+"""
+
+
+@_q("text_ccnet_buckets", _CCNET_BUCKETS_ORACLE)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet SPLIT itself (Wenzek et al. 2020): per language, rank
+    documents by their bigram-LM cross-entropy and cut into
+    head/middle/tail terciles — head = most fluent third (what CCNet
+    keeps for pretraining), tail = the noise third. Composes
+    ``text_bigram_lm_score`` with a per-language percent_rank window;
+    the tercile boundaries are the exact CCNet recipe with the LM
+    self-trained instead of shipped.
+
+    Determinism: percent_rank is (rank−1)/(n−1) over a fully-ordered
+    (ce_nats, doc_id) sort — a rational of integers, bit-identical
+    cross-engine; the 1/3 and 2/3 literals are the same doubles in
+    both. Scale shape: the LM scoring plan plus ONE lang-keyed window
+    (languages are few and large — a per-language sort, the same
+    shape as `quality_percentile_filter`)."""
+    scored = text_bigram_lm_score(spark, sf_dir)
+    lg = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("ce_nats", "doc_id")
+    pr = scored.join(lg, "doc_id").withColumn("p", F.percent_rank().over(w))
+    return pr.select(
+        "doc_id",
+        "lang",
+        "ce_nats",
+        F.when(F.col("p") < 1.0 / 3.0, "head")
+        .when(F.col("p") < 2.0 / 3.0, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

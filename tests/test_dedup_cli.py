@@ -317,3 +317,33 @@ def test_cli_embedding_stream_rosters_contract(spark, tmp_path, capsys):
         for r in read_rosters(spark, state).collect()
     }
     assert got == {(0, (0, 100)), (1, (1, 101)), (2, (2, 102))}
+
+
+def test_cli_semdedup_contract(spark, tmp_path, capsys):
+    """semdedup verdicts through the CLI: a planted duplicate vector in
+    the corpus must be pruned by its lower-id twin; unique directions
+    survive; output parquet carries the audit schema."""
+    import pandas as pd
+
+    rng = __import__("random").Random(11)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in v], i % 3))
+    rows.append((100, rows[0][1], 0))  # exact duplicate of vec 0
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        d / "embeddings.parquet"
+    )
+    out = str(tmp_path / "verdicts")
+    rc = main([
+        "--contract", "semdedup", "--data-dir", str(d),
+        "--n-clusters", "4", "--out", out,
+    ])
+    assert rc == 0 and "wrote" in capsys.readouterr().out
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {*range(40), 100}
+    assert got[100]["is_pruned"] and got[100]["kept_by"] == 0
+    assert not got[0]["is_pruned"]
+    assert sum(1 for r in got.values() if r["is_pruned"]) == 1
