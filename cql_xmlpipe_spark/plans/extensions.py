@@ -8,6 +8,7 @@ rows-only driver checks plus model-based unit tests in tests/.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -5554,3 +5555,180 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+#: WordPiece-style vocabulary: every single character present in the
+#: corpus (guarantees total coverage and greedy progress) plus the
+#: top-64 most-frequent substrings of length 2..4, frequency weighted
+#: by word occurrence count; ties broken by substring. Greedy
+#: longest-match-first with max piece length 4.
+_WP_TOP_SUBS = 64
+_WP_MAX_LEN = 4
+
+_WORDPIECE_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i AS wpos, toks[i] AS w
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+    wt AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    chars AS (
+      SELECT DISTINCT substring(w, i, 1) AS piece
+      FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wt)),
+    subs AS (
+      SELECT substring(w, pr.i, pr.l) AS piece, SUM(cnt) AS c
+      FROM (
+        SELECT w, cnt,
+               unnest(flatten(list_transform(range(2, {_WP_MAX_LEN} + 1),
+                 l -> list_transform(range(1, len(w) - l + 2),
+                        i -> {{'l': l, 'i': i}})))) AS pr
+        FROM wt)
+      GROUP BY piece),
+    top_subs AS (
+      SELECT piece FROM subs
+      QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, piece) <= {_WP_TOP_SUBS}),
+    vocab AS (SELECT piece FROM chars UNION SELECT piece FROM top_subs),
+    cand AS (
+      SELECT w, pr.i AS pos, pr.l AS l, substring(w, pr.i, pr.l) AS piece
+      FROM (
+        SELECT w,
+               unnest(flatten(list_transform(range(1, {_WP_MAX_LEN} + 1),
+                 l -> list_transform(range(1, len(w) - l + 2),
+                        i -> {{'l': l, 'i': i}})))) AS pr
+        FROM wt)),
+    best AS (
+      SELECT w, pos, l, piece FROM (
+        SELECT c.w, c.pos, c.l, c.piece,
+               ROW_NUMBER() OVER (PARTITION BY c.w, c.pos
+                    ORDER BY c.l DESC) AS rn
+        FROM cand c JOIN vocab v USING (piece))
+      WHERE rn = 1),
+    reach AS (
+      SELECT w, 1 AS pos FROM wt
+      UNION ALL
+      SELECT b.w, b.pos + b.l FROM reach r
+      JOIN best b ON b.w = r.w AND b.pos = r.pos),
+    ws AS (
+      SELECT b.w, array_to_string(list(b.piece ORDER BY b.pos), ' ')
+               AS pieces_str,
+             CAST(COUNT(*) AS INTEGER) AS n_pieces
+      FROM reach r JOIN best b ON b.w = r.w AND b.pos = r.pos
+      GROUP BY b.w)
+    SELECT tok.doc_id,
+           CAST(SUM(ws.n_pieces) AS BIGINT) AS n_wordpieces,
+           md5(string_agg(ws.pieces_str, ' ' ORDER BY tok.wpos)) AS pieces_md5
+    FROM tok JOIN ws USING (w)
+    GROUP BY tok.doc_id
+"""
+
+
+@_q("text_wordpiece_tokenize", _WORDPIECE_ORACLE)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-STYLE TOKENIZATION, self-contained: build a
+    deterministic subword vocabulary from the corpus itself (every
+    character + the top-64 length-2..4 substrings by occurrence-weighted
+    frequency), then segment every word by greedy longest-match-first —
+    the inference-time algorithm of WordPiece/BERT tokenizers (Wu et
+    al. 2016), with the vocab derived instead of shipped. Output per
+    document: subword token count and an md5 fingerprint of the full
+    in-order piece stream (the compact hash-comparable form of the
+    token sequence).
+
+    The segmentation itself runs over the WORD-TYPE table, not the
+    corpus: greedy matching is inherently sequential per word, so it is
+    an Arrow-batched pandas UDF (the zlib_bytes precedent — the hot
+    loop is tight Python string slicing over each unique word once),
+    with the ≤100-piece vocab carried in the closure. The oracle
+    re-derives everything in SQL: the vocab CTEs, per-(word, position)
+    longest-match via a rank window, and the greedy CHAIN as a
+    recursive CTE over precomputed best-piece steps (each reached
+    position has exactly one successor, so the recursion is the
+    segmentation). Pure string/integer ops end to end — hash-exact with
+    no float involved anywhere.
+
+    Scale shape: tokenize once into (doc, pos, word) — the corpus-sized
+    spine; everything vocabulary-ish (types, vocab, segmentation) is
+    type-table-sized; the piece results join back on the word key and
+    the per-doc fingerprint is one (doc_id)-keyed ordered aggregation.
+    At 100 TB the type table is ~10⁸ rows segmented once — the whole
+    point of typing before segmenting."""
+    from pyspark.sql import types as T
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", TX.words(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tok = toks.select("doc_id", F.posexplode("toks").alias("wpos0", "w"))
+    wt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = wt.persist()
+    chars = (
+        wt.select(
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"), "w"
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(1)).alias("piece"))
+        .distinct()
+    )
+    sub_rows = wt.select(
+        "w",
+        "cnt",
+        F.explode(F.sequence(F.lit(2), F.lit(_WP_MAX_LEN))).alias("l"),
+    ).select(
+        "w",
+        "cnt",
+        "l",
+        F.explode(
+            F.when(
+                F.length("w") - F.col("l") + 1 >= 1,
+                F.sequence(F.lit(1), F.length("w") - F.col("l") + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    subs = sub_rows.select(
+        F.col("w").substr(F.col("i"), F.col("l")).alias("piece"), "cnt"
+    ).groupBy("piece").agg(F.sum("cnt").alias("c"))
+    top_subs = subs.orderBy(F.col("c").desc(), "piece").limit(_WP_TOP_SUBS)
+    vocab = chars.union(top_subs.select("piece")).distinct()
+    pieces = {r["piece"] for r in vocab.collect()}  # ≤ alphabet + 64 rows
+    max_len = _WP_MAX_LEN
+
+    @F.pandas_udf(T.StringType())
+    def segment(s: pd.Series) -> pd.Series:
+        def seg(w: str) -> str:
+            out, pos, n = [], 0, len(w)
+            while pos < n:
+                for l in range(min(max_len, n - pos), 0, -1):
+                    p = w[pos : pos + l]
+                    if p in pieces:
+                        out.append(p)
+                        pos += l
+                        break
+            return " ".join(out)
+
+        return s.map(seg)
+
+    ws = wt.select(
+        "w", segment(F.col("w")).alias("pieces_str")
+    ).withColumn("n_pieces", F.size(F.split("pieces_str", " ")))
+    out = (
+        tok.join(ws, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").cast("long").alias("n_wordpieces"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("wpos0", "pieces_str"))
+                        ),
+                        lambda s: s["pieces_str"],
+                    ),
+                )
+            ).alias("pieces_md5"),
+        )
+    )
+    out._xmlpipe_cached = [wt]
+    return out

@@ -278,3 +278,68 @@ def test_remove_top_pc_pythagoras(spark):
     for i in ids:
         proj, after = got[i]
         assert proj * proj + after * after == pytest.approx(cn[i], rel=1e-9)
+
+
+def test_wordpiece_hand_model(spark, tmp_path):
+    """Greedy longest-match against a transparent model corpus: repeated
+    substrings enter the vocab and long words split on them; rare long
+    words fall back through shorter pieces down to single chars."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = [
+        (1, "abcd abcd abcd abcd"),   # 'abcd' frequent -> one piece
+        (2, "abcdabcd"),              # splits as abcd+abcd
+        (3, "zzzz qqq"),              # zzzz/qqq frequent enough via subs
+        (4, "xyabcdyx"),              # mixes rare chars with the hot sub
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="t", n_chars=0
+    ).to_parquet(tmp_path / "documents.parquet")
+    from cql_xmlpipe_spark.plans.extensions import (
+        _WP_MAX_LEN,
+        _WP_TOP_SUBS,
+        text_wordpiece_tokenize,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_wordpieces"], r["pieces_md5"])
+        for r in text_wordpiece_tokenize(spark, str(tmp_path)).collect()
+    }
+    # independent python model
+    from collections import Counter
+
+    words = [w for _, t in rows for w in t.split()]
+    wt = Counter(words)
+    chars = {c for w in wt for c in w}
+    subs: Counter = Counter()
+    for w, cnt in wt.items():
+        for l in range(2, _WP_MAX_LEN + 1):
+            for i in range(len(w) - l + 1):
+                subs[w[i : i + l]] += cnt
+    top = {
+        p
+        for p, _ in sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_WP_TOP_SUBS
+        ]
+    }
+    vocab = chars | top
+
+    def seg(w):
+        out, pos = [], 0
+        while pos < len(w):
+            for l in range(min(_WP_MAX_LEN, len(w) - pos), 0, -1):
+                if w[pos : pos + l] in vocab:
+                    out.append(w[pos : pos + l])
+                    pos += l
+                    break
+        return out
+
+    for doc_id, text in rows:
+        ps = [p for w in text.split() for p in seg(w)]
+        stream = " ".join(" ".join(seg(w)) for w in text.split())
+        md5 = hashlib.md5(stream.encode()).hexdigest()
+        assert got[doc_id] == (len(ps), md5), (doc_id, stream)
+    # the hot substring segments doc 2 into exactly two pieces
+    assert got[2][0] == 2
