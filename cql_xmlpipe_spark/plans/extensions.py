@@ -5473,16 +5473,25 @@ def embedding_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFra
     the per-query rank window on frac·N rows. At full-corpus audits the
     candidate generator swaps for banded sign-LSH exactly as in the
     recall gates."""
+    return _knn_label_consistency(
+        load_table(spark, "embeddings", sf_dir), _KNN_AUDIT_FRAC
+    )
+
+
+def _knn_label_consistency(emb: DataFrame, frac: float) -> DataFrame:
+    """The audit pipeline with the stratum fraction as a parameter: the
+    gate pins 25%; production (and the decade measurements) run ~0.1-1%
+    — the exact bill is frac·N² dot folds, so frac is THE cost knob."""
     from cql_xmlpipe_spark.functions.vectors import dot as vdot
     from cql_xmlpipe_spark.functions.vectors import norm
 
     e = (
-        load_table(spark, "embeddings", sf_dir)
+        emb
         .filter(F.col("embedding").isNotNull())
         .withColumn("nrm", norm(F.col("embedding")))
         .filter(F.col("nrm") > 0)
     )
-    q = e.filter(DD.stratum_filter("vec_id", _KNN_AUDIT_FRAC)).select(
+    q = e.filter(DD.stratum_filter("vec_id", frac)).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
