@@ -5741,3 +5741,75 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._xmlpipe_cached = [wt]
     return out
+
+
+_LM_HOLDOUT_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+    t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    tr AS (SELECT doc_id, toks FROM t2 WHERE doc_id % 5 <> 0),
+    ho AS (SELECT doc_id, toks FROM t2 WHERE doc_id % 5 = 0),
+    trbg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tr),
+    c12 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM trbg GROUP BY bigram),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY string_split(bigram, ' ')[1]),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM tr)),
+    hobg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM ho),
+    hodoc AS (
+      SELECT doc_id, bigram, COUNT(*) AS dcnt FROM hobg GROUP BY doc_id, bigram),
+    typ AS (
+      SELECT h.doc_id, h.dcnt,
+             CAST(floor((-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                              / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nllq,
+             CASE WHEN c12.bigram IS NULL THEN h.dcnt ELSE 0 END AS oov
+      FROM hodoc h
+      LEFT JOIN c12 ON h.bigram = c12.bigram
+      LEFT JOIN c1 ON string_split(h.bigram, ' ')[1] = c1.w1, v)
+    SELECT doc_id,
+           CAST(SUM(dcnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(oov) AS BIGINT) AS n_oov_bigrams,
+           CAST(SUM(dcnt * nllq) AS DOUBLE)
+             / (CAST(SUM(dcnt) AS BIGINT) * 1000000.0) AS ce_nats
+    FROM typ GROUP BY doc_id
+"""
+
+
+@_q("text_bigram_lm_score_holdout", _LM_HOLDOUT_ORACLE)
+def text_bigram_lm_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN-LM production shape of ``text_bigram_lm_score``: train
+    the add-one bigram LM on the standing slice (``doc_id % 5 != 0``)
+    and score the HELD-OUT slice (``% 5 == 0``) against it — what a
+    recurring-crawl quality gate actually runs (the LM is fit once per
+    corpus release, new data is scored against it). Unseen bigrams and
+    unseen contexts take c=0 under the same smoothing — the OOV path
+    the self-scored gate can never exercise — and ``n_oov_bigrams``
+    reports how far out-of-distribution each new doc is.
+
+    Scale shape: identical to the self-scored operator (type-table LM,
+    compact join keys) except the scoring side is BATCH-sized, not
+    corpus-sized — the per-ingest cost law of the incremental dedup
+    family, applied to quality scoring. The streaming composition
+    (``streaming/lm.py``) stages these LM tables once and scores every
+    micro-batch through the same helper."""
+    d = load_table(spark, "documents", sf_dir)
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    holdout = d.filter(F.col("doc_id") % 5 == 0)
+    from cql_xmlpipe_spark.streaming.lm import score_docs_with_lm, stage_bigram_lm
+
+    lm = stage_bigram_lm(train)
+    out = score_docs_with_lm(lm, holdout)
+    out._xmlpipe_cached = [*getattr(out, "_xmlpipe_cached", []), *lm[:2]]
+    return out

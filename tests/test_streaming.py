@@ -1008,3 +1008,91 @@ def test_list_child_ids_skips_junk_dirs(spark, tmp_path):
     # the junk (v=-1 present, so no rebuild)
     sink2 = roster_maintenance_sink(corpus, str(state), threshold=0.35, k=3)
     sink2.close()
+
+
+def test_streaming_lm_score_equals_batch(spark, tmp_path):
+    """The frozen-LM scoring sink: micro-batches scored against the
+    once-staged corpus LM must union to exactly the all-at-once scoring
+    of the whole increment (scores depend only on the doc's own bigrams
+    and the frozen tables). Also exercises the OOV path: batch docs
+    carry bigrams the corpus LM never saw."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from cql_xmlpipe_spark.streaming.lm import (
+        lm_score_sink,
+        score_docs_with_lm,
+        stage_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat near the cat"),
+            (2, "the dog ran to the mat and the dog sat"),
+            (3, "a bird flew over the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    batches = [
+        [(100, "the cat sat"), (101, "totally novel words here")],  # OOV-heavy
+        [(102, "the dog sat on the mat"), (103, "the mat")],
+        [(104, "quantum flux capacitors hum")],
+    ]
+    src = tmp_path / "lm_src"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = str(src / f"part-{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (now - 300 + 100 * i, now - 300 + 100 * i))
+
+    out = str(tmp_path / "scores_out")
+    sink = lm_score_sink(corpus, out)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    sink.close()
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_oov_bigrams"], r["ce_nats"])
+        for r in spark.read.parquet(out).collect()
+    }
+    increment = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    lm = stage_bigram_lm(corpus)
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["n_oov_bigrams"], r["ce_nats"])
+        for r in score_docs_with_lm(lm, increment).collect()
+    }
+    for fr in lm[:2]:
+        fr.unpersist()
+    assert got == want
+    # the all-novel docs are fully OOV; corpus-phrased docs are not
+    assert got[101][1] == got[101][0] > 0
+    assert got[104][1] == got[104][0] > 0
+    assert got[102][1] < got[102][0]
+    # OOV-heavy docs score strictly worse (higher ce) than in-LM docs
+    assert got[101][2] > got[102][2]
