@@ -5813,3 +5813,62 @@ def text_bigram_lm_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = score_docs_with_lm(lm, holdout)
     out._xmlpipe_cached = [*getattr(out, "_xmlpipe_cached", []), *lm[:2]]
     return out
+
+
+_DECONTAM_FUZZY_ORACLE = f"""
+    WITH {_lsh_band_ctes(0.5)},
+    cross_cand AS (
+      SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.key = b.key
+       AND a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0),
+    cross_pairs AS (
+      SELECT c.train_id, c.eval_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
+      FROM cross_cand c
+      JOIN sh a ON c.train_id = a.doc_id
+      JOIN sh b ON c.eval_id = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.5)
+    SELECT train_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+           MAX(jaccard) AS max_jaccard,
+           MIN(eval_id) AS first_eval_id
+    FROM cross_pairs
+    GROUP BY train_id
+"""
+
+
+@_q("text_decontaminate_fuzzy", _DECONTAM_FUZZY_ORACLE)
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate companion of
+    ``text_decontaminate_eval_overlap``: exact 8-gram overlap misses a
+    training doc that paraphrases or lightly edits an eval item, but
+    MinHash near-dup detection at J ≥ 0.5 catches it. Training docs
+    (``doc_id % 4 != 0`` — the same split as the exact gate) are probed
+    against the eval slice through the asymmetric banded-LSH join
+    (``incremental_probe_pairs`` with the eval slice as the standing
+    corpus — no train×train or eval×eval candidates), then flagged docs
+    aggregate to (n_eval_matches, max_jaccard, first_eval_id) — linear
+    output, one row per contaminated training doc.
+
+    Scale shape: identical to the incremental-ingest probe — the eval
+    set indexes once (it is tiny next to training data), the training
+    side streams through the band-key join, and at 100 TB this is the
+    standard decontamination pass the exact-overlap filter runs next
+    to."""
+    d = load_table(spark, "documents", sf_dir)
+    eval_slice = d.filter(F.col("doc_id") % 4 == 0)
+    train = d.filter(F.col("doc_id") % 4 != 0)
+    pairs = DD.incremental_probe_pairs(eval_slice, train, threshold=0.5)
+    return (
+        pairs.groupBy(F.col("inc_id").alias("train_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.min("corpus_id").alias("first_eval_id"),
+        )
+    )
