@@ -5555,7 +5555,7 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lg = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy("ce_nats", "doc_id")
     pr = scored.join(lg, "doc_id").withColumn("p", F.percent_rank().over(w))
-    return pr.select(
+    out = pr.select(
         "doc_id",
         "lang",
         "ce_nats",
@@ -5564,6 +5564,10 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+    # the scoring stage's persisted doc-bigram table rides this query's
+    # cleanup hook (aggregating on top of scored would otherwise drop it)
+    out._xmlpipe_cached = getattr(scored, "_xmlpipe_cached", [])
+    return out
 
 
 #: WordPiece-style vocabulary: every single character present in the
@@ -5864,11 +5868,11 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_slice = d.filter(F.col("doc_id") % 4 == 0)
     train = d.filter(F.col("doc_id") % 4 != 0)
     pairs = DD.incremental_probe_pairs(eval_slice, train, threshold=0.5)
-    return (
-        pairs.groupBy(F.col("inc_id").alias("train_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_eval_matches"),
-            F.max("jaccard").alias("max_jaccard"),
-            F.min("corpus_id").alias("first_eval_id"),
-        )
+    out = pairs.groupBy(F.col("inc_id").alias("train_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("corpus_id").alias("first_eval_id"),
     )
+    # keep the probe's staged-index persists on this query's cleanup hook
+    out._xmlpipe_cached = getattr(pairs, "_xmlpipe_cached", [])
+    return out
