@@ -5876,3 +5876,61 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep the probe's staged-index persists on this query's cleanup hook
     out._xmlpipe_cached = getattr(pairs, "_xmlpipe_cached", [])
     return out
+
+
+_CLUSTER_SAFE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {_lsh_band_ctes(0.5)},
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.w AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.v
+    ),
+    lab AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT v AS doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND '7'
+                THEN 'train' ELSE 'dev' END AS split
+    FROM lab
+"""
+
+
+@_q("dataset_split_cluster_safe", _CLUSTER_SAFE_SPLIT_ORACLE)
+def dataset_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-PROOF train/dev splitting — the fix for what
+    ``dataset_split_leakage`` detects: the split key is the NEAR-DUP
+    FAMILY (connected components over exact-Jaccard-verified pairs at
+    J ≥ 0.5), not the document, so a family can never straddle the
+    split — near-duplicates of a dev doc cannot leak into train by
+    construction, where the naive md5(doc_id) rule provably leaks on
+    sf0.1's duplicate groups. Same portable hash rule as the audit
+    (first md5 hex digit in 0-7 → train, ~50%), applied to the family's
+    min-id label; singletons are their own family, so unclustered docs
+    split exactly like the naive rule.
+
+    Scale shape: rides the full dedup cluster-assignment pipeline
+    (banded LSH candidates → exact verify → CC over bare longs — the
+    deliberate staging cost measured volume-flat at the decades), then
+    one md5 over the label. Splitting by family is the standard remedy
+    (Lee et al. 2022 §5): dedup-aware eval requires the split to
+    respect the duplicate graph."""
+    d = load_table(spark, "documents", sf_dir)
+    ca = DD.cluster_assign_collapsed(d, threshold=0.5, k=3)
+    out = ca.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1).between(
+                "0", "7"
+            ),
+            "train",
+        )
+        .otherwise("dev")
+        .alias("split"),
+    )
+    out._xmlpipe_cached = getattr(ca, "_xmlpipe_cached", [])
+    return out

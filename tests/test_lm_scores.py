@@ -343,3 +343,38 @@ def test_wordpiece_hand_model(spark, tmp_path):
         assert got[doc_id] == (len(ps), md5), (doc_id, stream)
     # the hot substring segments doc 2 into exactly two pieces
     assert got[2][0] == 2
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """At sf0.1 (which has real duplicate families) the family-keyed
+    split puts every cluster wholly on one side, while the naive
+    md5(doc_id) rule provably straddles at least one family there."""
+    from pyspark.sql import functions as F
+
+    from cql_xmlpipe_spark.plans.extensions import dataset_split_cluster_safe
+
+    df = dataset_split_cluster_safe(spark, "/root/testdata/sf0.1")
+    per_cluster = (
+        df.groupBy("cluster_id")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    multi = [r for r in per_cluster if r["n"] > 1]
+    assert multi, "sf0.1 should have non-singleton families"
+    # the naive doc-keyed rule DOES straddle at least one of them
+    rows = df.filter(
+        F.col("cluster_id").isin([r["cluster_id"] for r in multi])
+    ).collect()
+    import hashlib
+
+    def naive(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] <= "7"
+
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(naive(r["doc_id"]))
+    assert any(len(v) == 2 for v in by_cluster.values())
