@@ -5934,3 +5934,72 @@ def dataset_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._xmlpipe_cached = getattr(ca, "_xmlpipe_cached", [])
     return out
+
+
+_SURVIVOR_QUALITY_ORACLE = f"""
+    WITH RECURSIVE {_lsh_band_ctes(0.5)},
+    edges AS (
+      SELECT id_a AS v, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b AS v, id_a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.w AS v, reach.r AS r FROM reach JOIN edges e ON reach.v = e.v
+    ),
+    lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+    fam AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM lab),
+    scored AS ({_BIGRAM_LM_ORACLE}),
+    ranked AS (
+      SELECT f.cluster_id, f.doc_id, f.cluster_size, s.ce_nats,
+             ROW_NUMBER() OVER (PARTITION BY f.cluster_id
+                  ORDER BY s.ce_nats ASC NULLS LAST, f.doc_id) AS rn
+      FROM fam f LEFT JOIN scored s USING (doc_id)
+      WHERE f.cluster_size >= 2)
+    SELECT cluster_id, doc_id AS survivor_id, ce_nats AS survivor_ce,
+           CAST(cluster_size AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+"""
+
+
+@_q("dedup_survivor_by_quality", _SURVIVOR_QUALITY_ORACLE)
+def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE survivor selection — the production survivor policy
+    for near-dup families: instead of keep-first (min id) or
+    keep-longest (``dedup_survivor_selection``), keep the member with
+    the LOWEST bigram-LM cross-entropy (most fluent); unscored members
+    (<2 word tokens) rank last, ties break by doc_id. One row per
+    multi-member family: (cluster_id, survivor_id, survivor_ce,
+    n_members).
+
+    Composes the two measured pipelines: cluster assignment (banded LSH
+    → exact verify → CC over bare longs) and the self-trained LM
+    scores, joined on doc_id and ranked inside each family — the join
+    and window touch only family members, never the full corpus."""
+    ca = DD.cluster_assign_collapsed(
+        load_table(spark, "documents", sf_dir), threshold=0.5, k=3
+    ).filter(F.col("cluster_size") >= 2)
+    scored = text_bigram_lm_score(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("ce_nats").asc_nulls_last(), F.col("doc_id")
+    )
+    out = (
+        ca.join(scored.select("doc_id", "ce_nats"), "doc_id", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("ce_nats").alias("survivor_ce"),
+            F.col("cluster_size").cast("long").alias("n_members"),
+        )
+    )
+    out._xmlpipe_cached = [
+        *getattr(ca, "_xmlpipe_cached", []),
+        *getattr(scored, "_xmlpipe_cached", []),
+    ]
+    return out
