@@ -6003,3 +6003,50 @@ def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *getattr(scored, "_xmlpipe_cached", []),
     ]
     return out
+
+
+#: per-(lang, bucket) quota for the deterministic eval-suite sampler
+_EVAL_SUITE_QUOTA = 5
+
+_EVAL_SUITE_ORACLE = f"""
+    WITH bucketed AS ({_CCNET_BUCKETS_ORACLE}),
+    ranked AS (
+      SELECT doc_id, lang, bucket, ce_nats,
+             ROW_NUMBER() OVER (PARTITION BY lang, bucket
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+      FROM bucketed)
+    SELECT doc_id, lang, bucket, ce_nats,
+           CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM ranked WHERE pick_rank <= {_EVAL_SUITE_QUOTA}
+"""
+
+
+@_q("eval_suite_sampler", _EVAL_SUITE_ORACLE)
+def eval_suite_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED EVAL-SUITE construction: from every
+    (language × quality-tercile) stratum of the CCNet split, pick the
+    first 5 documents in md5(doc_id) order — a reproducible,
+    engine-portable eval suite that covers the full quality range of
+    every language instead of over-sampling the head (the bias a naive
+    random sample of the corpus has). The md5 order is the repo's
+    standard portable sampling device: membership and rank depend only
+    on the id, so the suite is stable across runs, engines and
+    partitionings, and re-drawing after a corpus refresh changes only
+    the strata whose membership changed.
+
+    Scale shape: rides the CCNet split (LM scoring + one per-language
+    window), then one (lang, bucket)-keyed rank window over the already
+    language-partitioned rows — at 100 TB the strata are few and the
+    per-stratum sort is the same exchange the tercile split already
+    paid."""
+    bucketed = text_ccnet_buckets(spark, sf_dir)
+    w = Window.partitionBy("lang", "bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    out = (
+        bucketed.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _EVAL_SUITE_QUOTA)
+        .select("doc_id", "lang", "bucket", "ce_nats", "pick_rank")
+    )
+    out._xmlpipe_cached = getattr(bucketed, "_xmlpipe_cached", [])
+    return out
