@@ -225,6 +225,49 @@ def brute_force_topk(
     )
 
 
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Exact radius search: every corpus vector within cosine >=
+    ``threshold`` of each query — the range-query complement of
+    :func:`brute_force_topk` (top-k bounds the RESULT size, radius
+    bounds the SIMILARITY; retrieval and near-dup probes need both).
+
+    Output: (q_id, vec_id, cos), one row per qualifying pair, no rank —
+    a radius result is a SET, and imposing a rank would turn schema
+    stability into a function of corpus density.
+
+    Uses :func:`cosine_safe` (functions/vectors.py) so a zero-norm
+    corpus or query vector yields NULL — which never qualifies the
+    threshold filter in either engine — instead of an ANSI
+    divide-by-zero crash.
+
+    100 TB shape: identical to ``brute_force_topk`` — the query set
+    broadcasts, scoring is one codegen scan over the corpus, and the
+    selective threshold filter sits directly on the scan so only
+    qualifying rows ever shuffle/collect. For large |Q| the candidate
+    generation swaps to the banded sign-key join (``banded_sign_keys``,
+    the recall-measured device of operators/dedup.py) with this exact
+    scorer as the verify step — a drop-in because the verify filter is
+    the same ``cosine_safe >= threshold`` predicate.
+    """
+    from cql_xmlpipe_spark.functions.vectors import cosine_safe
+
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .withColumn("cos", cosine_safe(F.col(emb_col), F.col(q_emb_col)))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(q_id_col, id_col, "cos")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1373,6 +1373,49 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+_RADIUS_ORACLE = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+          (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (a, b) -> a + b))) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.35
+"""
+
+
+@_q("similarity_radius_search", _RADIUS_ORACLE)
+def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine RADIUS search (every neighbor within cos >= 0.35 of
+    each query, queries = every 97th vector) — the range-query
+    complement of ``similarity_cosine_topk``: top-k bounds the result
+    size, radius bounds the similarity; retrieval filtering and
+    near-dup probing need both shapes. Same left-to-right double folds
+    as the top-k gate ⇒ bit-identical cosines; result is a SET (no
+    rank column), so the gate is insensitive to corpus density. The
+    0.35 threshold sits below the natural corpus's ~0.47 max
+    off-diagonal cosine, keeping the gate non-vacuous at sf0.01
+    (9 rows measured) without depending on planted structure."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    from cql_xmlpipe_spark.operators.similarity import radius_search
+
+    return radius_search(e, q, threshold=0.35)
+
+
 #: Corpus fingerprint keying the frozen-run ANN pin fixtures. Covers the
 #: embedding VALUES (fixed-precision %.6e rendering), not just (vec_id,
 #: label): a regenerated corpus with identical ids/labels but different
@@ -1926,6 +1969,86 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.stopword_hits(F.col("toks"), TX.LANG_STOPWORDS["en"]).cast("double")
             / F.size("toks")
         ).alias("stopword_ratio"),
+    )
+
+
+_CHAR_ENTROPY_ORACLE = """
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g') AS t
+      FROM documents),
+    cc AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(t, '')) AS c FROM norm)
+      GROUP BY doc_id, c),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_chars_norm,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+             CAST(MAX(cnt) AS BIGINT) AS mx
+      FROM cc GROUP BY doc_id)
+    SELECT a.doc_id,
+           a.n_chars_norm,
+           a.distinct_chars,
+           CAST(a.mx AS DOUBLE) / CAST(a.n_chars_norm AS DOUBLE)
+             AS top_char_frac,
+           CAST(SUM(CAST(floor(
+                 -((CAST(cc.cnt AS DOUBLE) / CAST(a.n_chars_norm AS DOUBLE))
+                   * ln(CAST(cc.cnt AS DOUBLE) / CAST(a.n_chars_norm AS DOUBLE)))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0
+             AS char_entropy_nats
+    FROM cc JOIN agg a ON cc.doc_id = a.doc_id
+    GROUP BY a.doc_id, a.n_chars_norm, a.distinct_chars, a.mx
+"""
+
+
+@_q("text_char_entropy", _CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy — the cheap quality signal that
+    catches repetitive garbage (low entropy: one char dominates) and
+    random noise (entropy ≈ ln(alphabet)) before any tokenizer runs.
+    Per doc over an ASCII-folded alphabet (lowercase; anything outside
+    [a-z0-9 space] buckets to '#' — pins the two engines to the same
+    codepoint segmentation regardless of future corpus unicode):
+    normalized length, distinct alphabet size, top-char fraction (exact
+    division), and Shannon entropy in nats.
+
+    The entropy is the one transcendental: each −p·ln p term goes
+    through the house ×1e9 round-half-up BIGINT quantization (the DSIR
+    / bigram-LM device), so the per-doc sum is an exact integer fold —
+    order-independent and bit-stable — and the final /1e9 divides
+    identical operands. 100 TB shape: explode to (doc, char) —
+    map-side-combinable on a ≤38-symbol alphabet per doc, so the
+    shuffle carries ~38 rows per document, not characters; the two
+    keyed aggregates reuse the same doc_id partitioning."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "#")
+    cc = (
+        d.select("doc_id", F.explode(F.split(norm, "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_norm"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.max("cnt").alias("mx"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars_norm").cast("double")
+    term_q = F.floor(-(p * F.log(p)) * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    return (
+        cc.join(agg, "doc_id")
+        .groupBy("doc_id", "n_chars_norm", "distinct_chars", "mx")
+        .agg(F.sum(term_q).alias("ent_q"))
+        .select(
+            "doc_id",
+            "n_chars_norm",
+            "distinct_chars",
+            (F.col("mx").cast("double") / F.col("n_chars_norm").cast("double"))
+            .alias("top_char_frac"),
+            (F.col("ent_q").cast("double") / F.lit(1000000000.0))
+            .alias("char_entropy_nats"),
+        )
     )
 
 
@@ -3253,6 +3376,214 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             (F.floor("mix_weight") + extra).cast("long").alias("n_copies"),
+        )
+    )
+
+
+#: Temperature for the tempered-mixture weights (the τ of multilingual
+#: sampling à la XLM-R/mT5: q_s ∝ p_s^τ flattens the source distribution
+#: toward uniform as τ→0, keeps it natural at τ=1).
+_MIX_TEMPERATURE = 0.7
+
+_MIX_TEMP_ORACLE = f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+    pw AS (
+      SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p_nat,
+             CAST(floor(power(CAST(n_tokens AS DOUBLE)
+                              / CAST(total_tokens AS DOUBLE),
+                              {_MIX_TEMPERATURE}) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS pw_q
+      FROM per_src, tot),
+    z AS (SELECT CAST(SUM(pw_q) AS BIGINT) AS zq FROM pw)
+    SELECT source, n_tokens, p_nat,
+           CAST(pw_q AS DOUBLE) / CAST(zq AS DOUBLE) AS p_temp,
+           (CAST(pw_q AS DOUBLE) / CAST(zq AS DOUBLE)) / p_nat AS sample_weight
+    FROM pw, z
+"""
+
+
+@_q("corpus_mix_temperature", _MIX_TEMP_ORACLE)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (τ=0.7): the multilingual /
+    multi-source sampling rule q_s ∝ p_s^τ that up-samples small sources
+    without fully flattening the mix — the companion of
+    ``corpus_mix_weights`` (which is exactly the τ=0 limit). Output per
+    source: natural token share ``p_nat``, tempered share ``p_temp``,
+    and ``sample_weight = p_temp / p_nat`` (what a resampler multiplies
+    each document's keep-probability by).
+
+    Cross-engine determinism: ``p_nat`` is an exact int64/int64 division;
+    the one transcendental (``pow(p, τ)``) goes through the house
+    fixed-point device (×1e9, round-half-up to BIGINT — same trick as
+    the DSIR and bigram-LM log quantization), so the normalizer is an
+    EXACT integer sum and every downstream ratio divides identical
+    operands on both engines. 100 TB shape: one map-side-combined
+    aggregate on the low-cardinality source key + two 1-row broadcast
+    joins; nothing here scales with corpus size."""
+    d = load_table(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(TX.ws_tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    pw = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"))
+        .alias("p_nat"),
+        F.floor(
+            F.pow(
+                F.col("n_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                F.lit(_MIX_TEMPERATURE),
+            )
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pw_q"),
+    )
+    z = pw.agg(F.sum("pw_q").alias("zq"))
+    return pw.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        "p_nat",
+        (F.col("pw_q").cast("double") / F.col("zq").cast("double")).alias("p_temp"),
+        (
+            (F.col("pw_q").cast("double") / F.col("zq").cast("double"))
+            / F.col("p_nat")
+        ).alias("sample_weight"),
+    )
+
+
+#: Epoch-plan token budget as a multiple of the corpus's total token mass
+#: (2.0 = "train for two corpus passes' worth of tokens, rebalanced").
+_EPOCH_BUDGET_MULT = 2.0
+
+_EPOCH_PLAN_ORACLE = f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_src)
+    SELECT source, n_tokens,
+           CAST(total_tokens AS DOUBLE) * {_EPOCH_BUDGET_MULT}
+             / CAST(n_sources AS DOUBLE) AS target_tokens,
+           (CAST(total_tokens AS DOUBLE) * {_EPOCH_BUDGET_MULT}
+             / CAST(n_sources AS DOUBLE)) / CAST(n_tokens AS DOUBLE) AS epochs,
+           CAST(floor((CAST(total_tokens AS DOUBLE) * {_EPOCH_BUDGET_MULT}
+             / CAST(n_sources AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+             AS BIGINT) AS full_epochs,
+           (CAST(total_tokens AS DOUBLE) * {_EPOCH_BUDGET_MULT}
+             / CAST(n_sources AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+             - floor((CAST(total_tokens AS DOUBLE) * {_EPOCH_BUDGET_MULT}
+             / CAST(n_sources AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+             AS partial_frac
+    FROM per_src, tot
+"""
+
+
+@_q("corpus_epoch_plan", _EPOCH_PLAN_ORACLE)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan for a rebalanced token budget (the LLaMA-
+    style data table: each source gets an equal share of a budget =
+    2× total corpus tokens; epochs_s = share / tokens_s, split into
+    ``full_epochs`` guaranteed passes + a ``partial_frac`` sampled pass
+    — exactly what ``corpus_mix_resample``'s stochastic-rounding copies
+    execute per document). All outputs are exact integer aggregates or
+    IEEE divisions of identical operands — bit-stable with no
+    transcendental anywhere. 100 TB shape: identical to
+    ``corpus_mix_weights`` — one tiny keyed aggregate + a 1-row
+    broadcast; the plan table is what an epoch writer broadcasts."""
+    d = load_table(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(TX.ws_tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = (
+        F.col("total_tokens").cast("double")
+        * F.lit(_EPOCH_BUDGET_MULT)
+        / F.col("n_sources").cast("double")
+    )
+    epochs = target / F.col("n_tokens").cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.floor(epochs).cast("long").alias("full_epochs"),
+        (epochs - F.floor(epochs)).alias("partial_frac"),
+    )
+
+
+#: Per-source ceiling as a fraction of total corpus documents — the
+#: "no single domain may exceed X% of the corpus" curation rule.
+_DOMAIN_CAP_FRAC = 0.3
+
+_DOMAIN_CAP_ORACLE = f"""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS src_rank
+      FROM documents)
+    SELECT r.doc_id, r.source, r.src_rank,
+           r.src_rank <= CAST(ceil(CAST(n_total AS DOUBLE)
+                                   * {_DOMAIN_CAP_FRAC}) AS BIGINT) AS kept
+    FROM ranked r, tot
+"""
+
+
+@_q("corpus_domain_cap", _DOMAIN_CAP_ORACLE)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain frequency cap: no source may contribute more than 30% of
+    the corpus's documents. Each doc gets a deterministic within-source
+    rank by (md5(doc_id), doc_id) — an unbiased, reproducible shuffle
+    order, the same portable-uniform device as ``corpus_mix_resample``
+    — and ``kept`` is rank <= ceil(0.3 · N). Sources under the cap keep
+    everything; oversized ones keep a uniform random subset that is
+    STABLE across runs and engines (no rand()).
+
+    100 TB shape: the rank is a window partitioned by the low-
+    cardinality source key — one shuffle keyed on source. A single
+    giant domain makes that partition hot; the scale fix is the
+    standard two-phase rank (per-partition counts + prefix-sum offsets
+    broadcast back) or simply thresholding on the md5 string directly
+    (rank-free: keep iff md5(doc_id) < per-source quantile cutoff),
+    which this operator's output lets a planner calibrate. Integer and
+    boolean outputs only — nothing to drift."""
+    d = load_table(spark, "documents", sf_dir)
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "src_rank",
+            (
+                F.col("src_rank")
+                <= F.ceil(F.col("n_total").cast("double") * F.lit(_DOMAIN_CAP_FRAC))
+                .cast("long")
+            ).alias("kept"),
         )
     )
 

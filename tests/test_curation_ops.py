@@ -1,0 +1,134 @@
+"""Semantic pins for the round-12 session-3 curation operators
+(temperature mixture, epoch plan, domain cap, radius search, char
+entropy) over crafted corpora — the oracle harness covers the bulk
+distribution; these pin the boundary math the synthetic corpus never
+exercises."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from cql_xmlpipe_spark.operators.similarity import radius_search
+from cql_xmlpipe_spark.plans.extensions import (
+    _MIX_TEMPERATURE,
+    corpus_domain_cap,
+    corpus_epoch_plan,
+    corpus_mix_temperature,
+    text_char_entropy,
+)
+
+
+def _write_documents(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+def test_mix_temperature_upsamples_small_sources(spark, tmp_path):
+    sf = str(tmp_path)
+    # src A: 9 docs x 10 tokens = 90; src B: 1 doc x 10 tokens = 10
+    rows = [(i, " ".join(["w"] * 10), "en", "A", 20) for i in range(9)]
+    rows.append((9, " ".join(["w"] * 10), "en", "B", 20))
+    _write_documents(spark, sf, rows)
+    got = {r["source"]: r for r in corpus_mix_temperature(spark, sf).collect()}
+    assert got["A"]["p_nat"] == 0.9 and got["B"]["p_nat"] == 0.1
+    # independently reproduce the quantized-pow model in pure Python
+    # (tolerance covers a possible 1-ulp CPython-vs-JVM pow difference,
+    # which the x1e9 quantizer would turn into a +-1 integer step; the
+    # DuckDB-vs-Spark oracle gate is the exact cross-engine check)
+    pw = {s: math.floor(p**_MIX_TEMPERATURE * 1e9 + 0.5) for s, p in (("A", 0.9), ("B", 0.1))}
+    z = sum(pw.values())
+    for s in ("A", "B"):
+        assert abs(got[s]["p_temp"] - pw[s] / z) < 3e-9
+        assert abs(got[s]["sample_weight"] - (pw[s] / z) / got[s]["p_nat"]) < 3e-8
+    # tempering moves the mix toward uniform without crossing it
+    assert 0.1 < got["B"]["p_temp"] < 0.5 < got["A"]["p_temp"] < 0.9
+    assert got["B"]["sample_weight"] > 1.0 > got["A"]["sample_weight"]
+
+
+def test_epoch_plan_exact_splits(spark, tmp_path):
+    sf = str(tmp_path)
+    # tokens: A=10, B=40; budget = 2 x 50 = 100; per-source target = 50
+    rows = [
+        (0, " ".join(["w"] * 10), "en", "A", 20),
+        (1, " ".join(["w"] * 40), "en", "B", 80),
+    ]
+    _write_documents(spark, sf, rows)
+    got = {r["source"]: r for r in corpus_epoch_plan(spark, sf).collect()}
+    assert got["A"]["target_tokens"] == 50.0 and got["B"]["target_tokens"] == 50.0
+    assert got["A"]["epochs"] == 5.0
+    assert (got["A"]["full_epochs"], got["A"]["partial_frac"]) == (5, 0.0)
+    assert got["B"]["epochs"] == 1.25
+    assert (got["B"]["full_epochs"], got["B"]["partial_frac"]) == (1, 0.25)
+
+
+def test_domain_cap_caps_only_oversized_sources(spark, tmp_path):
+    sf = str(tmp_path)
+    # N=10, cap = ceil(0.3*10) = 3; A has 6 docs (capped), B 3, C 1
+    rows = [(i, f"doc {i}", "en", "A", 5) for i in range(6)]
+    rows += [(6 + i, f"doc {6 + i}", "en", "B", 5) for i in range(3)]
+    rows.append((9, "doc 9", "en", "C", 5))
+    _write_documents(spark, sf, rows)
+    out = corpus_domain_cap(spark, sf).collect()
+    kept = {s: sorted(r["doc_id"] for r in out if r["source"] == s and r["kept"])
+            for s in ("A", "B", "C")}
+    assert len(kept["A"]) == 3 and len(kept["B"]) == 3 and len(kept["C"]) == 1
+    # the kept subset is the md5-rank prefix — deterministic across runs
+    again = {s: sorted(r["doc_id"] for r in corpus_domain_cap(spark, sf).collect()
+                       if r["source"] == s and r["kept"]) for s in ("A", "B", "C")}
+    assert kept == again
+    expected_a = sorted(
+        range(6), key=lambda i: (__import__("hashlib").md5(str(i).encode()).hexdigest(), i)
+    )[:3]
+    assert kept["A"] == sorted(expected_a)
+
+
+def test_radius_search_threshold_and_null_norm(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # cos 1.0 vs q
+            (2, [0.0, 1.0]),   # cos 0.0
+            (3, [1.0, 1.0]),   # cos ~0.7071
+            (4, [-1.0, 0.0]),  # cos -1.0
+            (5, [0.0, 0.0]),   # zero norm -> NULL cos -> excluded
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_emb array<float>")
+    got = {r["vec_id"]: r["cos"] for r in radius_search(corpus, q, threshold=0.5).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == 1.0
+    assert abs(got[3] - math.sqrt(0.5)) < 1e-12
+    # self-exclusion: a corpus row sharing the query id never scores
+    q2 = spark.createDataFrame([(1, [1.0, 0.0])], "q_id long, q_emb array<float>")
+    assert {r["vec_id"] for r in radius_search(corpus, q2, threshold=0.5).collect()} == {3}
+
+
+def test_char_entropy_degenerate_and_two_symbol(spark, tmp_path):
+    sf = str(tmp_path)
+    _write_documents(
+        spark,
+        sf,
+        [
+            (0, "aaaa", "en", "s", 4),
+            (1, "ab", "en", "s", 2),
+            (2, "Hello, World!", "en", "s", 13),
+        ],
+    )
+    got = {r["doc_id"]: r for r in text_char_entropy(spark, sf).collect()}
+    # single symbol: zero entropy, full concentration
+    assert got[0]["distinct_chars"] == 1
+    assert got[0]["top_char_frac"] == 1.0
+    assert got[0]["char_entropy_nats"] == 0.0
+    # two equiprobable symbols: ln 2 through the x1e9 quantizer
+    t = math.floor(-(0.5 * math.log(0.5)) * 1e9 + 0.5)
+    assert got[1]["char_entropy_nats"] == 2 * t / 1e9
+    assert abs(got[1]["char_entropy_nats"] - math.log(2)) < 1e-8
+    # normalization: "hello# world#" -> 13 chars, 'l' dominates with 3
+    assert got[2]["n_chars_norm"] == 13
+    assert got[2]["top_char_frac"] == 3.0 / 13.0
