@@ -14,10 +14,12 @@ pure-numpy codec in ``functions/bmpcodec.py`` (decode → stats / resample
 The AUDIO path is real too: ``use_codec=True`` decodes canonical PCM16
 mono WAV with the pure-struct codec in ``functions/wavcodec.py``
 (decode → duration/RMS/peak/zero-crossing stats); compressed audio
-raises. The VIDEO frame-sampling path stays stubbed behind
-``use_codec=True`` (container formats genuinely need ffmpeg). The
-default remains a deterministic fake decode (hash-derived pixel/sample
-stats) so plumbing tests don't depend on payloads being valid media.
+raises. The VIDEO frame-sampling path is real for uncompressed RGB24
+AVI (``functions/avicodec.py``: decode container → seek grid → per-
+frame digests); compressed containers (MP4/H.264) genuinely need
+ffmpeg and raise inside the codec. The default remains a deterministic
+fake decode (hash-derived pixel/sample stats) so plumbing tests don't
+depend on payloads being valid media.
 
 Scale design: mapInPandas keeps the binary payload inside the executor
 (one pass, no shuffle); downstream joins/aggregations operate on the small
@@ -458,6 +460,66 @@ def resample_audio(
     )
 
 
+def synth_frames(text: str) -> tuple[list[np.ndarray], int]:
+    """Deterministic (RGB frame list, fps) derived from document text:
+    seed, dimensions, frame count and rate come from sha256(text),
+    pixels from a seeded PRNG — the video sibling of ``synth_pixels`` /
+    ``synth_samples``. This is the INPUT generator for the codec-true
+    gate path (the system under test is encode_avi/decode_avi + the
+    sampling rule, not this); the fixture script imports it so both
+    sides agree on the input frames."""
+    d = hashlib.sha256(text.encode("utf-8")).digest()
+    seed = int.from_bytes(d[:8], "big") % (2**32)
+    w, h = 4 + d[11] % 13, 4 + d[12] % 13
+    n = 2 + d[13] % 7
+    fps = (5, 10, 12, 25)[d[14] % 4]
+    px = np.random.RandomState(seed).randint(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    return [px[i] for i in range(n)], fps
+
+
+def synthesize_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media ingest simulator with REAL video payloads: derive
+    deterministic RGB frames from each document's text and encode them
+    as genuine uncompressed RGB24 AVI (``functions/avicodec.encode_avi``)
+    — the video sibling of ``synthesize_bmp_media`` /
+    ``synthesize_wav_media``. Every payload decodes; this feeds the
+    codec-true ``use_codec=True`` frame-sampling path. Arrow-batched
+    mapInPandas; payloads are born and stay executor-side."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.avicodec import encode_avi
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf["text"]):
+                frames, fps = synth_frames(text)
+                payload = encode_avi(frames, fps)
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "video",
+                            "mime": "video/x-msvideo",
+                            "width": int(frames[0].shape[1]),
+                            "height": int(frames[0].shape[0]),
+                            "duration_ms": int(len(frames) * 1000 // fps),
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return docs.select(id_col, "text").mapInPandas(_synth, out_schema)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -473,17 +535,32 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (1→N mapInPandas).
 
-    Real body would seek the container every `every_ms`; the stub emits a
-    digest-derived placeholder per timestamp so row counts, schemas and
-    batch fan-out match the production shape.
+    ``use_codec=True`` is the REAL body for uncompressed RGB24 AVI
+    payloads (``functions/avicodec``): decode the container, and for
+    each grid timestamp emit the digest of the frame on screen at that
+    instant (source frame = min(n-1, ts·fps // 1000) — seek-to-latest
+    semantics). Containers that genuinely need external codecs
+    (MP4/H.264) still raise inside decode_avi. The default (codec-free)
+    path emits a digest-derived placeholder per timestamp so row
+    counts, schemas and batch fan-out match the production shape.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cql_xmlpipe_spark.functions.avicodec import decode_avi
+
         for pdf in batches:
             rows = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 if use_codec:
-                    raise NotImplementedError("video codec not available; sample here")
+                    frames, fps = decode_avi(bytes(payload))
+                    dur = len(frames) * 1000 // fps
+                    for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                        src = min(len(frames) - 1, ts * fps // 1000)
+                        digest = hashlib.sha256(frames[src].tobytes()).digest()
+                        rows.append(
+                            {"doc_id": doc_id, "frame_idx": i, "ts_ms": ts, "frame": digest}
+                        )
+                    continue
                 dur = int(meta["duration_ms"])
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     # placeholder 'frame': sha256 over UTF-8-safe bytes

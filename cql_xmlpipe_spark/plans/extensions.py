@@ -2771,6 +2771,74 @@ def multimodal_frame_sample_digest(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_AVI_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "avi_frame_samples.parquet",
+)
+
+#: Codec-true video oracle via pinned fixture (scripts/
+#: make_avi_frames_fixture.py): the seek grid is RESTATED straight on
+#: the synthesized frame arrays and each sampled frame's sha256 comes
+#: from the ORIGINAL pixels (no codec round-trip) — so the gate only
+#: passes if encode_avi→decode_avi is bit-lossless AND the engine's
+#: seek rule matches — while payload_md5 comes from an independent
+#: RIFF/AVI assembly, byte-pinning the encoder. Same loud drift guard
+#: as the BMP/WAV fixtures.
+_AVI_CODEC_ORACLE = f"""
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN (SELECT DISTINCT text_md5 FROM read_parquet('{_AVI_FIXTURE}')) f
+        ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL)
+    SELECT d.doc_id, f.payload_md5, f.frame_idx, f.ts_ms, f.frame_hex
+    FROM documents d
+    JOIN read_parquet('{_AVI_FIXTURE}') f ON md5(d.text) = f.text_md5
+    UNION ALL
+    SELECT CAST(error('avi frame-sample fixture missing ' || n ||
+                      ' documents: rerun scripts/make_avi_frames_fixture.py')
+                AS BIGINT), NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_frame_sample_codec", _AVI_CODEC_ORACLE)
+def multimodal_frame_sample_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-TRUE video frame sampling: deterministic RGB frames derived
+    from each document's text are encoded as genuine uncompressed RGB24
+    AVI (functions/avicodec.encode_avi) and the real ``use_codec=True``
+    path decodes the container, walks the 300 ms seek grid and digests
+    the frame on screen at each instant — no placeholder digest
+    anywhere; the video sibling of multimodal_image_features_codec /
+    multimodal_audio_features_codec, closing the last fake-only
+    modality for an in-container format (MP4/H.264 still honestly
+    raises — that genuinely needs ffmpeg). ``payload_md5`` additionally
+    byte-pins the encoder against the fixture's independent RIFF
+    assembly. Both mapInPandas passes keep payloads executor-side; the
+    final join is a doc_id equi-join of two narrow tables."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_avi_media,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    # persist: the sampler and the payload-md5 audit both consume the
+    # synthesized payloads; without it frame synthesis + AVI encode (the
+    # dominant cost) executes twice. Tracked for caller unpersist.
+    media = synthesize_avi_media(d).persist()
+    frames = sample_video_frames(media, every_ms=300, use_codec=True)
+    sigs = media.select("doc_id", F.md5("payload").alias("payload_md5"))
+    out = frames.join(sigs, "doc_id").select(
+        "doc_id",
+        "payload_md5",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+    out._xmlpipe_cached = [media]
+    return out
+
+
 _BMP_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "tests", "fixtures", "bmp_image_features.parquet",

@@ -317,3 +317,126 @@ def test_resample_audio_codec_true(spark):
         assert len(got) == n_out == out[i]["n_samples"]
         idx = (np.arange(n_out) * len(s)) // n_out
         assert (got == s[idx]).all()
+
+
+def test_avi_format_pin_bytelevel():
+    """Decode a hand-constructed AVI (not produced by our encoder) so the
+    decoder is pinned to the public RIFF layout — including a JUNK chunk
+    the encoder never emits and an odd-sized frame's pad byte."""
+    import struct
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.avicodec import decode_avi
+
+    # one 1x1 frame, red pixel: stride pads 3 -> 4 bytes (BGR + pad)
+    w = h = 1
+    frame = b"\x00\x00\xff\x00"  # BGR of red + stride pad
+    avih = struct.pack("<IIIIIIIIII4I", 100000, 40, 0, 0, 1, 0, 1, 4, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIIIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 1, 10, 0, 1, 4, 0, 0, 0, 0, w, h
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 4, 0, 0, 0, 0)
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    )
+    junk = b"JUNK" + struct.pack("<I", 3) + b"pad" + b"\x00"  # odd size -> pad byte
+    movi_body = b"movi" + b"00db" + struct.pack("<I", len(frame)) + frame
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + junk + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames, fps = decode_avi(payload)
+    assert fps == 10 and len(frames) == 1
+    assert (frames[0] == np.array([[[255, 0, 0]]], np.uint8)).all()
+
+
+def test_avi_roundtrip_and_independent_byte_identity():
+    """encode -> decode is bit-lossless (incl. odd-width stride padding)
+    and the encoder's bytes match the fixture script's independent
+    spec-assembled implementation."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.avicodec import decode_avi, encode_avi
+
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))))
+    from scripts.make_avi_frames_fixture import encode_avi_independent
+
+    rng = np.random.RandomState(3)
+    for h, w, n, fps in [(5, 7, 4, 25), (3, 3, 1, 5), (4, 6, 8, 12)]:
+        frames = [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)]
+        payload = encode_avi(frames, fps)
+        assert payload == encode_avi_independent(frames, fps)
+        out, got_fps = decode_avi(payload)
+        assert got_fps == fps and len(out) == n
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+
+
+def test_avi_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from cql_xmlpipe_spark.functions.avicodec import decode_avi, encode_avi
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"nonsense")
+    good = encode_avi([np.zeros((2, 2, 3), np.uint8)], 10)
+    # flip the stream type to audio ('auds'): unsupported
+    bad = good.replace(b"vids", b"auds")
+    with _pytest.raises(ValueError, match="vids"):
+        decode_avi(bad)
+    # truncate mid-file: shorter than the RIFF header's claimed size
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi(good[: len(good) // 2])
+
+
+def test_codec_frame_sampling_seek_semantics(spark):
+    """use_codec=True walks the real container: frame count, seek rule
+    (latest frame at each grid instant) and digests all derive from the
+    decoded frames."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.avicodec import encode_avi
+    from cql_xmlpipe_spark.operators.multimodal import sample_video_frames
+
+    rng = np.random.RandomState(9)
+    # 4 frames at 2 fps -> 2000 ms; sampling every 600 ms hits
+    # ts 0/600/1200/1800 -> source frames 0/1/2/3
+    frames = [rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(4)]
+    payload = encode_avi(frames, 2)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), ("video", "video/x-msvideo", 4, 4, 2000, len(payload)))],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    got = sorted(
+        (r["frame_idx"], r["ts_ms"], bytes(r["frame"]).hex())
+        for r in sample_video_frames(df, every_ms=600, use_codec=True).collect()
+    )
+    want = [
+        (i, ts, _hl.sha256(frames[min(3, ts * 2 // 1000)].tobytes()).hexdigest())
+        for i, ts in enumerate([0, 600, 1200, 1800])
+    ]
+    assert got == want
+    # sub-frame-interval sampling repeats the on-screen frame
+    got2 = [
+        bytes(r["frame"]).hex()
+        for r in sample_video_frames(df, every_ms=400, use_codec=True)
+        .orderBy("frame_idx").collect()
+    ]
+    # ts 0,400,800,1200,1600 -> src 0,0,1,2,3
+    assert got2 == [
+        _hl.sha256(frames[s].tobytes()).hexdigest() for s in (0, 0, 1, 2, 3)
+    ]
