@@ -2839,6 +2839,59 @@ def multimodal_frame_sample_codec(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+_AVI_FEAT_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "avi_video_features.parquet",
+)
+
+#: Codec-true video FEATURES oracle: same fixture discipline — features
+#: restated straight on the synthesized frames, payload_md5 from the
+#: independent RIFF assembly, loud drift guard.
+_AVI_FEAT_ORACLE = f"""
+    WITH miss AS (
+      SELECT COUNT(*) AS n
+      FROM documents d
+      LEFT JOIN read_parquet('{_AVI_FEAT_FIXTURE}') f ON md5(d.text) = f.text_md5
+      WHERE f.text_md5 IS NULL)
+    SELECT d.doc_id, f.payload_md5, f.n_frames, f.fps, f.duration_ms,
+           f.width, f.height, f.mean_luma, f.motion
+    FROM documents d
+    JOIN read_parquet('{_AVI_FEAT_FIXTURE}') f ON md5(d.text) = f.text_md5
+    UNION ALL
+    SELECT CAST(error('avi video-features fixture missing ' || n ||
+                      ' documents: rerun scripts/make_avi_frames_fixture.py')
+                AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM miss WHERE n > 0
+"""
+
+
+@_q("multimodal_video_features_codec", _AVI_FEAT_ORACLE)
+def multimodal_video_features_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-TRUE video feature extraction: decode the real AVI container
+    and compute frame count / rate / geometry / stack mean-luma /
+    mean-absolute-frame-difference MOTION — the static-vs-dynamic
+    content signal a video curation pass filters on — completing the
+    feature-consumer trio (image stats, audio stats, video stats) over
+    real in-container decodes. Fixture-gated with the digests' fixture
+    discipline: features never pass through the codec on the oracle
+    side, payload_md5 byte-pins the encoder."""
+    from cql_xmlpipe_spark.operators.multimodal import (
+        decode_video_features,
+        synthesize_avi_media,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    media = synthesize_avi_media(d).persist()
+    feats = decode_video_features(media, use_codec=True)
+    sigs = media.select("doc_id", F.md5("payload").alias("payload_md5"))
+    out = feats.join(sigs, "doc_id").select(
+        "doc_id", "payload_md5", "n_frames", "fps", "duration_ms",
+        "width", "height", "mean_luma", "motion",
+    )
+    out._xmlpipe_cached = [media]
+    return out
+
+
 _BMP_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "tests", "fixtures", "bmp_image_features.parquet",

@@ -24,9 +24,19 @@ Keyed by md5(text) so one fixture serves every sf it was generated over
 (sf0.001 + sf0.01 + sf0.1); the oracle carries a loud coverage guard
 against testdata drift, same as the BMP/WAV fixtures.
 
+A second output pins the codec-true video FEATURES gate
+(multimodal_video_features_codec): the feature math (stack mean luma,
+mean absolute frame-to-frame difference) is RESTATED here directly on
+the synthesized frames — never through the codec — so the gate again
+only passes on a bit-lossless round-trip.
+
 Output: tests/fixtures/avi_frame_samples.parquet
   (text_md5 VARCHAR, payload_md5 VARCHAR, n_frames INT, fps INT,
    frame_idx INT, ts_ms INT, frame_hex VARCHAR)
+        tests/fixtures/avi_video_features.parquet
+  (text_md5 VARCHAR, payload_md5 VARCHAR, n_frames INT, fps INT,
+   duration_ms INT, width INT, height INT, mean_luma DOUBLE,
+   motion DOUBLE)
 """
 
 from __future__ import annotations
@@ -101,10 +111,28 @@ def encode_avi_independent(frames: list[np.ndarray], fps: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def video_features_independent(frames: list[np.ndarray], fps: int) -> dict:
+    """The feature math of operators/multimodal.video_features_from_frames,
+    restated directly on the synthesized frame arrays (no codec
+    round-trip)."""
+    stack = np.stack(frames).astype(np.float64)
+    n = len(frames)
+    return {
+        "n_frames": n,
+        "fps": int(fps),
+        "duration_ms": int(n * 1000 // fps),
+        "width": int(frames[0].shape[1]),
+        "height": int(frames[0].shape[0]),
+        "mean_luma": float(stack.mean()),
+        "motion": float(np.abs(np.diff(stack, axis=0)).mean()) if n > 1 else 0.0,
+    }
+
+
 def main() -> None:
     import duckdb
 
     out_rows: list[dict] = []
+    feat_rows: list[dict] = []
     seen: set[str] = set()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         for (text,) in duckdb.sql(
@@ -133,10 +161,18 @@ def main() -> None:
                         "frame_hex": hashlib.sha256(frames[src].tobytes()).hexdigest(),
                     }
                 )
-    out = os.path.join(
+            feat_rows.append(
+                {
+                    "text_md5": key,
+                    "payload_md5": payload_md5,
+                    **video_features_independent(frames, fps),
+                }
+            )
+    fixtures = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests", "fixtures", "avi_frame_samples.parquet",
+        "tests", "fixtures",
     )
+    out = os.path.join(fixtures, "avi_frame_samples.parquet")
     schema = {
         "text_md5": pa.string(), "payload_md5": pa.string(),
         "n_frames": pa.int32(), "fps": pa.int32(),
@@ -145,6 +181,17 @@ def main() -> None:
     table = {c: pa.array([r[c] for r in out_rows], t) for c, t in schema.items()}
     pq.write_table(pa.table(table), out, compression="zstd")
     print(f"wrote {out}: {len(seen)} distinct texts, {len(out_rows)} sample rows")
+
+    feat_out = os.path.join(fixtures, "avi_video_features.parquet")
+    feat_schema = {
+        "text_md5": pa.string(), "payload_md5": pa.string(),
+        "n_frames": pa.int32(), "fps": pa.int32(), "duration_ms": pa.int32(),
+        "width": pa.int32(), "height": pa.int32(),
+        "mean_luma": pa.float64(), "motion": pa.float64(),
+    }
+    feat_table = {c: pa.array([r[c] for r in feat_rows], t) for c, t in feat_schema.items()}
+    pq.write_table(pa.table(feat_table), feat_out, compression="zstd")
+    print(f"wrote {feat_out}: {len(feat_rows)} rows")
 
 
 if __name__ == "__main__":

@@ -440,3 +440,55 @@ def test_codec_frame_sampling_seek_semantics(spark):
     assert got2 == [
         _hl.sha256(frames[s].tobytes()).hexdigest() for s in (0, 0, 1, 2, 3)
     ]
+
+
+def test_video_features_fake_and_codec_paths(spark, media):
+    """Fake path: stats derive from the payload digest spec (stable
+    across runs); codec path: stats come from the decoded container,
+    single-frame clips pin motion to 0.0, non-AVI payloads raise."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.avicodec import encode_avi
+    from cql_xmlpipe_spark.operators.multimodal import (
+        _fake_frames,
+        decode_video_features,
+        video_features_from_frames,
+    )
+
+    a = {r["doc_id"]: r.asDict() for r in decode_video_features(media).collect()}
+    b = {r["doc_id"]: r.asDict() for r in decode_video_features(media).collect()}
+    assert a and a == b  # deterministic across runs
+    # spot-check one row against the documented spec
+    one = (
+        media.filter(F.col("meta.modality") == "video")
+        .select("doc_id", "payload").limit(1).collect()[0]
+    )
+    frames, fps = _fake_frames(bytes(one["payload"]))
+    assert a[one["doc_id"]] == {"doc_id": one["doc_id"],
+                                **video_features_from_frames(frames, fps)}
+
+    rng = np.random.RandomState(5)
+    still = [rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)]
+    moving = [rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (1, bytearray(encode_avi(still, 10)), ("video", "video/x-msvideo", 5, 4, 100, 0)),
+        (2, bytearray(encode_avi(moving, 10)), ("video", "video/x-msvideo", 5, 4, 300, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_video_features(df, use_codec=True).collect()}
+    assert got[1]["n_frames"] == 1 and got[1]["motion"] == 0.0
+    assert got[2]["n_frames"] == 3 and got[2]["motion"] > 0.0
+    assert got[2]["mean_luma"] == float(np.stack(moving).astype(np.float64).mean())
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"not a container"), ("video", "video/mp4", 0, 0, 0, 15))],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    with pytest.raises(Exception) as ei:
+        decode_video_features(bad, use_codec=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "AVI" in str(ei.value)
