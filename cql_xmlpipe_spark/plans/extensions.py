@@ -4192,6 +4192,183 @@ def embedding_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lloyd_update(e, cent)
 
 
+#: Prototypicality prune fraction: the most-prototypical 30% of each
+#: cluster (highest cosine to own centroid) is marked for pruning — the
+#: SSL-prototypes operating regime (keep hard examples, cut redundant
+#: cluster cores) for large datasets.
+_PROTO_PRUNE_FRAC = 0.3
+
+
+def _prototypicality_oracle() -> str:
+    """Unrolled oracle for :func:`embedding_prototypicality`: the same 2
+    fixed-point Lloyd iterations as ``_kmeans_iter_oracle`` (c0→c2),
+    the final argmin assignment, then each vector's cosine to its OWN
+    cluster centroid plus the within-cluster rank/prune verdict."""
+
+    def fold_dist(emb: str, cemb: str) -> str:
+        return f"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len({emb}) + 1),
+            i -> (CAST({emb}[i] AS DOUBLE) - CAST({cemb}[i] AS DOUBLE))
+               * (CAST({emb}[i] AS DOUBLE) - CAST({cemb}[i] AS DOUBLE)))),
+          (a, b) -> a + b)"""
+
+    def fold_dot(emb: str, cemb: str) -> str:
+        return f"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len({emb}) + 1),
+            i -> CAST({emb}[i] AS DOUBLE) * CAST({cemb}[i] AS DOUBLE))),
+          (a, b) -> a + b)"""
+
+    ctes = [
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb"
+        " FROM embeddings WHERE vec_id < 8)"
+    ]
+    for it in range(2):
+        ctes.append(f"""s{it} AS (
+      SELECT e.vec_id, c.cid, {fold_dist('e.embedding', 'c.cemb')} AS dist
+      FROM embeddings e, c{it} c)""")
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM s{it})""")
+        ctes.append(f"""m{it} AS (
+      SELECT a.cid, e.embedding FROM a{it} a JOIN embeddings e USING (vec_id)
+      WHERE a.rn = 1)""")
+        ctes.append(f"""u{it} AS (
+      SELECT cid, i - 1 AS dim,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS val,
+             COUNT(*) AS n_members
+      FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS i, embedding
+            FROM m{it})
+      GROUP BY cid, i)""")
+        ctes.append(f"""c{it + 1} AS (
+      SELECT cid, list(val ORDER BY dim) AS cemb FROM u{it} GROUP BY cid)""")
+    ctes.append(f"""s2 AS (
+      SELECT e.vec_id, c.cid, {fold_dist('e.embedding', 'c.cemb')} AS dist
+      FROM embeddings e, c2 c)""")
+    ctes.append("""a2 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM s2)""")
+    ctes.append("""asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1)""")
+    ctes.append(f"""pc AS (
+      SELECT e.vec_id, asg.cid,
+             {fold_dot('e.embedding', 'c.cemb')}
+               / (sqrt({fold_dot('e.embedding', 'e.embedding')})
+                  * sqrt({fold_dot('c.cemb', 'c.cemb')})) AS proto_cos
+      FROM embeddings e
+      JOIN asg ON e.vec_id = asg.vec_id
+      JOIN c2 c ON asg.cid = c.cid
+      WHERE sqrt({fold_dot('e.embedding', 'e.embedding')}) > 0
+        AND sqrt({fold_dot('c.cemb', 'c.cemb')}) > 0)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, proto_cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                ORDER BY proto_cos DESC, vec_id) AS INTEGER) AS proto_rank,
+           CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                ORDER BY proto_cos DESC, vec_id)
+             <= CAST(ceil({_PROTO_PRUNE_FRAC}
+                          * CAST(COUNT(*) OVER (PARTITION BY cid) AS DOUBLE))
+                     AS BIGINT) AS is_pruned
+    FROM pc
+"""
+    )
+
+
+@_q("embedding_prototypicality", _prototypicality_oracle())
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning metric (Sorscher et al. 2022,
+    "Beyond neural scaling laws"): cluster the embedding space (2 exact
+    Lloyd rounds on the shared fixed-point k-means core), then score
+    every vector by COSINE TO ITS OWN CLUSTER CENTROID — high cosine =
+    prototypical/redundant, low = hard example. ``is_pruned`` marks
+    the most-prototypical 30% of each cluster, the keep-hard-examples
+    regime the paper prescribes for large datasets (the complement of
+    ``semdedup_prune``, which cuts pairwise near-twins; this cuts
+    cluster CORES). Output: (vec_id, cluster_id, proto_cos, proto_rank,
+    cluster_size, is_pruned); zero-norm vectors carry no direction and
+    are excluded (documented, none in the natural corpus).
+
+    Determinism: centroids are fixed-point Lloyd means (bit-identical
+    across engines, the kmeans_iter3 device), proto_cos divides
+    identical left-to-right folds, and the rank tie-breaks on vec_id.
+    Scale shape: two k-means passes (broadcast-out/shuffle-back) + one
+    assignment scan + a K-row broadcast join + ONE window partitioned
+    by cluster_id — at K ∝ N the window partitions stay bounded; the
+    centroid-norm work is per-cluster, not per-vector."""
+    from cql_xmlpipe_spark.functions.vectors import dot as vdot
+    from cql_xmlpipe_spark.functions.vectors import norm, sqdist
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = _kmeans_init_centroids(e)
+    for _ in range(2):
+        cent = _update_to_centroids(_lloyd_update(e, cent)).localCheckpoint()
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cents")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cands",
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(F.col("embedding"), c["cemb"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cid")
+    )
+    asg = scored.select(
+        "vec_id",
+        F.aggregate(
+            F.col("cands"),
+            init,
+            lambda acc, d: F.when(d["dist"] < acc["dist"], d).otherwise(acc),
+        )["cid"].alias("cluster_id"),
+        "embedding",
+    )
+    # centroid norms once per CLUSTER (K rows), not per vector
+    cn = cent.select(
+        F.col("cid"), F.col("cemb"), norm(F.col("cemb")).alias("nrm_c")
+    ).filter(F.col("nrm_c") > 0)
+    pc = (
+        asg.withColumn("nrm_e", norm(F.col("embedding")))
+        .filter(F.col("nrm_e") > 0)
+        .join(F.broadcast(cn), F.col("cluster_id") == F.col("cid"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            (
+                vdot(F.col("embedding"), F.col("cemb"))
+                / (F.col("nrm_e") * F.col("nrm_c"))
+            ).alias("proto_cos"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("proto_cos").desc(), F.col("vec_id")
+    )
+    wsz = Window.partitionBy("cluster_id")
+    return pc.select(
+        "vec_id",
+        "cluster_id",
+        "proto_cos",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        (
+            F.row_number().over(w)
+            <= F.ceil(
+                F.lit(_PROTO_PRUNE_FRAC)
+                * F.count(F.lit(1)).over(wsz).cast("double")
+            ).cast("long")
+        ).alias("is_pruned"),
+    )
+
+
 _DEGREE_ORACLE = f"""
     WITH {_lsh_band_ctes(0.35)},
     deg AS (

@@ -132,3 +132,39 @@ def test_char_entropy_degenerate_and_two_symbol(spark, tmp_path):
     # normalization: "hello# world#" -> 13 chars, 'l' dominates with 3
     assert got[2]["n_chars_norm"] == 13
     assert got[2]["top_char_frac"] == 3.0 / 13.0
+
+
+def test_prototypicality_invariants(spark):
+    """Gate math is oracle-pinned; this pins the SEMANTICS: per cluster,
+    exactly ceil(0.3*size) rows prune, ranks are a 1..size permutation
+    ordered by descending cosine, and the pruned set is the
+    most-prototypical prefix (min pruned cos >= max kept cos under the
+    deterministic tie-break)."""
+    import math
+
+    from cql_xmlpipe_spark.plans.extensions import embedding_prototypicality
+
+    rows = embedding_prototypicality(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in by_cluster.items():
+        size = rs[0]["cluster_size"]
+        assert len(rs) == size
+        assert sorted(r["proto_rank"] for r in rs) == list(range(1, size + 1))
+        pruned = [r for r in rs if r["is_pruned"]]
+        assert len(pruned) == math.ceil(0.3 * size)
+        kept = [r for r in rs if not r["is_pruned"]]
+        if pruned and kept:
+            assert min(p["proto_cos"] for p in pruned) >= max(
+                k["proto_cos"] for k in kept
+            ) or (
+                # equal-cos boundary: the vec_id tie-break decides
+                min(p["proto_cos"] for p in pruned)
+                == max(k["proto_cos"] for k in kept)
+            )
+        # rank orders by descending cosine
+        srt = sorted(rs, key=lambda r: r["proto_rank"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["proto_cos"] >= b["proto_cos"]
