@@ -599,6 +599,84 @@ def minhash_groups_collapsed(
     return _track_cached(groups, *caches)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.8,
+    k: int = 3,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """Exact ASYMMETRIC shingle containment within blocking groups:
+    ordered pairs (src, tgt) with C(src→tgt) = |S(src) ∩ S(tgt)| /
+    |S(src)| >= ``threshold`` — the quote/boilerplate/subset detector
+    Jaccard misses: a short doc fully embedded in a long one has tiny
+    Jaccard (intersection over the big union) but containment 1.0.
+    ``min_shingles`` floors the src side so trivially-short docs don't
+    flag on a single shared phrase.
+
+    Candidate generation is the PPJoin prefix filter ADAPTED to the
+    asymmetric measure: C >= t forces >= ceil(t·|A|) of A's shingles
+    into B, so by pigeonhole A must share an element inside its first
+    |A| − ceil(t·|A|) + 1 canonically-sorted shingles — only SRC
+    prefixes enter the index, but the TGT side posts its FULL shingle
+    list (B's length is unconstrained; that is the asymmetry).
+    Verification recomputes true containment on the sorted hash arrays
+    after the one exactness-preserving length filter C >= t ⇒
+    |B| >= t·|A|. Same inverted-index shuffle shape as
+    :func:`ngram_jaccard_pairs`; at clone-heavy scale the same
+    exact-duplicate collapse staging applies (representatives pair,
+    members expand)."""
+    sh = shingles(words(F.col(text_col)), k)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.sort_array(F.transform(sh, lambda s: F.xxhash64(s))).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    n = F.size("sh")
+    prefix_len = (n - F.ceil(n * threshold) + 1).cast("int")
+    src_pref = base.filter(n >= min_shingles).select(
+        F.col(id_col).alias("src_id"),
+        "block",
+        F.explode(F.slice("sh", 1, prefix_len)).alias("s"),
+    )
+    tgt_post = base.select(
+        F.col(id_col).alias("tgt_id"), "block", F.explode("sh").alias("s")
+    )
+    cands = (
+        src_pref.join(tgt_post, ["block", "s"])
+        .filter(F.col("src_id") != F.col("tgt_id"))
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    sets = base.select(F.col(id_col), "sh")
+    verified = (
+        cands.join(
+            sets.select(F.col(id_col).alias("src_id"), F.col("sh").alias("sh_a")),
+            "src_id",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("tgt_id"), F.col("sh").alias("sh_b")),
+            "tgt_id",
+        )
+        .filter(F.size("sh_b") >= threshold * F.size("sh_a"))
+    )
+    containment = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        "sh_a"
+    )
+    return _track_cached(
+        verified.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "tgt_id", "containment"),
+        base,
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -79,6 +79,48 @@ _NGRAM_ORACLE = """
 """
 
 
+_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(t.sh) AS sh
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        FROM (
+          SELECT doc_id, lang,
+                 list_filter(string_split(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+          FROM documents)
+      ) t
+      WHERE len(t.sh) > 0
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS tgt_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(a.sh) >= 5
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+"""
+
+
+@_q("text_ngram_containment", _CONTAINMENT_ORACLE)
+def text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-shingle CONTAINMENT pairs within language blocks:
+    ordered (src, tgt) with |S(src)∩S(tgt)|/|S(src)| >= 0.8 and src at
+    least 5 shingles long — the quote/boilerplate/subset detector the
+    symmetric Jaccard gate misses (a short doc embedded in a long one
+    has small Jaccard but containment 1.0). PPJoin prefix filter
+    adapted to the asymmetric measure: only SRC prefixes index, TGT
+    posts in full (operators/dedup.py::ngram_containment_pairs). The
+    12 rows at sf0.01 are the exact-duplicate families seen from both
+    directions."""
+    return DD.ngram_containment_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.8, k=3, min_shingles=5
+    )
+
+
 @_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard pairs within language blocks. Runs

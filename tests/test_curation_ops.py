@@ -168,3 +168,34 @@ def test_prototypicality_invariants(spark):
         srt = sorted(rs, key=lambda r: r["proto_rank"])
         for a, b in zip(srt, srt[1:]):
             assert a["proto_cos"] >= b["proto_cos"]
+
+
+def test_containment_asymmetry_and_floor(spark, tmp_path):
+    """The quote/subset case: a short doc fully embedded in a long one
+    flags src->tgt at containment 1.0 while the reverse direction and
+    the symmetric Jaccard both stay far below threshold; docs under the
+    5-shingle floor never flag as src."""
+    from cql_xmlpipe_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog today"  # 10 toks, 8 shingles
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(20))
+    rows = [
+        (1, quote, "en", "s", len(quote)),
+        (2, quote + " " + filler, "en", "s", 0),   # contains doc 1 verbatim
+        (3, "tiny shared phrase here", "en", "s", 0),  # 2 shingles < floor
+        (4, "tiny shared phrase here plus unrelated continuation text", "en", "s", 0),
+    ]
+    _write_documents(spark, sf := str(tmp_path), rows)
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    got = {(r["src_id"], r["tgt_id"]): r["containment"]
+           for r in ngram_containment_pairs(d).collect()}
+    assert got.get((1, 2)) == 1.0          # the embedded quote flags
+    assert (2, 1) not in got               # reverse: big doc not inside small
+    assert all(p[0] != 3 for p in got)     # under the src floor
+    # symmetric Jaccard misses the same pair at its own 0.5 gate
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(d, threshold=0.5).collect()}
+    assert (1, 2) not in j
