@@ -3589,7 +3589,14 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands on both engines. 100 TB shape: one map-side-combined
     aggregate on the low-cardinality source key + two 1-row broadcast
     joins; nothing here scales with corpus size."""
-    d = load_table(spark, "documents", sf_dir)
+    return _mix_temperature_core(
+        load_table(spark, "documents", sf_dir), _MIX_TEMPERATURE
+    )
+
+
+def _mix_temperature_core(d: DataFrame, tau: float) -> DataFrame:
+    """The tempered-mixture computation with τ as a parameter: the gate
+    runs the pinned τ=0.7; ``curation_cli`` exposes ``--temperature``."""
     per_src = d.groupBy("source").agg(
         F.sum(F.size(TX.ws_tokens(F.col("text"))).cast("long")).alias("n_tokens")
     )
@@ -3603,7 +3610,7 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(
                 F.col("n_tokens").cast("double")
                 / F.col("total_tokens").cast("double"),
-                F.lit(_MIX_TEMPERATURE),
+                F.lit(tau),
             )
             * F.lit(1000000000.0)
             + F.lit(0.5)
@@ -3667,7 +3674,14 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental anywhere. 100 TB shape: identical to
     ``corpus_mix_weights`` — one tiny keyed aggregate + a 1-row
     broadcast; the plan table is what an epoch writer broadcasts."""
-    d = load_table(spark, "documents", sf_dir)
+    return _epoch_plan_core(
+        load_table(spark, "documents", sf_dir), _EPOCH_BUDGET_MULT
+    )
+
+
+def _epoch_plan_core(d: DataFrame, budget_mult: float) -> DataFrame:
+    """Epoch-plan computation with the budget multiple as a parameter:
+    the gate pins 2.0; ``curation_cli`` exposes ``--budget-mult``."""
     per_src = d.groupBy("source").agg(
         F.sum(F.size(TX.ws_tokens(F.col("text"))).cast("long")).alias("n_tokens")
     )
@@ -3677,7 +3691,7 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = (
         F.col("total_tokens").cast("double")
-        * F.lit(_EPOCH_BUDGET_MULT)
+        * F.lit(budget_mult)
         / F.col("n_sources").cast("double")
     )
     epochs = target / F.col("n_tokens").cast("double")
@@ -3729,7 +3743,14 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-free: keep iff md5(doc_id) < per-source quantile cutoff),
     which this operator's output lets a planner calibrate. Integer and
     boolean outputs only — nothing to drift."""
-    d = load_table(spark, "documents", sf_dir)
+    return _domain_cap_core(
+        load_table(spark, "documents", sf_dir), _DOMAIN_CAP_FRAC
+    )
+
+
+def _domain_cap_core(d: DataFrame, cap_frac: float) -> DataFrame:
+    """Domain-cap computation with the ceiling fraction as a parameter:
+    the gate pins 0.3; ``curation_cli`` exposes ``--cap-frac``."""
     tot = d.agg(F.count(F.lit(1)).alias("n_total"))
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
@@ -3744,7 +3765,7 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_rank",
             (
                 F.col("src_rank")
-                <= F.ceil(F.col("n_total").cast("double") * F.lit(_DOMAIN_CAP_FRAC))
+                <= F.ceil(F.col("n_total").cast("double") * F.lit(cap_frac))
                 .cast("long")
             ).alias("kept"),
         )
