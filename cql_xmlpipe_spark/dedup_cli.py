@@ -36,6 +36,11 @@ Contracts:
   deduped per micro-batch against the standing corpus
   (``availableNow`` termination; ``--out`` collects one
   ``batch=<id>`` partition per micro-batch)
+* ``containment``      — asymmetric shingle-containment pairs (ordered
+                         src→tgt, C(src→tgt) >= --threshold, default
+                         0.8) — the quote/boilerplate detector; clone
+                         families imply g·(g−1) ORDERED rows, so the
+                         same output budget guards it
 * ``semdedup``         — SemDeDup semantic pruning verdicts
                          (kmeans K = --n-clusters, then within-cluster
                          keep-first cosine pruning at --threshold;
@@ -64,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--contract",
         required=True,
         choices=[
-            "pairs", "groups", "embedding-pairs", "embedding-groups",
+            "pairs", "groups", "containment",
+            "embedding-pairs", "embedding-groups",
             "incremental", "embedding-incremental", "incremental-rosters",
             "embedding-incremental-rosters",
             "stream-probe", "embedding-stream-probe",
@@ -260,8 +266,8 @@ def main(argv: list[str] | None = None) -> int:
         max_pairs = None if args.max_pairs <= 0 else args.max_pairs
 
     text_contract = args.contract in (
-        "pairs", "groups", "incremental", "incremental-rosters",
-        "stream-probe", "stream-rosters",
+        "pairs", "groups", "containment", "incremental",
+        "incremental-rosters", "stream-probe", "stream-rosters",
     )
     incremental = args.contract in (
         "incremental", "embedding-incremental", "incremental-rosters",
@@ -293,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
     table = args.table or ("documents" if text_contract else "embeddings")
     id_col = args.id_col or ("doc_id" if text_contract else "vec_id")
     threshold = args.threshold if args.threshold is not None else (
-        0.5 if text_contract else 0.95
+        0.8 if args.contract == "containment" else 0.5 if text_contract else 0.95
     )
 
     spark = get_spark("dedup-cli")
@@ -362,6 +368,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.contract == "groups":
             result = DD.minhash_groups_collapsed(
                 df, args.text_col, id_col, threshold, args.k
+            )
+        elif args.contract == "containment":
+            result = DD.ngram_containment_pairs(
+                df, args.text_col, id_col,
+                block_col="lang" if "lang" in df.columns else None,
+                threshold=threshold, k=args.k, max_pairs=max_pairs,
             )
         elif args.contract == "semdedup":
             # the SemDeDup core lives with the other kmeans plumbing in

@@ -347,3 +347,26 @@ def test_cli_semdedup_contract(spark, tmp_path, capsys):
     assert got[100]["is_pruned"] and got[100]["kept_by"] == 0
     assert not got[0]["is_pruned"]
     assert sum(1 for r in got.values() if r["is_pruned"]) == 1
+
+
+def test_cli_containment_guarded_and_runs(hot_corpus_dir, tmp_path, spark, capsys, monkeypatch):
+    """The containment contract prices ORDERED clone pairs: 200 clones
+    imply 200*199 = 39,800 rows — refused under a 1,000 cap, runs under
+    a big one (every clone pair lands at containment 1.0)."""
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PAIRS", raising=False)
+    rc = main([
+        "--contract", "containment", "--data-dir", hot_corpus_dir,
+        "--max-pairs", "1000",
+    ])
+    assert rc == 3
+    err = capsys.readouterr().err
+    assert "ORDERED" in err and "39,800" in err
+    dest = str(tmp_path / "containment")
+    rc = main([
+        "--contract", "containment", "--data-dir", hot_corpus_dir,
+        "--max-pairs", "100000", "--out", dest,
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(dest)
+    assert rows.count() == 39800
+    assert rows.filter("containment = 1.0").count() == 39800
