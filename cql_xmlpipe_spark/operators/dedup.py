@@ -89,6 +89,68 @@ def default_max_pairs() -> int | None:
     return None if cap <= 0 else cap
 
 
+def _unpersist_quiet(*caches: DataFrame) -> None:
+    """Best-effort unpersist for guard-abort paths; a session-teardown
+    race must not mask the :class:`PairOutputBudgetExceeded` being
+    raised."""
+    for c in caches:
+        try:
+            c.unpersist()
+        except Exception:  # pragma: no cover - session teardown race
+            pass
+
+
+def _guard_clone_stats(df: DataFrame, key_cols: list):
+    """STAGE 1 of the house two-stage pair-budget guard: price the
+    exact-clone output from content-key group sizes. Within a key group
+    of size g every member pair is a true output row BY CONTRACT, so
+    Σ g·(g−1)/2 (``Σ g·(g−1)`` for the ordered contracts — callers
+    double ``bound``) lower-bounds output rows — cheap arithmetic that
+    needs no signature/shingle work. Returns Row(bound, g_max) where
+    ``bound`` is the unordered pair count."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("g"))
+        .agg(
+            F.sum(F.expr("g * (g - 1) DIV 2")).alias("bound"),
+            F.max("g").alias("g_max"),
+        )
+        .collect()[0]
+    )
+
+
+def _guard_band_stats(keys: DataFrame, band_col: str, bucket_cols: list):
+    """STAGE 2: price the banded candidate volume — a jittered hot
+    family defeats stage 1 (all content keys distinct) yet still
+    collides in the banded index. Within ONE band, Σ C(bucket, 2)
+    counts DISTINCT pairs (each pair collides at most once per band),
+    and the candidate union contains every band's collision set, so the
+    max over bands lower-bounds distinct candidate verifications. One
+    aggregation over the (persisted) key table before the self-join
+    launches. Returns Row(bound, n_max)."""
+    return (
+        keys.groupBy(band_col, *bucket_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(band_col)
+        .agg(
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand"),
+            F.max("n").alias("m"),
+        )
+        .agg(F.max("cand").alias("bound"), F.max("m").alias("n_max"))
+        .collect()[0]
+    )
+
+
+def _enforce_pair_budget(max_pairs: int, bound, message: str, caches=()) -> None:
+    """Raise :class:`PairOutputBudgetExceeded` when ``bound`` exceeds
+    ``max_pairs``, unpersisting ``caches`` first. Every pair contract's
+    guard stages funnel through here, so a new pair family cannot ship a
+    stage without the refusal-and-cleanup semantics."""
+    if (bound or 0) > max_pairs:
+        _unpersist_quiet(*caches)
+        raise PairOutputBudgetExceeded(message)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per exact text; flag the rest.
 
@@ -266,37 +328,21 @@ def minhash_lsh_pairs(
         F.col(id_col), F.posexplode(_band_keys()).alias("band", "bucket")
     )
     if max_pairs is not None:
-        bstats = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("band")
-            .agg(
-                F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand"),
-                F.max("n").alias("bucket_max"),
-            )
-            .agg(
-                F.max("cand").alias("cand_lb"),
-                F.max("bucket_max").alias("bucket_max"),
-            )
-            .collect()[0]
+        bstats = _guard_band_stats(buckets, "band", ["bucket"])
+        _enforce_pair_budget(
+            max_pairs,
+            bstats["bound"],
+            f"minhash_lsh_pairs: one LSH band alone implies >= "
+            f"{bstats['bound'] or 0:,} distinct candidate pairs to verify "
+            f"(hottest bucket {bstats['n_max'] or 0:,} docs), over "
+            f"max_pairs={max_pairs:,} — a near-identical (jittered) hot "
+            "family that exact-clone collapse cannot fold. "
+            "minhash_groups_collapsed bounds the OUTPUT to one roster "
+            "row per family (the candidate-verify cost remains — the "
+            "family's texts are distinct); raise max_pairs only if "
+            "that verify bill is budgeted.",
+            caches=([sigs] if caller_sets else [sigs, sets]),
         )
-        if (bstats["cand_lb"] or 0) > max_pairs:
-            for c in ([sigs] if caller_sets else [sigs, sets]):
-                try:
-                    c.unpersist()
-                except Exception:  # pragma: no cover - session teardown race
-                    pass
-            raise PairOutputBudgetExceeded(
-                f"minhash_lsh_pairs: one LSH band alone implies >= "
-                f"{bstats['cand_lb']:,} distinct candidate pairs to verify "
-                f"(hottest bucket {bstats['bucket_max']:,} docs), over "
-                f"max_pairs={max_pairs:,} — a near-identical (jittered) hot "
-                "family that exact-clone collapse cannot fold. "
-                "minhash_groups_collapsed bounds the OUTPUT to one roster "
-                "row per family (the candidate-verify cost remains — the "
-                "family's texts are distinct); raise max_pairs only if "
-                "that verify bill is budgeted."
-            )
     cands = (
         buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
         .join(buckets.select(F.col(id_col).alias("id_b"), "band", "bucket"),
@@ -364,40 +410,26 @@ def _collapse_prelude(
     rep_docs = df.join(rep_ids, id_col, "left_semi")
     sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
     if max_pairs is not None:
-        stats = (
-            mem.join(sets.select(F.col(id_col).alias("rep")), "rep")
-            .groupBy("rep")
-            .agg(F.count(F.lit(1)).alias("g"))
-            .agg(
-                F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
-                F.max("g").alias("g_max"),
-            )
-            .collect()[0]
+        stats = _guard_clone_stats(
+            mem.join(sets.select(F.col(id_col).alias("rep")), "rep"), ["rep"]
         )
-        if (stats["clone_pairs"] or 0) > max_pairs:
-            for c in (mem, th, sets):
-                try:
-                    c.unpersist()
-                except Exception:  # pragma: no cover - session teardown race
-                    pass
-            raise PairOutputBudgetExceeded(
-                f"minhash_lsh_pairs_collapsed: exact-clone families alone imply "
-                f">= {stats['clone_pairs']:,} output pair rows (largest family "
-                f"{stats['g_max']:,} docs => C({stats['g_max']:,}, 2) rows), over "
-                f"max_pairs={max_pairs:,}. The pair contract is irreducibly "
-                "quadratic in clone-family size; use minhash_groups_collapsed "
-                "(one roster row per family, linear output) or raise max_pairs."
-            )
+        _enforce_pair_budget(
+            max_pairs,
+            stats["bound"],
+            f"minhash_lsh_pairs_collapsed: exact-clone families alone imply "
+            f">= {stats['bound'] or 0:,} output pair rows (largest family "
+            f"{stats['g_max'] or 0:,} docs => C({stats['g_max'] or 0:,}, 2) rows), over "
+            f"max_pairs={max_pairs:,}. The pair contract is irreducibly "
+            "quadratic in clone-family size; use minhash_groups_collapsed "
+            "(one roster row per family, linear output) or raise max_pairs.",
+            caches=(mem, th, sets),
+        )
     try:
         rep_pairs = minhash_lsh_pairs(
             rep_docs, text_col, id_col, threshold, k, sets=sets, max_pairs=max_pairs
         )
     except PairOutputBudgetExceeded:
-        for c in (mem, th, sets):
-            try:
-                c.unpersist()
-            except Exception:  # pragma: no cover - session teardown race
-                pass
+        _unpersist_quiet(mem, th, sets)
         raise
     return mem, th, sets, rep_pairs
 
@@ -631,36 +663,45 @@ def ngram_containment_pairs(
     exact-duplicate collapse staging applies (representatives pair,
     members expand).
 
-    ``max_pairs`` is the house pre-flight output guard: within a
-    (block, text) clone family of size g every ORDERED member pair is a
-    containment-1.0 row (same shingle set), so eligible families alone
-    imply Σ g·(g−1) output rows — priced from sha256 group sizes before
-    any shingle work, raising :class:`PairOutputBudgetExceeded` toward
-    the roster/dedup contracts exactly like the Jaccard family
-    (measured 576.9 s at the jittered-100× decade without a cap: the
-    output is irreducibly quadratic in clone-family size)."""
+    ``max_pairs`` is the house pre-flight output guard, TWO stages in
+    cost order like the MinHash/embedding families:
+
+    * **exact-clone arithmetic** — within a (block, text) clone family
+      of size g every ORDERED member pair is a containment-1.0 row
+      (same shingle set), so eligible families alone imply Σ g·(g−1)
+      output rows — priced from sha256 group sizes before any shingle
+      work (measured 576.9 s at the jittered-100× decade without a
+      cap: the output is irreducibly quadratic in clone-family size).
+    * **prefix-posting candidate volume** — a jittered hot family
+      (every copy's text rewritten in a few tokens) defeats the clone
+      arithmetic (all sha256 keys distinct) yet still shares its
+      smallest shingle hashes, which land in EVERY family member's
+      PPJoin prefix. At one (block, shingle) key the colliding
+      (src, tgt) pairs are distinct and src prefixes are a subset of
+      tgt postings, so n_src·(n_tgt−1) ordered pairs collide there;
+      the max over keys lower-bounds distinct candidate pairs. Priced
+      on the cached ``base`` projection before the inverted-index join
+      launches.
+
+    Past either cap this raises :class:`PairOutputBudgetExceeded`
+    toward the roster/dedup contracts exactly like the Jaccard family."""
     sh = shingles(words(F.col(text_col)), k)
     block = F.col(block_col) if block_col is not None else F.lit("_")
     if max_pairs is not None:
-        stats = (
-            df.filter(F.size(sh) >= min_shingles)
-            .groupBy(block.alias("block"), F.sha2(F.col(text_col), 256))
-            .agg(F.count(F.lit(1)).alias("g"))
-            .agg(
-                F.sum(F.expr("g * (g - 1)")).alias("clone_pairs"),
-                F.max("g").alias("g_max"),
-            )
-            .collect()[0]
+        stats = _guard_clone_stats(
+            df.filter(F.size(sh) >= min_shingles),
+            [block.alias("block"), F.sha2(F.col(text_col), 256)],
         )
-        if (stats["clone_pairs"] or 0) > max_pairs:
-            raise PairOutputBudgetExceeded(
-                f"ngram_containment_pairs: exact-clone families alone imply "
-                f">= {stats['clone_pairs']:,} ORDERED output rows (largest "
-                f"family {stats['g_max']:,} docs => g*(g-1) rows), over "
-                f"max_pairs={max_pairs:,}. Containment output is irreducibly "
-                "quadratic in clone-family size; dedup first (groups "
-                "contract) or raise max_pairs."
-            )
+        _enforce_pair_budget(
+            max_pairs,
+            2 * (stats["bound"] or 0),  # ordered contract: g·(g−1) per family
+            f"ngram_containment_pairs: exact-clone families alone imply "
+            f">= {2 * (stats['bound'] or 0):,} ORDERED output rows (largest "
+            f"family {stats['g_max'] or 0:,} docs => g*(g-1) rows), over "
+            f"max_pairs={max_pairs:,}. Containment output is irreducibly "
+            "quadratic in clone-family size; dedup first (groups "
+            "contract) or raise max_pairs.",
+        )
     base = (
         df.select(
             F.col(id_col),
@@ -672,6 +713,39 @@ def ngram_containment_pairs(
     )
     n = F.size("sh")
     prefix_len = (n - F.ceil(n * threshold) + 1).cast("int")
+    if max_pairs is not None:
+        pref_keys = (
+            base.filter(n >= min_shingles)
+            .select("block", F.explode(F.slice("sh", 1, prefix_len)).alias("s"))
+            .groupBy("block", "s")
+            .agg(F.count(F.lit(1)).alias("_ns"))
+        )
+        post_keys = (
+            base.select("block", F.explode("sh").alias("s"))
+            .groupBy("block", "s")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+        )
+        cstats = (
+            pref_keys.join(post_keys, ["block", "s"])
+            .agg(
+                F.max(F.col("_ns") * (F.col("_nt") - 1)).alias("bound"),
+                F.max("_nt").alias("n_max"),
+            )
+            .collect()[0]
+        )
+        _enforce_pair_budget(
+            max_pairs,
+            cstats["bound"],
+            f"ngram_containment_pairs: one prefix-posting key alone implies "
+            f">= {cstats['bound'] or 0:,} distinct ORDERED candidate pairs to "
+            f"verify (hottest shingle posted by {cstats['n_max'] or 0:,} docs), "
+            f"over max_pairs={max_pairs:,} — a near-identical (jittered) hot "
+            "family the exact-clone arithmetic cannot see; its replica pairs "
+            "still verify at containment >= threshold, so the output bill is "
+            "as quadratic as the candidate bill. Dedup first (groups "
+            "contract) or raise max_pairs only if that bill is budgeted.",
+            caches=(base,),
+        )
     src_pref = base.filter(n >= min_shingles).select(
         F.col(id_col).alias("src_id"),
         "block",
@@ -1225,61 +1299,45 @@ def embedding_near_dup_pairs(
 
     eligible = emb.filter(F.col(emb_col).isNotNull() & (norm(F.col(emb_col)) > 0))
     if max_pairs is not None:
-        stats = (
-            eligible.groupBy(
+        stats = _guard_clone_stats(
+            eligible,
+            [
                 F.xxhash64(F.col(emb_col)).alias("_h1"),
                 F.xxhash64(F.col(emb_col), F.lit(1)).alias("_h2"),
-            )
-            .agg(F.count(F.lit(1)).alias("g"))
-            .agg(
-                F.sum(F.expr("g * (g - 1) DIV 2")).alias("clone_pairs"),
-                F.max("g").alias("g_max"),
-            )
-            .collect()[0]
+            ],
         )
-        if (stats["clone_pairs"] or 0) > max_pairs:
-            raise PairOutputBudgetExceeded(
-                f"embedding_near_dup_pairs: identical-vector families alone "
-                f"imply >= {stats['clone_pairs']:,} output pair rows (largest "
-                f"family {stats['g_max']:,} vectors => C({stats['g_max']:,}, 2) "
-                f"rows), over max_pairs={max_pairs:,}. The pair contract is "
-                "irreducibly quadratic in clone-family size; use "
-                "embedding_near_dup_groups (one roster row per family, linear "
-                "output) or raise max_pairs."
-            )
+        _enforce_pair_budget(
+            max_pairs,
+            stats["bound"],
+            f"embedding_near_dup_pairs: identical-vector families alone "
+            f"imply >= {stats['bound'] or 0:,} output pair rows (largest "
+            f"family {stats['g_max'] or 0:,} vectors => C({stats['g_max'] or 0:,}, 2) "
+            f"rows), over max_pairs={max_pairs:,}. The pair contract is "
+            "irreducibly quadratic in clone-family size; use "
+            "embedding_near_dup_groups (one roster row per family, linear "
+            "output) or raise max_pairs.",
+        )
     n_bands, band_bits = _resolve_band_geometry(
         eligible, threshold, n_bands, band_bits, n_hint, auto_geometry
     )
 
     keys = banded_sign_keys(eligible, emb_col, id_col, n_bands, band_bits).persist()
     if max_pairs is not None:
-        bstats = (
-            keys.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("band")
-            .agg(
-                F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand"),
-                F.max("n").alias("bucket_max"),
-            )
-            .agg(
-                F.max("cand").alias("cand_lb"),
-                F.max("bucket_max").alias("bucket_max"),
-            )
-            .collect()[0]
+        bstats = _guard_band_stats(keys, "band", ["bkey"])
+        _enforce_pair_budget(
+            max_pairs,
+            bstats["bound"],
+            f"embedding_near_dup_pairs: one LSH band alone implies >= "
+            f"{bstats['bound'] or 0:,} distinct candidate pairs to verify "
+            f"(hottest bucket {bstats['n_max'] or 0:,} vectors), over "
+            f"max_pairs={max_pairs:,} — a near-identical (jittered) hot "
+            "family the identical-vector pricing cannot see. "
+            "embedding_near_dup_groups bounds the OUTPUT to one roster "
+            "row per family (the candidate-verify cost remains — its "
+            "reps are distinct vectors); raise max_pairs only if that "
+            "verify bill is budgeted.",
+            caches=(keys,),
         )
-        if (bstats["cand_lb"] or 0) > max_pairs:
-            keys.unpersist()
-            raise PairOutputBudgetExceeded(
-                f"embedding_near_dup_pairs: one LSH band alone implies >= "
-                f"{bstats['cand_lb']:,} distinct candidate pairs to verify "
-                f"(hottest bucket {bstats['bucket_max']:,} vectors), over "
-                f"max_pairs={max_pairs:,} — a near-identical (jittered) hot "
-                "family the identical-vector pricing cannot see. "
-                "embedding_near_dup_groups bounds the OUTPUT to one roster "
-                "row per family (the candidate-verify cost remains — its "
-                "reps are distinct vectors); raise max_pairs only if that "
-                "verify bill is budgeted."
-            )
     cands = (
         keys.select(F.col(id_col).alias("id_a"), "band", "bkey")
         .join(keys.select(F.col(id_col).alias("id_b"), "band", "bkey"), ["band", "bkey"])
@@ -1678,17 +1736,14 @@ def _cross_budget_check(
         )
     else:  # one composite content key: Σ a·b IS the family pair output
         stats = joined.agg(F.sum("_ab").alias("bound")).collect()[0]
-    if (stats["bound"] or 0) > max_pairs:
-        for c in caches:
-            try:
-                c.unpersist()
-            except Exception:  # pragma: no cover - session teardown race
-                pass
-        raise PairOutputBudgetExceeded(
-            f"{op}: {stage} implies >= {stats['bound']:,} cross-set "
-            f"{'candidate pairs to verify' if banded else 'pair rows'}, "
-            f"over max_pairs={max_pairs:,}. {remedy}"
-        )
+    _enforce_pair_budget(
+        max_pairs,
+        stats["bound"],
+        f"{op}: {stage} implies >= {stats['bound'] or 0:,} cross-set "
+        f"{'candidate pairs to verify' if banded else 'pair rows'}, "
+        f"over max_pairs={max_pairs:,}. {remedy}",
+        caches=caches,
+    )
 
 
 def stage_corpus_lsh(

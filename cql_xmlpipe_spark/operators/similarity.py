@@ -243,10 +243,12 @@ def radius_search(
     a radius result is a SET, and imposing a rank would turn schema
     stability into a function of corpus density.
 
-    Uses :func:`cosine_safe` (functions/vectors.py) so a zero-norm
-    corpus or query vector yields NULL — which never qualifies the
-    threshold filter in either engine — instead of an ANSI
-    divide-by-zero crash.
+    Mirrors ``cosine_safe``'s NULL-on-zero-norm contract (a zero-norm
+    corpus or query vector yields NULL, which never qualifies the
+    threshold filter in either engine, instead of an ANSI
+    divide-by-zero crash) with the norms hoisted out of the pair loop —
+    see the scale note below for why the hoisted form divides the same
+    operands in the same order.
 
     100 TB shape: identical to ``brute_force_topk`` — the query set
     broadcasts, scoring is one codegen scan over the corpus, and the

@@ -993,6 +993,47 @@ def test_text_bucket_guard_passes_under_cap(spark):
     DD.unpersist_intermediates(uncapped)
 
 
+def test_containment_jitter_guard_refuses(spark):
+    """ADVICE r12: a jittered hot family (every clone's text rewritten in
+    one token) defeats containment's exact-clone sha256 arithmetic —
+    stage 1 prices ~0 because every text is distinct — yet every replica
+    pair still verifies at containment >= threshold, so the quadratic
+    candidate/verify/output bill remains. The prefix-posting stage-2
+    bound must refuse before the inverted-index join launches."""
+    base = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(300):
+        toks = list(base)
+        toks[i % 60] = f"edit{i}"  # one-token jitter: containment ≈ 0.95
+        rows.append((i, " ".join(toks), "en"))
+    rows += [(1000 + j, f"unique filler document number {j} here", "en") for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with pytest.raises(DD.PairOutputBudgetExceeded) as ei:
+        DD.ngram_containment_pairs(df, max_pairs=1_000)
+    msg = str(ei.value)
+    assert "prefix-posting" in msg and "ORDERED candidate" in msg
+
+
+def test_containment_jitter_guard_passes_under_cap(spark):
+    """Same jittered corpus shape under a permissive cap: the full
+    ordered verified pair set comes through unchanged — the guard is a
+    pre-flight, not a truncation."""
+    base = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(50):
+        toks = list(base)
+        toks[i % 60] = f"edit{i}"
+        rows.append((i, " ".join(toks), "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    capped = DD.ngram_containment_pairs(df, max_pairs=10**7)
+    uncapped = DD.ngram_containment_pairs(df)
+    got_c = sorted(map(tuple, capped.collect()))
+    got_u = sorted(map(tuple, uncapped.collect()))
+    assert got_c == got_u and len(got_c) > 0
+    DD.unpersist_intermediates(capped)
+    DD.unpersist_intermediates(uncapped)
+
+
 def test_minhash_recall_sampled_detects_real_misses(spark):
     """The health check must DISCRIMINATE, not just report 1.0: plant
     pairs in the banding's miss zone (J ≈ 0.36-0.45 at the 16×4 s-curve,
