@@ -225,6 +225,105 @@ def brute_force_topk(
     )
 
 
+def _radius_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    q_id_col: str,
+    q_emb_col: str,
+    max_query_mb: int = 256,
+) -> DataFrame:
+    """EXACT radius search via Arrow-batched BLAS: the query matrix is
+    collected once (guarded by ``max_query_mb``), shipped in the task
+    closure, and every corpus batch scores against it with a single
+    float64 matmul — the same N·|Q| pair bill as the codegen fold but at
+    BLAS throughput (measured 17× on the |Q| = N/97 shape at the 100×
+    decade, SCALE.md). The qualifying SET is identical to the broadcast
+    path; only the last-ulp of ``cos`` can differ (BLAS uses blocked
+    summation where the Column fold is left-to-right), which is why the
+    hash-exact oracle gate pins the broadcast path and the matmul gate
+    pins the set. Zero-norm vectors never qualify (the NULL-cosine
+    contract, expressed here as a denominator mask)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qp = queries.select(q_id_col, q_emb_col).toPandas()
+    qp = qp[qp[q_emb_col].notna()]
+    if len(qp):
+        try:
+            Q = np.stack(qp[q_emb_col].to_numpy()).astype(np.float64)
+        except ValueError:
+            lens = sorted(qp[q_emb_col].map(len).unique().tolist())
+            raise ValueError(
+                f"radius_search: ragged '{q_emb_col}' lengths {lens}; "
+                "query embeddings must share one dimension"
+            ) from None
+        mb = Q.nbytes / 1e6
+        if mb > max_query_mb:
+            raise ValueError(
+                f"radius_search: matmul path would ship {mb:.0f} MB of query "
+                f"vectors per task (max_query_mb={max_query_mb}). At this |Q| "
+                "use candidates='banded' (high thresholds) or raise the cap "
+                "if the executors have the headroom — a low-threshold radius "
+                "over two large sets is irreducibly N×|Q|."
+            )
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qids = qp[q_id_col].to_numpy()
+    else:
+        Q, qn, qids = None, None, None
+
+    out_schema = T.StructType(
+        [
+            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if Q is None:
+                continue
+            pdf = pdf[pdf[emb_col].notna()]
+            if not len(pdf):
+                continue
+            try:
+                C = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            except ValueError:
+                lens = sorted(pdf[emb_col].map(len).unique().tolist())
+                raise ValueError(
+                    f"radius_search: ragged '{emb_col}' lengths {lens} in one "
+                    "batch; embeddings must share one dimension"
+                ) from None
+            cn = np.sqrt((C * C).sum(axis=1))
+            denom = cn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (C @ Q.T) / denom
+            mask = (denom != 0.0) & (cos >= threshold)
+            mask &= pdf[id_col].to_numpy()[:, None] != qids[None, :]
+            ci, qi = np.nonzero(mask)
+            if not len(ci):
+                continue
+            yield pd.DataFrame(
+                {
+                    q_id_col: qids[qi],
+                    id_col: pdf[id_col].to_numpy()[ci],
+                    "cos": cos[ci, qi],
+                }
+            )
+
+    return corpus.select(id_col, emb_col).mapInPandas(gen, schema=out_schema)
+
+
+#: auto-mode decision constants for :func:`radius_search` — static so the
+#: chosen physical strategy is a pure function of (corpus size, |Q|,
+#: threshold) and gate plans never flip between runs.
+RADIUS_BRUTE_BILL_MAX = 100_000_000  #: max N·|Q| pairs the codegen fold scans
+RADIUS_MAX_PLANES = 4096  #: max LSH index width before banded stops paying
+
+
 def radius_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -233,9 +332,14 @@ def radius_search(
     emb_col: str = "embedding",
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
+    candidates: str = "auto",
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    n_hint: int | None = None,
+    recall_target: float = 0.99,
 ) -> DataFrame:
-    """Exact radius search: every corpus vector within cosine >=
-    ``threshold`` of each query — the range-query complement of
+    """Radius search: every corpus vector within cosine >= ``threshold``
+    of each query — the range-query complement of
     :func:`brute_force_topk` (top-k bounds the RESULT size, radius
     bounds the SIMILARITY; retrieval and near-dup probes need both).
 
@@ -247,24 +351,61 @@ def radius_search(
     corpus or query vector yields NULL, which never qualifies the
     threshold filter in either engine, instead of an ANSI
     divide-by-zero crash) with the norms hoisted out of the pair loop —
-    see the scale note below for why the hoisted form divides the same
-    operands in the same order.
-
-    100 TB shape: identical to ``brute_force_topk`` — the query set
-    broadcasts, scoring is one codegen scan over the corpus, and the
-    selective threshold filter sits directly on the scan so only
-    qualifying rows ever shuffle/collect. Norms are hoisted OUT of the
-    pair loop (one fold per corpus row and per query instead of two per
-    PAIR — measured 3× on the |Q|=N/97 gate shape; the final
+    one fold per corpus row and per query instead of two per PAIR
+    (measured 3× on the |Q| = N/97 gate shape); the final
     ``dot/(nc·nq)`` divides the same operands in the same order as
     ``cosine_safe``, so results stay bit-identical to the unhoisted
-    form and the DuckDB oracle). For large |Q| the candidate generation
-    swaps to the banded sign-key join (``banded_sign_keys``, the
-    recall-measured device of operators/dedup.py) with this exact
-    scorer as the verify step — a drop-in because the verify filter is
-    the same ``cosine >= threshold`` predicate.
+    form and the DuckDB oracle.
+
+    ``candidates`` picks the physical strategy (the 100 TB story):
+
+    * ``"broadcast"`` — the exact codegen scan: queries broadcast, the
+      selective threshold filter sits directly on the corpus scan, cos
+      is bit-identical to the oracle fold. Right whenever the N·|Q|
+      pair bill is small enough to grind through.
+    * ``"banded"`` — candidates from the ``banded_sign_keys`` join (the
+      recall-measured device of operators/dedup.py: both sides sign
+      n_bands×band_bits hyperplanes; only fixed-width (id, band, key)
+      ints shuffle), then the IDENTICAL hoisted-norm ``cosine >=
+      threshold`` verify on the fetched pairs — banded output is a
+      strict subset of the exact set with per-pair recall
+      ``1-(1-p^band_bits)^n_bands``, p = 1-arccos(t)/π, which
+      :func:`auto_band_config` sizes to ``recall_target`` at cosine
+      exactly t (higher above t). ONLY economical at high thresholds:
+      the LSH exponent ρ → 1 as t drops, and the auto geometry's index
+      width explodes past :data:`RADIUS_MAX_PLANES` (t=0.95 → 368
+      planes at 10⁴ vectors; t=0.7 → 7k+; t=0.35 → hopeless — no sign
+      LSH prunes a low-similarity radius, which is information, not an
+      implementation gap).
+    * ``"matmul"`` — the exact scan at BLAS speed (see
+      :func:`_radius_matmul`): same pair bill as broadcast, ~17×
+      faster at the 100× decade, cos equal to the fold within 1 ulp.
+      The scale path for the low-threshold regime banding cannot serve.
+    * ``"auto"`` (default) — ``broadcast`` while N·|Q| <=
+      :data:`RADIUS_BRUTE_BILL_MAX` (bit-exact, and the bill is small);
+      past that, ``banded`` when the auto geometry fits
+      :data:`RADIUS_MAX_PLANES`, else ``matmul``. Corpus size comes
+      from ``n_hint`` or one COUNT; |Q| from a LIMIT-bounded count.
     """
     from cql_xmlpipe_spark.functions.vectors import dot, norm
+
+    mode = candidates
+    if mode == "auto":
+        cap = RADIUS_BRUTE_BILL_MAX
+        n = n_hint if n_hint is not None else corpus.count()
+        nq_probe = max(1, cap // max(n, 1)) + 1
+        nq = queries.limit(nq_probe).count()
+        if n * nq <= cap:
+            mode = "broadcast"
+        else:
+            nb, bb = auto_band_config(n, threshold, recall_target)
+            mode = "banded" if nb * bb <= RADIUS_MAX_PLANES else "matmul"
+            if n_hint is None:
+                n_hint = n
+    if mode == "matmul":
+        return _radius_matmul(
+            corpus, queries, threshold, id_col, emb_col, q_id_col, q_emb_col
+        )
 
     c = corpus.select(
         F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("_c_norm")
@@ -274,10 +415,38 @@ def radius_search(
     )
     denom = F.col("_c_norm") * F.col("_q_norm")
     cos = F.when(denom != 0.0, dot(F.col(emb_col), F.col(q_emb_col)) / denom)
+    if mode == "broadcast":
+        scored = c.crossJoin(F.broadcast(q))
+    elif mode == "banded":
+        if n_bands is None and band_bits is None:
+            n = n_hint if n_hint is not None else corpus.count()
+            n_bands, band_bits = auto_band_config(n, threshold, recall_target)
+        n_bands = 24 if n_bands is None else n_bands
+        band_bits = 16 if band_bits is None else band_bits
+        ck = banded_sign_keys(
+            corpus.filter(F.col(emb_col).isNotNull()), emb_col, id_col,
+            n_bands, band_bits,
+        )
+        qk = banded_sign_keys(
+            queries.filter(F.col(q_emb_col).isNotNull()), q_emb_col, q_id_col,
+            n_bands, band_bits,
+        )
+        cands = (
+            ck.join(qk, ["band", "bkey"])
+            .filter(F.col(id_col) != F.col(q_id_col))
+            .select(q_id_col, id_col)
+            .distinct()
+        )
+        scored = cands.join(c, id_col).join(q, q_id_col)
+    else:
+        raise ValueError(
+            f"radius_search: unknown candidates={candidates!r} "
+            "(expected auto | broadcast | banded | matmul)"
+        )
+    if mode == "broadcast":
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col(q_id_col))
-        .withColumn("cos", cos)
+        scored.withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select(q_id_col, id_col, "cos")
     )

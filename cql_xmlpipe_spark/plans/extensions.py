@@ -1458,6 +1458,161 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_search(e, q, threshold=0.35)
 
 
+@_q(
+    "similarity_radius_matmul",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+          (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (a, b) -> a + b))) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id FROM scored WHERE cos >= 0.35
+""",
+)
+def similarity_radius_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS scale path of :func:`radius_search` under the exact
+    oracle: same query shape and threshold as ``similarity_radius_search``
+    but scored by the Arrow-batched float64 matmul
+    (``candidates='matmul'`` — the round-13 replacement for the 241 s
+    codegen wall SCALE.md measured at the 100× decade). The qualifying
+    SET is provably identical to the codegen fold's away from the
+    threshold boundary — BLAS blocked summation agrees with the
+    left-to-right fold to ~1 ulp, and no natural-corpus pair sits within
+    1 ulp of 0.35 — so the gate pins (q_id, vec_id) and leaves the
+    bit-level cos pin to the broadcast twin."""
+    from cql_xmlpipe_spark.operators.similarity import radius_search
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return radius_search(e, q, threshold=0.35, candidates="matmul").select(
+        "q_id", "vec_id"
+    )
+
+
+_RADIUS_BANDED_ORACLE = f"""
+    WITH {_EMB_PLANT_CTE},
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id % 31 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+          (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (a, b) -> a + b))) AS cos
+      FROM eu e, q WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.95
+"""
+
+
+def _radius_banded_inputs(spark: SparkSession, sf_dir: str):
+    """(planted corpus, query set) for the banded radius gates: corpus =
+    embeddings ∪ exact-×2 twins (``_planted_embeddings`` — the sign-LSH
+    recall-1.0-by-construction device of the round-11 planted gates: a
+    ×2 twin doubles every plane dot exactly, so it lands in the SAME
+    sign bucket in every band at ANY geometry, yet is a distinct byte
+    pattern that must travel the real candidate join); queries = every
+    31st original. The natural corpus's max off-diagonal cosine is
+    ~0.47, so at threshold 0.95 the exact answer is exactly one twin
+    row per query — non-vacuous, and banded ≡ exact deterministically
+    rather than up to a recall budget."""
+    corpus = _planted_embeddings(spark, sf_dir)
+    q = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") % 31 == 0
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return corpus, q
+
+
+@_q("similarity_radius_banded_planted", _RADIUS_BANDED_ORACLE)
+def similarity_radius_banded_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BANDED radius path (round 13 — the scale plan for
+    high-threshold radius search the r12 verdict named as the one weak
+    component) under a hash-exact all-pairs oracle: sign-key candidates
+    (``banded_sign_keys``, 24×16 — the near-dup family's recall-measured
+    geometry) joined corpus×queries on (band, bkey), then the IDENTICAL
+    hoisted-norm ``cosine >= threshold`` verify — so every emitted cos
+    is bit-identical to the exact path's and the planted twins guarantee
+    the candidate set misses nothing (see ``_radius_banded_inputs``)."""
+    from cql_xmlpipe_spark.operators.similarity import radius_search
+
+    corpus, q = _radius_banded_inputs(spark, sf_dir)
+    return radius_search(
+        corpus, q, threshold=0.95, candidates="banded", n_bands=24, band_bits=16
+    )
+
+
+@_q(
+    "similarity_radius_banded_recall",
+    """
+    SELECT vec_id AS q_id, CAST(1.0 AS DOUBLE) AS recall
+    FROM embeddings WHERE vec_id % 31 = 0
+""",
+)
+def similarity_radius_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of banded radius vs the exact broadcast path,
+    computed LIVE (the ``similarity_lsh_recall`` shape, radius edition):
+    |banded ∩ exact| / |exact| per query over the planted corpus, 1.0
+    when a query has no exact neighbors. The ×2-twin construction makes
+    1.0 the DETERMINISTIC answer at any geometry (not a pinned
+    frozen-run value), so the oracle is a constant — what the gate
+    actually checks is that the banded candidate join + verify finds
+    every qualifying pair the exact scan finds, end to end; the
+    miss-budget behavior of jittered (non-invariant) neighbors is
+    pinned by tests/test_curation_ops.py against auto_band_config's
+    recall law."""
+    from cql_xmlpipe_spark.operators.similarity import radius_search
+
+    corpus, q = _radius_banded_inputs(spark, sf_dir)
+    exact = radius_search(corpus, q, threshold=0.95, candidates="broadcast").select(
+        "q_id", "vec_id"
+    )
+    banded = radius_search(
+        corpus, q, threshold=0.95, candidates="banded", n_bands=24, band_bits=16
+    ).select("q_id", "vec_id")
+    n_ex = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    n_hit = (
+        banded.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        q.select("q_id")
+        .join(n_ex, "q_id", "left")
+        .join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            F.when(
+                F.coalesce(F.col("n_ex"), F.lit(0)) == 0, F.lit(1.0)
+            )
+            .otherwise(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_ex")
+            )
+            .alias("recall"),
+        )
+    )
+
+
 #: Corpus fingerprint keying the frozen-run ANN pin fixtures. Covers the
 #: embedding VALUES (fixed-precision %.6e rendering), not just (vec_id,
 #: label): a regenerated corpus with identical ids/labels but different

@@ -406,6 +406,30 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @_q(
+    "anti_join_customers_planted",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_custkey % 10 <> 0)
+    """,
+)
+def anti_join_customers_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a PLANTED non-empty answer (r12 verdict task 5):
+    the natural ``anti_join_customers_without_orders`` gate is an
+    oracle-matched ZERO at sf0.01 — every customer has an order — so
+    its pass only pins the no-false-positive side. Here the order side
+    is thinned in-query (orders of custkey % 10 == 0 excluded), so
+    every such customer that exists becomes a true anti-join row and
+    the gate pins non-empty output by value. Same left-anti plan shape
+    (broadcast/shuffled hash anti on the key)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") % 10 != 0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
     "not_in_subquery_suppliers",
     """
     SELECT s_suppkey, s_name FROM supplier
@@ -1875,6 +1899,55 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         if not q.awaitTermination(300):
             raise TimeoutError("streaming twin did not finish in 300s")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@_q(
+    "streaming_sliding_window",
+    f"""
+    WITH s AS (
+      SELECT event_type, value,
+             unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+               AS bucket_start
+      FROM events)
+    SELECT event_type, bucket_start,
+           bucket_start + 600 AS bucket_end,
+           COUNT(*) AS n_events,
+           {_osum('value')} AS sum_value
+    FROM s GROUP BY event_type, bucket_start
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sliding-window path (10-minute windows every 5
+    minutes), driver-visible — the one 2C streaming shape the r12
+    verdict noted had pytest coverage but no gate row. readStream →
+    watermarked overlapping-window aggregate
+    (``streaming/windows.py::sliding_window_counts``) →
+    ``trigger(availableNow=True)`` into a memory sink. Oracle: every
+    event belongs to exactly window/slide = 2 windows, whose starts are
+    the two 300 s grid points in (ts−600 s, ts] — enumerated per event
+    with unnest, then the same exact-decimal value sum as the tumbling
+    twin."""
+    from cql_xmlpipe_spark.streaming.sources import stream_events
+    from cql_xmlpipe_spark.streaming.windows import sliding_window_counts
+
+    global _STREAM_TWIN_SEQ
+    _STREAM_TWIN_SEQ += 1
+    name = f"streaming_sliding_window_{_STREAM_TWIN_SEQ}"
+    q = (
+        sliding_window_counts(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming sliding twin did not finish in 300s")
     finally:
         q.stop()
     return spark.table(name)

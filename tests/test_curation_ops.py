@@ -109,6 +109,112 @@ def test_radius_search_threshold_and_null_norm(spark):
     assert {r["vec_id"] for r in radius_search(corpus, q2, threshold=0.5).collect()} == {3}
 
 
+def _radius_corpus(spark, n=300, dim=24, seed=11):
+    """Random unit vectors + a jittered ~0.97-cosine twin for each of the
+    first 40 (NON-sign-invariant jitter — exercises the real banding miss
+    budget, unlike the ×2 gate device) + one zero-norm + one NULL."""
+    import random
+
+    rng = random.Random(seed)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    rows = []
+    for i in range(n):
+        v = unit()
+        rows.append((i, [float(x) for x in v]))
+        if i < 40:
+            w = [x + 0.12 * rng.gauss(0, 1) / math.sqrt(dim) for x in v]
+            nrm = math.sqrt(sum(x * x for x in w))
+            rows.append((10_000 + i, [float(x / nrm) for x in w]))
+    rows.append((77_777, [0.0] * dim))
+    rows.append((88_888, None))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_radius_matmul_equals_broadcast(spark):
+    """The BLAS path is EXACT: same qualifying set as the codegen fold
+    (no pair near the 0.9 boundary within BLAS-vs-fold disagreement),
+    cos agreeing to 1e-12, zero-norm and NULL vectors excluded on both."""
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 60 AND embedding IS NOT NULL").selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    ex = {(r["q_id"], r["vec_id"]): r["cos"]
+          for r in radius_search(corpus, q, 0.9, candidates="broadcast").collect()}
+    mm = {(r["q_id"], r["vec_id"]): r["cos"]
+          for r in radius_search(corpus, q, 0.9, candidates="matmul").collect()}
+    assert set(ex) == set(mm) and len(ex) >= 40
+    assert max(abs(ex[k] - mm[k]) for k in ex) < 1e-12
+    assert all(77_777 not in k and 88_888 not in k for k in mm)
+
+
+def test_radius_banded_subset_and_recall_law(spark):
+    """Banded output ⊆ exact with BIT-IDENTICAL cos (same verify
+    expression), and live recall on jittered ~0.97 twins meets the
+    auto_band_config recall law at the operator's own auto geometry —
+    the non-invariant-neighbor evidence the ×2 planted gate can't give."""
+    from cql_xmlpipe_spark.operators.similarity import auto_band_config
+
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 40").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    ex = {(r["q_id"], r["vec_id"]): r["cos"]
+          for r in radius_search(corpus, q, 0.95, candidates="broadcast").collect()}
+    bd = {(r["q_id"], r["vec_id"]): r["cos"]
+          for r in radius_search(corpus, q, 0.95, candidates="banded").collect()}
+    assert set(bd) <= set(ex)
+    assert all(bd[k] == ex[k] for k in bd)  # identical verify expression
+    # recall_target=0.99 at cosine EXACTLY 0.95; the planted twins sit at
+    # ~0.97 where per-pair recall is higher still — demand ≥ 0.95 overall
+    # to absorb the Bernoulli tail at 40 pairs
+    assert len(ex) >= 35
+    assert len(bd) / len(ex) >= 0.95
+    nb, bb = auto_band_config(corpus.count(), 0.95)
+    assert nb * bb <= 4096  # the geometry radius_search auto-derived
+
+
+def test_radius_auto_strategy_selection(spark, monkeypatch):
+    """auto picks the documented strategy per (bill, threshold): tiny
+    bill → broadcast (plan shows the broadcast nested loop); big bill +
+    high threshold → banded (no cross join in the plan); big bill + low
+    threshold → matmul (Arrow scan node). Forced via the module budget
+    constants so a 300-row corpus exercises all three branches."""
+    from cql_xmlpipe_spark.operators import similarity as S
+
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 40").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    plan = radius_search(corpus, q, 0.95)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    monkeypatch.setattr(S, "RADIUS_BRUTE_BILL_MAX", 10)
+    banded_plan = (
+        S.radius_search(corpus, q, 0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in banded_plan
+    assert "MapInPandas" in banded_plan  # banded_sign_keys on both sides
+    low_t = S.radius_search(corpus, q, 0.2)
+    lp = low_t._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in lp and "Join" not in lp  # single-scan matmul
+    assert low_t.limit(1).count() == 1
+
+
+def test_radius_matmul_query_budget_guard(spark):
+    """The matmul path refuses to ship an oversized query matrix in the
+    task closure, naming the banded alternative."""
+    import pytest
+
+    from cql_xmlpipe_spark.operators.similarity import _radius_matmul
+
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 40").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    with pytest.raises(ValueError, match="banded"):
+        _radius_matmul(corpus, q, 0.9, "vec_id", "embedding", "q_id", "q_emb",
+                       max_query_mb=0)
+
+
 def test_char_entropy_degenerate_and_two_symbol(spark, tmp_path):
     sf = str(tmp_path)
     _write_documents(
