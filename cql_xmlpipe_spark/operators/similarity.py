@@ -11,6 +11,10 @@
 At 100 TB: brute force is O(|Q|·N) dot products — fine when |Q| is small
 and broadcast; for large |Q| use ``lsh_topk`` where the join key is the
 bucket id, so the shuffle moves vectors once instead of crossing.
+
+``radius_search`` (the range-query complement) carries its own strategy
+dispatch: exact codegen fold, exact Arrow/BLAS scan, or banded sign-key
+candidates + identical verify — see its docstring for the regime map.
 """
 
 from __future__ import annotations
@@ -282,6 +286,13 @@ def _radius_matmul(
         ]
     )
 
+    # bound the per-task pair-matrix working set: a full Arrow batch of
+    # 10k rows × a 2k-query set is three ~160 MB float64 intermediates,
+    # and ~30 concurrent first-touch allocations of that size measured
+    # ~2.5× the whole warm query in kernel page-zeroing — chunk rows so
+    # each task's live pair block stays ~tens of MB
+    chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if Q is None:
@@ -290,29 +301,33 @@ def _radius_matmul(
             if not len(pdf):
                 continue
             try:
-                C = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                C_all = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             except ValueError:
                 lens = sorted(pdf[emb_col].map(len).unique().tolist())
                 raise ValueError(
                     f"radius_search: ragged '{emb_col}' lengths {lens} in one "
                     "batch; embeddings must share one dimension"
                 ) from None
-            cn = np.sqrt((C * C).sum(axis=1))
-            denom = cn[:, None] * qn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (C @ Q.T) / denom
-            mask = (denom != 0.0) & (cos >= threshold)
-            mask &= pdf[id_col].to_numpy()[:, None] != qids[None, :]
-            ci, qi = np.nonzero(mask)
-            if not len(ci):
-                continue
-            yield pd.DataFrame(
-                {
-                    q_id_col: qids[qi],
-                    id_col: pdf[id_col].to_numpy()[ci],
-                    "cos": cos[ci, qi],
-                }
-            )
+            ids_all = pdf[id_col].to_numpy()
+            for lo in range(0, len(ids_all), chunk):
+                C = C_all[lo : lo + chunk]
+                ids = ids_all[lo : lo + chunk]
+                cn = np.sqrt((C * C).sum(axis=1))
+                denom = cn[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (C @ Q.T) / denom
+                mask = (denom != 0.0) & (cos >= threshold)
+                mask &= ids[:, None] != qids[None, :]
+                ci, qi = np.nonzero(mask)
+                if not len(ci):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        q_id_col: qids[qi],
+                        id_col: ids[ci],
+                        "cos": cos[ci, qi],
+                    }
+                )
 
     return corpus.select(id_col, emb_col).mapInPandas(gen, schema=out_schema)
 
