@@ -333,11 +333,21 @@ def decode_audio_features(media: DataFrame, use_codec: bool = False) -> DataFram
                 payload = bytes(payload)
                 if use_codec:
                     if payload[:4] != b"RIFF":
-                        raise NotImplementedError(
-                            "only PCM16 mono WAV decodes in-container; "
-                            "install soundfile/librosa for other formats"
+                        from cql_xmlpipe_spark.functions.ffmpegcodec import (
+                            decode_audio_ffmpeg,
+                            ffmpeg_path,
                         )
-                    samples, rate = decode_wav(payload)
+
+                        if ffmpeg_path() is None:
+                            raise NotImplementedError(
+                                "only PCM16 mono WAV decodes in-container; "
+                                "compressed audio (MP3/AAC/...) is env-gated "
+                                "on an ffmpeg binary (FFMPEG_BIN or PATH — "
+                                "functions/ffmpegcodec.py)"
+                            )
+                        samples, rate = decode_audio_ffmpeg(payload)
+                    else:
+                        samples, rate = decode_wav(payload)
                 else:
                     samples, rate = _fake_samples(payload)
                 rows.append({"doc_id": doc_id, **audio_features_from_samples(samples, rate)})
@@ -588,11 +598,23 @@ def decode_video_features(media: DataFrame, use_codec: bool = False) -> DataFram
                 payload = bytes(payload)
                 if use_codec:
                     if payload[:4] != b"RIFF":
-                        raise NotImplementedError(
-                            "only uncompressed RGB24 AVI decodes in-container; "
-                            "install ffmpeg bindings for other formats"
+                        from cql_xmlpipe_spark.functions.ffmpegcodec import (
+                            decode_video_ffmpeg,
+                            ffmpeg_path,
+                            ffprobe_path,
                         )
-                    frames, fps = decode_avi(payload)
+
+                        if ffmpeg_path() is None or ffprobe_path() is None:
+                            raise NotImplementedError(
+                                "only uncompressed RGB24 AVI decodes "
+                                "in-container; compressed video (MP4/H.264/"
+                                "...) is env-gated on ffmpeg+ffprobe binaries "
+                                "(FFMPEG_BIN/FFPROBE_BIN or PATH — "
+                                "functions/ffmpegcodec.py)"
+                            )
+                        frames, fps = decode_video_ffmpeg(payload)
+                    else:
+                        frames, fps = decode_avi(payload)
                 else:
                     frames, fps = _fake_frames(payload)
                 rows.append({"doc_id": doc_id, **video_features_from_frames(frames, fps)})

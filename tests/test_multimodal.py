@@ -250,7 +250,9 @@ def test_audio_codec_stub_raises(media):
 
     with pytest.raises(Exception) as ei:
         decode_audio_features(media, use_codec=True).limit(1).collect()
-    assert "NotImplementedError" in str(ei.value) or "WAV" in str(ei.value)
+    # no ffmpeg: the NotImplementedError boundary; with a vendored ffmpeg
+    # the garbage payload still fails loudly, inside the CLI bridge
+    assert any(s in str(ei.value) for s in ("NotImplementedError", "WAV", "ffmpeg"))
 
 
 def test_real_wav_codec_end_to_end(spark):
@@ -491,4 +493,87 @@ def test_video_features_fake_and_codec_paths(spark, media):
     )
     with pytest.raises(Exception) as ei:
         decode_video_features(bad, use_codec=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "AVI" in str(ei.value)
+    assert any(s in str(ei.value) for s in ("NotImplementedError", "AVI", "ffmpeg", "ffprobe"))
+
+
+# ---------------------------------------------------------------------------
+# round 13: env-gated ffmpeg bridge for compressed media (MP3/MP4)
+# ---------------------------------------------------------------------------
+
+def _ffmpeg_missing() -> bool:
+    from cql_xmlpipe_spark.functions.ffmpegcodec import ffmpeg_path, ffprobe_path
+
+    return ffmpeg_path() is None or ffprobe_path() is None
+
+
+def test_compressed_audio_roundtrip_ffmpeg(spark):
+    """WHERE ffmpeg exists: WAV (pure codec ground truth) → MP3 via the
+    CLI → decode_audio_features(use_codec=True) produces sane features
+    whose duration/rate match the source within MP3 padding tolerance.
+    Elsewhere: skip naming the env boundary (the honest-raise twin is
+    test_audio_codec_stub_raises)."""
+    if _ffmpeg_missing():
+        pytest.skip(
+            "ffmpeg/ffprobe not in this container (no media libs baked); "
+            "compressed-audio decode is env-gated — functions/ffmpegcodec.py"
+        )
+    import subprocess
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.ffmpegcodec import ffmpeg_path
+    from cql_xmlpipe_spark.functions.wavcodec import encode_wav
+    from cql_xmlpipe_spark.operators.multimodal import decode_audio_features
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    s = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    wav = encode_wav(s, rate)
+    mp3 = subprocess.run(
+        [ffmpeg_path(), "-v", "error", "-i", "pipe:0", "-f", "mp3", "pipe:1"],
+        input=wav, stdout=subprocess.PIPE, check=True,
+    ).stdout
+    media = spark.createDataFrame(
+        [(1, bytearray(mp3), ("audio", "audio/mpeg", 0, 0, 1000, len(mp3)))],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    r = decode_audio_features(media, use_codec=True).collect()[0]
+    assert r["sample_rate"] == 16000
+    assert abs(r["duration_ms"] - 1000) <= 100  # codec delay/padding
+    assert r["peak"] > 8000  # the sine survived the lossy round trip
+
+
+def test_compressed_video_roundtrip_ffmpeg(spark):
+    """WHERE ffmpeg exists: RGB24 AVI (pure codec ground truth) → MP4 →
+    decode_video_features(use_codec=True) recovers frame count, fps and
+    geometry. Elsewhere: skip naming the env boundary."""
+    if _ffmpeg_missing():
+        pytest.skip(
+            "ffmpeg/ffprobe not in this container (no media libs baked); "
+            "compressed-video decode is env-gated — functions/ffmpegcodec.py"
+        )
+    import subprocess
+
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions.avicodec import encode_avi
+    from cql_xmlpipe_spark.functions.ffmpegcodec import ffmpeg_path
+    from cql_xmlpipe_spark.operators.multimodal import decode_video_features
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8) for _ in range(10)]
+    avi = encode_avi(frames, 5)
+    mp4 = subprocess.run(
+        [ffmpeg_path(), "-v", "error", "-i", "pipe:0",
+         "-movflags", "frag_keyframe+empty_moov", "-f", "mp4", "pipe:1"],
+        input=avi, stdout=subprocess.PIPE, check=True,
+    ).stdout
+    media = spark.createDataFrame(
+        [(1, bytearray(mp4), ("video", "video/mp4", 48, 32, 2000, len(mp4)))],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    r = decode_video_features(media, use_codec=True).collect()[0]
+    assert r["n_frames"] == 10 and abs(r["fps"] - 5.0) < 0.01
+    assert r["width"] == 48 and r["height"] == 32

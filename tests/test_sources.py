@@ -81,3 +81,45 @@ def test_cassandra_unknown_format_raises_original_error(fake_cassandra):
     with pytest.raises(Exception) as ei:
         read_cassandra(fake_cassandra, "ks", "tbl", fmt="no_such_source")
     assert "spark-cassandra-connector" not in str(ei.value)
+
+
+def _connector_jar_present(spark) -> bool:
+    """True when the real spark-cassandra-connector is on the session's
+    classpath (vendored via spark.jars / --packages)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "com.datastax.spark.connector.datasource.CassandraCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_cassandra_jar_absence_gate_reason(fake_cassandra):
+    """The env boundary itself, asserted live (r12 verdict task 4): with
+    the DEFAULT live format and no connector jar, read_cassandra raises
+    the actionable jar-guidance RuntimeError instead of a raw JVM
+    ClassNotFound. Skipped (inverted) in an environment that vendors the
+    jar — there the live path is exercised instead."""
+    if _connector_jar_present(fake_cassandra):
+        pytest.skip("connector jar present: the live-read test covers this")
+    with pytest.raises(RuntimeError) as ei:
+        read_cassandra(fake_cassandra, "ks", "tbl")
+    msg = str(ei.value)
+    assert "spark-cassandra-connector" in msg and "--packages" in msg
+
+
+def test_cassandra_live_read_when_jar_vendored(fake_cassandra):
+    """Env-gated LIVE integration path: only runs where the connector jar
+    is vendored (never in the baked container — no network, no jar); the
+    skip reason names the boundary so the gate is auditable either way."""
+    if not _connector_jar_present(fake_cassandra):
+        pytest.skip(
+            "spark-cassandra-connector jar not on the classpath (baked "
+            "container has no jar and no network; vendor it via "
+            "spark.jars/--packages to run the live read path)"
+        )
+    df = read_cassandra(
+        fake_cassandra, "ks", "tbl", host="127.0.0.1"
+    )  # pragma: no cover - jar-present environments only
+    assert df.schema is not None
