@@ -241,10 +241,10 @@ def _radius_matmul(
 ) -> DataFrame:
     """EXACT radius search via Arrow-batched BLAS: the query matrix is
     collected once (guarded by ``max_query_mb``), shipped in the task
-    closure, and every corpus batch scores against it with a single
-    float64 matmul — the same N·|Q| pair bill as the codegen fold but at
-    BLAS throughput (measured 17× on the |Q| = N/97 shape at the 100×
-    decade, SCALE.md). The qualifying SET is identical to the broadcast
+    closure, and every corpus batch scores against it in row-chunked
+    float64 matmuls — the same N·|Q| pair bill as the codegen fold but
+    at BLAS throughput (~50× steady-state on the |Q| = N/97 shape at
+    the 100× decade, SCALE.md). The qualifying SET is identical to the broadcast
     path; only the last-ulp of ``cos`` can differ (BLAS uses blocked
     summation where the Column fold is left-to-right), which is why the
     hash-exact oracle gate pins the broadcast path and the matmul gate
@@ -393,7 +393,7 @@ def radius_search(
       LSH prunes a low-similarity radius, which is information, not an
       implementation gap).
     * ``"matmul"`` — the exact scan at BLAS speed (see
-      :func:`_radius_matmul`): same pair bill as broadcast, ~17×
+      :func:`_radius_matmul`): same pair bill as broadcast, ~50×
       faster at the 100× decade, cos equal to the fold within 1 ulp.
       The scale path for the low-threshold regime banding cannot serve.
     * ``"auto"`` (default) — ``broadcast`` while N·|Q| <=
@@ -438,12 +438,15 @@ def radius_search(
             n_bands, band_bits = auto_band_config(n, threshold, recall_target)
         n_bands = 24 if n_bands is None else n_bands
         band_bits = 16 if band_bits is None else band_bits
+        # norm > 0 also drops NULLs; zero-norm vectors can never verify
+        # (NULL cosine) but would all share one sign pattern — a
+        # self-inflicted hot bucket the near-dup family also excludes
         ck = banded_sign_keys(
-            corpus.filter(F.col(emb_col).isNotNull()), emb_col, id_col,
+            corpus.filter(norm(F.col(emb_col)) > 0), emb_col, id_col,
             n_bands, band_bits,
         )
         qk = banded_sign_keys(
-            queries.filter(F.col(q_emb_col).isNotNull()), q_emb_col, q_id_col,
+            queries.filter(norm(F.col(q_emb_col)) > 0), q_emb_col, q_id_col,
             n_bands, band_bits,
         )
         cands = (
