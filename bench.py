@@ -133,12 +133,20 @@ HEADLINE = [
     # incremental-ingest probe
     "dedup_embedding_groups",
     "dedup_minhash_recall_sampled",
-    "dedup_embedding_incremental",
+    # dedup_embedding_incremental dropped in round 13 by the curation
+    # rule: adding similarity_radius_banded_recall (the banded radius
+    # machinery's timing row — candidate join + identical-verify + live
+    # recall vs the exact path) crossed the 65 cap, dedup_ is the
+    # most-represented family, and embedding_incremental is its cheapest
+    # member by RECORDS (0.8 s). It remains in the correctness gate.
     # round-12 session-2 additions: the PQ ANN variant (the heaviest
     # similarity timing row — per-subspace KMeans + encode + ADC +
     # re-rank), the self-trained bigram-LM quality scorer, and SemDeDup
     # (kmeans + within-cluster cosine pruning on the planted corpus)
     "similarity_pq_topk",
+    # round-13 addition: the banded radius path (sign-key candidates +
+    # identical hoisted-norm verify) timed against its exact twin
+    "similarity_radius_banded_recall",
     "text_bigram_lm_score",
     "semdedup_prune",
     # round-11: the embedding-family sampled recall health check and the
@@ -189,8 +197,9 @@ RECORDS = {
     "corpus_mix_resample": 0.4,
     "dedup_cluster_assign": 3.575,
     "dedup_embedding_groups": 2.4,
-    "dedup_embedding_incremental": 0.8,
-    "dedup_embedding_recall_sampled": 3.923,
+    "dedup_embedding_incremental": 0.8,  # curated out r13; record kept
+    "similarity_radius_banded_recall": 2.91,
+    "dedup_embedding_recall_sampled": 3.8,
     "dedup_exact_hash_groups": 0.212,
     "dedup_graph_degree": 4.0,
     "dedup_incremental_probe": 3.4,
