@@ -339,6 +339,154 @@ RADIUS_BRUTE_BILL_MAX = 100_000_000  #: max N·|Q| pairs the codegen fold scans
 RADIUS_MAX_PLANES = 4096  #: max LSH index width before banded stops paying
 
 
+def topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    max_query_mb: int = 256,
+    margin: float = 1e-9,
+) -> DataFrame:
+    """EXACT cosine top-k with the N·|Q| window shuffle removed — the
+    top-k sibling of the radius matmul path.
+
+    :func:`brute_force_topk` scores every (corpus, query) pair and ranks
+    with a window over q_id, which SHUFFLES all N·|Q| scored rows — the
+    same quadratic-volume wall the r12 radius measurement exposed
+    (241 s at the 100× decade), latent here behind the small |Q| of the
+    gate shape. This variant:
+
+    1. **Shortlist** (Arrow/BLAS): each corpus partition computes its
+       own top-k per query with row-chunked float64 matmuls and emits
+       only those rows — the shuffle shrinks from N·|Q| to
+       ≤ partitions·|Q|·k fixed-width rows. Any global top-k member is
+       necessarily in its partition's top-k, so pruning is lossless; a
+       ``margin`` band below each partition's k-th BLAS score absorbs
+       the ≤1-ulp BLAS-vs-fold disagreement so a boundary tie can never
+       be pruned by the wrong arithmetic.
+    2. **Exact re-rank** (codegen): the surviving candidates fetch
+       their embeddings by id-join and the final (rank, cos) come from
+       the SAME Column-fold cosine and (cos desc, id) tie-break as
+       :func:`brute_force_topk` — so the output, cos bits included, is
+       identical to the brute plan's and hash-exact against the DuckDB
+       oracle (gate ``similarity_topk_matmul``).
+
+    Zero-norm/NULL vectors never shortlist (masked denominators), the
+    same never-qualify semantics as the Column paths.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qp = queries.select(q_id_col, q_emb_col).toPandas()
+    qp = qp[qp[q_emb_col].notna()]
+    if len(qp):
+        try:
+            Q = np.stack(qp[q_emb_col].to_numpy()).astype(np.float64)
+        except ValueError:
+            lens = sorted(qp[q_emb_col].map(len).unique().tolist())
+            raise ValueError(
+                f"topk_matmul: ragged '{q_emb_col}' lengths {lens}; "
+                "query embeddings must share one dimension"
+            ) from None
+        mb = Q.nbytes / 1e6
+        if mb > max_query_mb:
+            raise ValueError(
+                f"topk_matmul: the query matrix is {mb:.0f} MB per task "
+                f"(max_query_mb={max_query_mb}); for |Q| this large use "
+                "lsh_topk/ivf_topk/pq_topk (candidate-pruned ANN) or raise "
+                "the cap if executors have the headroom"
+            )
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qids = qp[q_id_col].to_numpy()
+    else:
+        Q, qn, qids = None, None, None
+
+    cand_schema = T.StructType(
+        [
+            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+        ]
+    )
+    chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
+
+    def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-TASK top-k per query: accumulate chunk-level top-k, then
+        # cut once per batch — the emitted volume is <= |Q|·(k + ties)
+        for pdf in batches:
+            if Q is None:
+                continue
+            pdf = pdf[pdf[emb_col].notna()]
+            if not len(pdf):
+                continue
+            try:
+                C_all = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            except ValueError:
+                lens = sorted(pdf[emb_col].map(len).unique().tolist())
+                raise ValueError(
+                    f"topk_matmul: ragged '{emb_col}' lengths {lens} in one "
+                    "batch; embeddings must share one dimension"
+                ) from None
+            ids_all = pdf[id_col].to_numpy()
+            best_ids: list = []
+            best_cos: list = []
+            for lo in range(0, len(ids_all), chunk):
+                C = C_all[lo : lo + chunk]
+                ids = ids_all[lo : lo + chunk]
+                cn = np.sqrt((C * C).sum(axis=1))
+                denom = cn[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (C @ Q.T) / denom
+                cos = np.where(
+                    (denom != 0.0) & (ids[:, None] != qids[None, :]), cos, -np.inf
+                )
+                if cos.shape[0] > k:
+                    part = np.argpartition(-cos, k - 1, axis=0)[:k]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(cos.shape[0])[:, None], (cos.shape[0], cos.shape[1])
+                    )
+                best_ids.append(ids[part])
+                best_cos.append(np.take_along_axis(cos, part, axis=0))
+            bc = np.concatenate(best_cos, axis=0)  # (<=n_chunks*k) × |Q|
+            bi = np.concatenate(best_ids, axis=0)
+            kk = min(k, bc.shape[0])
+            kth = -np.sort(-bc, axis=0)[kk - 1]  # per-query k-th best
+            keep = bc >= (kth[None, :] - margin)
+            ci, qi = np.nonzero(keep & np.isfinite(bc))
+            if not len(ci):
+                continue
+            yield pd.DataFrame({q_id_col: qids[qi], id_col: bi[ci, qi]})
+
+    cands = (
+        corpus.select(id_col, emb_col)
+        .mapInPandas(shortlist, schema=cand_schema)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    # the guarded denominator mirrors cosine()'s operand order for every
+    # surviving (non-zero-norm) row — bit-identical cos — while keeping
+    # ANSI mode from crashing on degenerate rows the shortlist already
+    # excluded (brute_force_topk would crash on such a corpus)
+    from cql_xmlpipe_spark.functions.vectors import dot, norm
+
+    denom = norm(F.col(emb_col)) * norm(F.col(q_emb_col))
+    cos = F.when(denom != 0.0, dot(F.col(emb_col), F.col(q_emb_col)) / denom)
+    rescored = (
+        cands.join(corpus.select(id_col, emb_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_emb_col)), q_id_col)
+        .withColumn("cos", cos)
+        .filter(F.col("cos").isNotNull())
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cos")
+    )
+
+
 def radius_search(
     corpus: DataFrame,
     queries: DataFrame,

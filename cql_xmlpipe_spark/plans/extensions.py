@@ -1415,6 +1415,25 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+@_q("similarity_topk_matmul", _COSINE_ORACLE)
+def similarity_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE-PRUNED exact top-k (round 13) under the same oracle
+    as ``similarity_cosine_topk``: per-partition BLAS shortlists cut the
+    rank window's input from N·|Q| scored rows to ≤ partitions·|Q|·k
+    candidates (the latent quadratic-shuffle wall of the brute plan —
+    the same volume class the radius matmul path closed), then the
+    final (rank, cos) are re-computed with the IDENTICAL Column-fold
+    cosine and (cos desc, id) tie-break — so the gate is hash-exact,
+    cos bits included, against the all-pairs oracle."""
+    from cql_xmlpipe_spark.operators.similarity import topk_matmul
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return topk_matmul(e, q, k=10)
+
+
 _RADIUS_ORACLE = """
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                WHERE vec_id % 97 = 0),

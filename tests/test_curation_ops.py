@@ -201,6 +201,68 @@ def test_radius_auto_strategy_selection(spark, monkeypatch):
     assert low_t.limit(1).count() == 1
 
 
+def test_topk_matmul_equals_brute(spark):
+    """The shuffle-pruned exact top-k reproduces brute_force_topk
+    row-for-row — ranks, ids AND cos bits (the re-rank uses the same
+    Column fold) — on a corpus with jittered near-dups, a zero-norm and
+    a NULL vector; also at k larger than some partitions' row counts."""
+    from cql_xmlpipe_spark.operators.similarity import brute_force_topk, topk_matmul
+
+    # drop the zero-norm vector: ANSI brute_force_topk divides by zero on
+    # it (topk_matmul is additionally zero-norm-safe — separate test)
+    corpus = _radius_corpus(spark).filter("vec_id <> 77777").repartition(8)
+    q = corpus.filter("vec_id < 30 AND embedding IS NOT NULL").selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    for k in (5, 40):
+        a = sorted(map(tuple, brute_force_topk(corpus, q, k=k).collect()))
+        b = sorted(map(tuple, topk_matmul(corpus, q, k=k).collect()))
+        assert a == b and len(a) >= 30 * min(k, 30)
+
+
+def test_topk_matmul_zero_norm_safe(spark):
+    """Zero-norm and NULL corpus vectors are excluded, not a crash —
+    stricter than the ANSI brute plan, whose raw cosine divides by
+    zero on such a corpus."""
+    from cql_xmlpipe_spark.operators.similarity import topk_matmul
+
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 10").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    got = topk_matmul(corpus, q, k=5).collect()
+    assert len(got) == 50
+    assert all(r["vec_id"] not in (77_777, 88_888) for r in got)
+
+
+def test_topk_matmul_tie_break_at_boundary(spark):
+    """Exact ties straddling the k boundary: four corpus vectors at
+    IDENTICAL cosine to the query — the (cos desc, id asc) tie-break
+    must pick the lowest ids, same as brute, even though the BLAS
+    shortlist saw equal scores."""
+    from cql_xmlpipe_spark.operators.similarity import brute_force_topk, topk_matmul
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(1, 5)]  # all cos 1.0 vs q
+    rows += [(10 + i, [0.0, 1.0, 0.0]) for i in range(3)]  # cos 0.0
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    q = spark.createDataFrame([(0, [2.0, 0.0, 0.0])], "q_id long, q_emb array<float>")
+    a = sorted(map(tuple, brute_force_topk(corpus, q, k=2).collect()))
+    b = sorted(map(tuple, topk_matmul(corpus, q, k=2).collect()))
+    assert a == b
+    assert [r[1] for r in sorted(b, key=lambda r: r[2])] == [1, 2]
+
+
+def test_topk_matmul_query_budget_guard(spark):
+    """The closure-shipped query matrix is size-guarded, naming the ANN
+    alternatives."""
+    import pytest
+
+    from cql_xmlpipe_spark.operators.similarity import topk_matmul
+
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 40").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    with pytest.raises(ValueError, match="lsh_topk|ann|ANN"):
+        topk_matmul(corpus, q, k=5, max_query_mb=0)
+
+
 def test_radius_matmul_query_budget_guard(spark):
     """The matmul path refuses to ship an oversized query matrix in the
     task closure, naming the banded alternative."""
