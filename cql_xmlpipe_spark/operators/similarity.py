@@ -8,9 +8,12 @@
   Planes are derived deterministically from (plane, dim) via a hash — no
   stored model, identical on every executor.
 
-At 100 TB: brute force is O(|Q|·N) dot products — fine when |Q| is small
-and broadcast; for large |Q| use ``lsh_topk`` where the join key is the
-bucket id, so the shuffle moves vectors once instead of crossing.
+At 100 TB: brute force is O(|Q|·N) dot products AND shuffles every
+scored pair through the rank window — fine when |Q| is small; past that
+use ``topk_matmul`` (exact: per-partition BLAS shortlists + Column-fold
+re-rank, 17.7× at the measured decade) or the ANN family
+(``lsh_topk``/``ivf_topk``/``pq_topk``) where candidates come from an
+int-keyed join so the shuffle moves vectors once instead of crossing.
 
 ``radius_search`` (the range-query complement) carries its own strategy
 dispatch: exact codegen fold, exact Arrow/BLAS scan, or banded sign-key
@@ -215,7 +218,13 @@ def brute_force_topk(
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
 ) -> DataFrame:
-    """Exact top-k by cosine for each query vector (queries broadcast)."""
+    """Exact top-k by cosine for each query vector (queries broadcast).
+
+    The REFERENCE plan: every scored pair rides the rank window, so the
+    shuffle volume is N·|Q| — measured 594 s at the jit-100× decade
+    (SCALE.md). :func:`topk_matmul` produces the identical output
+    (cos bits included) with the window input pruned to
+    ≤ partitions·|Q|·k rows; use it past gate-scale bills."""
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col(q_id_col))
