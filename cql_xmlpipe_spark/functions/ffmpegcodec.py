@@ -5,7 +5,7 @@ The container bakes no media libraries, so the always-available decode
 paths are the pure-python codecs (``bmpcodec``/``wavcodec``/
 ``avicodec``) and compressed formats raise ``NotImplementedError``.
 When an ffmpeg binary IS present (a vendored static build, or a real
-cluster image — set ``FFMPEG_BIN``/``FFPROBE_BIN`` or have them on
+cluster image — set ``SPARK_GRAFT_FFMPEG``/``SPARK_GRAFT_FFPROBE`` or have them on
 PATH), these helpers decode compressed payloads by piping bytes through
 the CLI into the SAME contracts the pure codecs feed — audio as
 (int16 mono samples, rate), video as (list of HxWx3 uint8 frames, fps)
@@ -33,9 +33,9 @@ import numpy as np
 
 
 def ffmpeg_path() -> str | None:
-    """The ffmpeg binary to use, or None: ``FFMPEG_BIN`` env override
+    """The ffmpeg binary to use, or None: ``SPARK_GRAFT_FFMPEG`` env override
     first (explicit vendoring), then PATH."""
-    env = os.environ.get("FFMPEG_BIN")
+    env = os.environ.get("SPARK_GRAFT_FFMPEG")
     if env:
         return env if os.path.exists(env) else None
     return shutil.which("ffmpeg")
@@ -43,7 +43,7 @@ def ffmpeg_path() -> str | None:
 
 def ffprobe_path() -> str | None:
     """The ffprobe binary (needed to size rawvideo output), or None."""
-    env = os.environ.get("FFPROBE_BIN")
+    env = os.environ.get("SPARK_GRAFT_FFPROBE")
     if env:
         return env if os.path.exists(env) else None
     return shutil.which("ffprobe")

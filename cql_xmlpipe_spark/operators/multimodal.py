@@ -342,7 +342,7 @@ def decode_audio_features(media: DataFrame, use_codec: bool = False) -> DataFram
                             raise NotImplementedError(
                                 "only PCM16 mono WAV decodes in-container; "
                                 "compressed audio (MP3/AAC/...) is env-gated "
-                                "on an ffmpeg binary (FFMPEG_BIN or PATH — "
+                                "on an ffmpeg binary (SPARK_GRAFT_FFMPEG or PATH — "
                                 "functions/ffmpegcodec.py)"
                             )
                         samples, rate = decode_audio_ffmpeg(payload)
@@ -609,7 +609,7 @@ def decode_video_features(media: DataFrame, use_codec: bool = False) -> DataFram
                                 "only uncompressed RGB24 AVI decodes "
                                 "in-container; compressed video (MP4/H.264/"
                                 "...) is env-gated on ffmpeg+ffprobe binaries "
-                                "(FFMPEG_BIN/FFPROBE_BIN or PATH — "
+                                "(SPARK_GRAFT_FFMPEG/SPARK_GRAFT_FFPROBE or PATH — "
                                 "functions/ffmpegcodec.py)"
                             )
                         frames, fps = decode_video_ffmpeg(payload)
