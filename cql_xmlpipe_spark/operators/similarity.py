@@ -8,8 +8,8 @@
   Planes are derived deterministically from (plane, dim) via a hash — no
   stored model, identical on every executor.
 
-At 100 TB: brute force is O(|Q|·N) dot products AND shuffles every
-scored pair through the rank window — fine when |Q| is small; past that
+At 100 TB: brute force pays a fold cosine AND a comparison sort for
+every one of its O(|Q|·N) pairs — fine when |Q| is small; past that
 use ``topk_matmul`` (exact: per-partition BLAS shortlists + Column-fold
 re-rank, 17.7× at the measured decade) or the ANN family
 (``lsh_topk``/``ivf_topk``/``pq_topk``) where candidates come from an
@@ -220,11 +220,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (queries broadcast).
 
-    The REFERENCE plan: every scored pair rides the rank window, so the
-    shuffle volume is N·|Q| — measured 594 s at the jit-100× decade
-    (SCALE.md). :func:`topk_matmul` produces the identical output
-    (cos bits included) with the window input pruned to
-    ≤ partitions·|Q|·k rows; use it past gate-scale bills."""
+    The REFERENCE plan: every pair pays a codegen fold cosine and a
+    per-partition comparison sort before the (already shuffle-pruned)
+    rank window — measured 594 s at the jit-100× decade (SCALE.md).
+    :func:`topk_matmul` produces the identical output (cos bits
+    included) at BLAS speed; use it past gate-scale bills."""
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col(q_id_col))
@@ -359,23 +359,25 @@ def topk_matmul(
     max_query_mb: int = 256,
     margin: float = 1e-9,
 ) -> DataFrame:
-    """EXACT cosine top-k with the N·|Q| window shuffle removed — the
-    top-k sibling of the radius matmul path.
+    """EXACT cosine top-k with the N·|Q| fold-and-sort bill removed —
+    the top-k sibling of the radius matmul path.
 
     :func:`brute_force_topk` scores every (corpus, query) pair and ranks
-    with a window over q_id, which SHUFFLES all N·|Q| scored rows — the
-    same quadratic-volume wall the r12 radius measurement exposed
-    (241 s at the 100× decade), latent here behind the small |Q| of the
-    gate shape. This variant:
+    with a window over q_id. Spark 4's partial ``WindowGroupLimit``
+    already prunes the SHUFFLE to ≤ partitions·|Q|·k rows, but each
+    partition still pays the fold cosine for all N_p·|Q| pairs plus a
+    full comparison sort of them — the same quadratic compute class the
+    r12 radius measurement exposed, latent here behind the small |Q| of
+    the gate shape (measured 594 s at the 100× decade). This variant:
 
     1. **Shortlist** (Arrow/BLAS): each corpus partition computes its
-       own top-k per query with row-chunked float64 matmuls and emits
-       only those rows — the shuffle shrinks from N·|Q| to
-       ≤ partitions·|Q|·k fixed-width rows. Any global top-k member is
-       necessarily in its partition's top-k, so pruning is lossless; a
-       ``margin`` band below each partition's k-th BLAS score absorbs
-       the ≤1-ulp BLAS-vs-fold disagreement so a boundary tie can never
-       be pruned by the wrong arithmetic.
+       own top-k per query with row-chunked float64 matmuls (dgemm
+       instead of per-pair folds) and O(n) ``argpartition`` (instead of
+       the full sort), emitting only those rows. Any global top-k
+       member is necessarily in its partition's top-k, so pruning is
+       lossless; a ``margin`` band below each partition's k-th BLAS
+       score absorbs the ≤1-ulp BLAS-vs-fold disagreement so a boundary
+       tie can never be pruned by the wrong arithmetic.
     2. **Exact re-rank** (codegen): the surviving candidates fetch
        their embeddings by id-join and the final (rank, cos) come from
        the SAME Column-fold cosine and (cos desc, id) tie-break as
