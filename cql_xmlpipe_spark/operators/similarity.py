@@ -945,17 +945,30 @@ def pq_topk(
             F.col("lut"), s * ks + F.element_at(F.col("code"), s + 1) + 1
         ),
     )
+    # ADC scoring carries ONLY (q_id, id, adc) through the shortlist
+    # window: the sort feeding Spark's partial WindowGroupLimit holds
+    # every scored pair per partition, and dragging emb+q_emb+lut along
+    # (~700 B/pair) was measured to spill past the disk and DIE at the
+    # |Q| = N/97 100×-decade shape — 24 B/pair survives it (SCALE.md).
+    # Embeddings are fetched by id-join only for the shortlist's
+    # survivors, the same pattern as topk_matmul's re-rank.
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.select(id_col, "code")
+        .crossJoin(F.broadcast(q.select(q_id_col, "lut")))
         .filter(F.col(id_col) != F.col(q_id_col))
-        .withColumn("adc", adc)
+        .select(q_id_col, id_col, adc.alias("adc"))
     )
     if shortlist is not None:
         w_adc = W.partitionBy(q_id_col).orderBy(F.col("adc"), F.col(id_col))
         scored = scored.withColumn("arank", F.row_number().over(w_adc)).filter(
             F.col("arank") <= shortlist
         )
-    reranked = scored.withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+    reranked = (
+        scored.select(q_id_col, id_col)
+        .join(corpus.select(id_col, emb_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_emb_col)), q_id_col)
+        .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+    )
     w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         reranked.withColumn("rank", F.row_number().over(w))
