@@ -730,14 +730,24 @@ def ivf_topk(
                 ]
             )
 
-    c = corpus.withColumn("cell", nearest_cell(F.col(emb_col)))
-    q = queries.withColumn(
-        "cell", F.explode(probe_cells(F.col(q_emb_col)))
+    # candidate generation joins BARE (id, cell) ints and the scoring
+    # window sorts only (q_id, id, cos) — embeddings are fetched by
+    # id-join for the candidates alone, never dragged through the
+    # cell join or the rank sort (the pq row-width lesson, SCALE.md)
+    c = corpus.select(id_col, nearest_cell(F.col(emb_col)).alias("cell"))
+    q = queries.select(
+        q_id_col, F.explode(probe_cells(F.col(q_emb_col))).alias("cell")
     )
-    scored = (
+    cands = (
         c.join(q, "cell")
         .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col)
+    )
+    scored = (
+        cands.join(corpus.select(id_col, emb_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_emb_col)), q_id_col)
         .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+        .select(q_id_col, id_col, "cos")
     )
     w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -764,24 +774,34 @@ def lsh_topk(
     Candidate generation is an equi-join on bucket ids (shuffle on ints);
     recall/latency trades via n_planes and multiprobe.
     """
-    c = with_sign_bucket(corpus, emb_col, n_planes)
+    # bucket join carries BARE (id, bucket) ints; embeddings are fetched
+    # by id-join for the deduped candidates only, so neither the
+    # candidate join nor the rank sort ever holds a vector row
+    # (the pq row-width lesson, SCALE.md)
+    c = with_sign_bucket(corpus, emb_col, n_planes).select(id_col, "bucket")
     q = with_sign_bucket(
         queries.withColumnRenamed(q_emb_col, emb_col), emb_col, n_planes
-    ).withColumnRenamed(emb_col, q_emb_col)
+    ).select(q_id_col, "bucket")
     # multiprobe: each query also probes buckets one bit-flip away
     probes = [F.col("bucket")]
     if multiprobe >= 1:
         probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
     q = q.withColumn("probe", F.explode(F.array(*probes))).drop("bucket")
-    scored = (
+    cands = (
         c.join(q, c["bucket"] == q["probe"])
         .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        cands.join(corpus.select(id_col, emb_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_emb_col)), q_id_col)
         .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+        .select(q_id_col, id_col, "cos")
     )
     w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
-        scored.dropDuplicates([q_id_col, id_col])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", "cos")
     )
