@@ -209,6 +209,66 @@ def banded_sign_keys(
     return df.select(id_col, emb_col).mapInPandas(gen, schema=out_schema)
 
 
+def _collect_query_matrix(
+    queries: DataFrame, q_id_col: str, q_emb_col: str, op_name: str
+):
+    """Driver-side (qids, Q, qnorms) of the non-null query vectors as
+    float64 numpy — the one collect the matmul/ADC shortlist paths pay.
+    Returns (None, None, None) when no query has an embedding. Raises
+    with the offending lengths on ragged embeddings."""
+    import numpy as np
+
+    qp = queries.select(q_id_col, q_emb_col).toPandas()
+    qp = qp[qp[q_emb_col].notna()]
+    if not len(qp):
+        return None, None, None
+    try:
+        Q = np.stack(qp[q_emb_col].to_numpy()).astype(np.float64)
+    except ValueError:
+        lens = sorted(qp[q_emb_col].map(len).unique().tolist())
+        raise ValueError(
+            f"{op_name}: ragged '{q_emb_col}' lengths {lens}; "
+            "query embeddings must share one dimension"
+        ) from None
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    return qp[q_id_col].to_numpy(), Q, qn
+
+
+#: hard ceiling on query blocks in the block-nested exact paths: each
+#: block is a full corpus scan, so past this the job is ~64 scans and
+#: the ANN/banded family is the honest answer, not more blocks.
+MAX_QUERY_BLOCKS = 64
+
+
+def _query_blocks(
+    n_rows: int, total_bytes: int, max_query_mb: int, op_name: str, hint: str
+) -> list[tuple[int, int]]:
+    """[lo, hi) row slices of the collected query matrix such that each
+    slice's closure payload is <= ``max_query_mb`` — the block-nested
+    exact path for |Q| beyond a single task closure's budget. Each block
+    is one more scan of the corpus (exact retrieval between two LARGE
+    sets is irreducibly N·|Q|); :data:`MAX_QUERY_BLOCKS` bounds the
+    rescan bill and names the ANN alternative past it."""
+    import math
+
+    if total_bytes <= max_query_mb * 1e6 or n_rows <= 1:
+        return [(0, n_rows)]
+    per_row = total_bytes / n_rows
+    rows_per_block = max(1, int(max_query_mb * 1e6 // per_row))
+    n_blocks = math.ceil(n_rows / rows_per_block)
+    if n_blocks > MAX_QUERY_BLOCKS:
+        raise ValueError(
+            f"{op_name}: {total_bytes / 1e6:.0f} MB of query vectors needs "
+            f"{n_blocks} blocks of max_query_mb={max_query_mb} — each block "
+            f"is a full corpus rescan and the cap is {MAX_QUERY_BLOCKS}. "
+            f"{hint}"
+        )
+    return [
+        (lo, min(lo + rows_per_block, n_rows))
+        for lo in range(0, n_rows, rows_per_block)
+    ]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,34 +318,21 @@ def _radius_matmul(
     summation where the Column fold is left-to-right), which is why the
     hash-exact oracle gate pins the broadcast path and the matmul gate
     pins the set. Zero-norm vectors never qualify (the NULL-cosine
-    contract, expressed here as a denominator mask)."""
+    contract, expressed here as a denominator mask).
+
+    |Q| beyond ``max_query_mb`` of closure budget splits into query
+    BLOCKS (each <= the cap), one corpus scan per block, results
+    unioned — exact output at any |Q| up to :data:`MAX_QUERY_BLOCKS`
+    rescans, no refusal (the r13 gap; per-query rows are independent so
+    the union is trivially exact)."""
+    from functools import reduce
+
     import numpy as np
     from pyspark.sql import types as T
 
-    qp = queries.select(q_id_col, q_emb_col).toPandas()
-    qp = qp[qp[q_emb_col].notna()]
-    if len(qp):
-        try:
-            Q = np.stack(qp[q_emb_col].to_numpy()).astype(np.float64)
-        except ValueError:
-            lens = sorted(qp[q_emb_col].map(len).unique().tolist())
-            raise ValueError(
-                f"radius_search: ragged '{q_emb_col}' lengths {lens}; "
-                "query embeddings must share one dimension"
-            ) from None
-        mb = Q.nbytes / 1e6
-        if mb > max_query_mb:
-            raise ValueError(
-                f"radius_search: matmul path would ship {mb:.0f} MB of query "
-                f"vectors per task (max_query_mb={max_query_mb}). At this |Q| "
-                "use candidates='banded' (high thresholds) or raise the cap "
-                "if the executors have the headroom — a low-threshold radius "
-                "over two large sets is irreducibly N×|Q|."
-            )
-        qn = np.sqrt((Q * Q).sum(axis=1))
-        qids = qp[q_id_col].to_numpy()
-    else:
-        Q, qn, qids = None, None, None
+    qids_all, Q_all, _ = _collect_query_matrix(
+        queries, q_id_col, q_emb_col, "radius_search"
+    )
 
     out_schema = T.StructType(
         [
@@ -295,57 +342,83 @@ def _radius_matmul(
         ]
     )
 
-    # bound the per-task pair-matrix working set: a full Arrow batch of
-    # 10k rows × a 2k-query set is three ~160 MB float64 intermediates,
-    # and ~30 concurrent first-touch allocations of that size measured
-    # ~2.5× the whole warm query in kernel page-zeroing — chunk rows so
-    # each task's live pair block stays ~tens of MB
-    chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
+    def make_gen(Q, qn, qids):
+        # bound the per-task pair-matrix working set: a full Arrow batch
+        # of 10k rows × a 2k-query set is three ~160 MB float64
+        # intermediates, and ~30 concurrent first-touch allocations of
+        # that size measured ~2.5× the whole warm query in kernel
+        # page-zeroing — chunk rows so each task's live pair block stays
+        # ~tens of MB
+        chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if Q is None:
-                continue
-            pdf = pdf[pdf[emb_col].notna()]
-            if not len(pdf):
-                continue
-            try:
-                C_all = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            except ValueError:
-                lens = sorted(pdf[emb_col].map(len).unique().tolist())
-                raise ValueError(
-                    f"radius_search: ragged '{emb_col}' lengths {lens} in one "
-                    "batch; embeddings must share one dimension"
-                ) from None
-            ids_all = pdf[id_col].to_numpy()
-            for lo in range(0, len(ids_all), chunk):
-                C = C_all[lo : lo + chunk]
-                ids = ids_all[lo : lo + chunk]
-                cn = np.sqrt((C * C).sum(axis=1))
-                denom = cn[:, None] * qn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (C @ Q.T) / denom
-                mask = (denom != 0.0) & (cos >= threshold)
-                mask &= ids[:, None] != qids[None, :]
-                ci, qi = np.nonzero(mask)
-                if not len(ci):
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if Q is None:
                     continue
-                yield pd.DataFrame(
-                    {
-                        q_id_col: qids[qi],
-                        id_col: ids[ci],
-                        "cos": cos[ci, qi],
-                    }
-                )
+                pdf = pdf[pdf[emb_col].notna()]
+                if not len(pdf):
+                    continue
+                try:
+                    C_all = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                except ValueError:
+                    lens = sorted(pdf[emb_col].map(len).unique().tolist())
+                    raise ValueError(
+                        f"radius_search: ragged '{emb_col}' lengths {lens} in "
+                        "one batch; embeddings must share one dimension"
+                    ) from None
+                ids_all = pdf[id_col].to_numpy()
+                for lo in range(0, len(ids_all), chunk):
+                    C = C_all[lo : lo + chunk]
+                    ids = ids_all[lo : lo + chunk]
+                    cn = np.sqrt((C * C).sum(axis=1))
+                    denom = cn[:, None] * qn[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (C @ Q.T) / denom
+                    mask = (denom != 0.0) & (cos >= threshold)
+                    mask &= ids[:, None] != qids[None, :]
+                    ci, qi = np.nonzero(mask)
+                    if not len(ci):
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            q_id_col: qids[qi],
+                            id_col: ids[ci],
+                            "cos": cos[ci, qi],
+                        }
+                    )
 
-    return corpus.select(id_col, emb_col).mapInPandas(gen, schema=out_schema)
+        return gen
+
+    scan = corpus.select(id_col, emb_col)
+    if Q_all is None:
+        return scan.mapInPandas(make_gen(None, None, None), schema=out_schema)
+    blocks = _query_blocks(
+        len(qids_all),
+        Q_all.nbytes,
+        max_query_mb,
+        "radius_search",
+        "Use candidates='banded' (high thresholds) or raise max_query_mb — "
+        "a low-threshold radius over two large sets is irreducibly N×|Q|.",
+    )
+    parts = []
+    for lo, hi in blocks:
+        Q = Q_all[lo:hi]
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        parts.append(
+            scan.mapInPandas(make_gen(Q, qn, qids_all[lo:hi]), schema=out_schema)
+        )
+    return reduce(DataFrame.union, parts)
 
 
 #: auto-mode decision constants for :func:`radius_search` — static so the
 #: chosen physical strategy is a pure function of (corpus size, |Q|,
 #: threshold) and gate plans never flip between runs.
 RADIUS_BRUTE_BILL_MAX = 100_000_000  #: max N·|Q| pairs the codegen fold scans
-RADIUS_MAX_PLANES = 4096  #: max LSH index width before banded stops paying
+#: guidance (not an auto-dispatch input since r14 — auto is exact-only):
+#: LSH index width past which explicit candidates='banded' stops paying
+#: vs the exact matmul scan at the measured decades; see SCALE.md's
+#: banded-vs-matmul crossover table.
+RADIUS_MAX_PLANES = 4096
 
 
 def topk_matmul(
@@ -387,33 +460,26 @@ def topk_matmul(
 
     Zero-norm/NULL vectors never shortlist (masked denominators), the
     same never-qualify semantics as the Column paths.
+
+    Every BLAS-side cut (chunk-level AND batch-level) keeps the full
+    ``margin`` band below the k-th score — exact ties at the boundary
+    all survive into the re-rank, where the (cos desc, id) contract
+    picks the same winners as brute (a hard argpartition cut to k rows
+    would drop boundary ties arbitrarily — the r13 tie-band gap).
+
+    |Q| beyond ``max_query_mb`` splits into query blocks (each <= the
+    cap), one shortlist scan per block, candidates unioned before the
+    single re-rank — exact output at any |Q| up to
+    :data:`MAX_QUERY_BLOCKS` corpus rescans, no refusal.
     """
+    from functools import reduce
+
     import numpy as np
     from pyspark.sql import types as T
 
-    qp = queries.select(q_id_col, q_emb_col).toPandas()
-    qp = qp[qp[q_emb_col].notna()]
-    if len(qp):
-        try:
-            Q = np.stack(qp[q_emb_col].to_numpy()).astype(np.float64)
-        except ValueError:
-            lens = sorted(qp[q_emb_col].map(len).unique().tolist())
-            raise ValueError(
-                f"topk_matmul: ragged '{q_emb_col}' lengths {lens}; "
-                "query embeddings must share one dimension"
-            ) from None
-        mb = Q.nbytes / 1e6
-        if mb > max_query_mb:
-            raise ValueError(
-                f"topk_matmul: the query matrix is {mb:.0f} MB per task "
-                f"(max_query_mb={max_query_mb}); for |Q| this large use "
-                "lsh_topk/ivf_topk/pq_topk (candidate-pruned ANN) or raise "
-                "the cap if executors have the headroom"
-            )
-        qn = np.sqrt((Q * Q).sum(axis=1))
-        qids = qp[q_id_col].to_numpy()
-    else:
-        Q, qn, qids = None, None, None
+    qids_all, Q_all, _ = _collect_query_matrix(
+        queries, q_id_col, q_emb_col, "topk_matmul"
+    )
 
     cand_schema = T.StructType(
         [
@@ -421,61 +487,102 @@ def topk_matmul(
             T.StructField(id_col, corpus.schema[id_col].dataType),
         ]
     )
-    chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
 
-    def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-TASK top-k per query: accumulate chunk-level top-k, then
-        # cut once per batch — the emitted volume is <= |Q|·(k + ties)
-        for pdf in batches:
-            if Q is None:
-                continue
-            pdf = pdf[pdf[emb_col].notna()]
-            if not len(pdf):
-                continue
-            try:
-                C_all = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            except ValueError:
-                lens = sorted(pdf[emb_col].map(len).unique().tolist())
-                raise ValueError(
-                    f"topk_matmul: ragged '{emb_col}' lengths {lens} in one "
-                    "batch; embeddings must share one dimension"
-                ) from None
-            ids_all = pdf[id_col].to_numpy()
-            best_ids: list = []
-            best_cos: list = []
-            for lo in range(0, len(ids_all), chunk):
-                C = C_all[lo : lo + chunk]
-                ids = ids_all[lo : lo + chunk]
-                cn = np.sqrt((C * C).sum(axis=1))
-                denom = cn[:, None] * qn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (C @ Q.T) / denom
-                cos = np.where(
-                    (denom != 0.0) & (ids[:, None] != qids[None, :]), cos, -np.inf
-                )
-                if cos.shape[0] > k:
-                    part = np.argpartition(-cos, k - 1, axis=0)[:k]
-                else:
-                    part = np.broadcast_to(
-                        np.arange(cos.shape[0])[:, None], (cos.shape[0], cos.shape[1])
+    def make_shortlist(Q, qn, qids):
+        chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
+
+        def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per-TASK top-k(+tie band) per query: chunk-level band-keep,
+            # then one batch-level band cut — emitted volume is
+            # <= |Q|·(k + ties) per task
+            for pdf in batches:
+                if Q is None:
+                    continue
+                pdf = pdf[pdf[emb_col].notna()]
+                if not len(pdf):
+                    continue
+                try:
+                    C_all = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                except ValueError:
+                    lens = sorted(pdf[emb_col].map(len).unique().tolist())
+                    raise ValueError(
+                        f"topk_matmul: ragged '{emb_col}' lengths {lens} in "
+                        "one batch; embeddings must share one dimension"
+                    ) from None
+                ids_all = pdf[id_col].to_numpy()
+                acc_q: list = []
+                acc_i: list = []
+                acc_c: list = []
+                for lo in range(0, len(ids_all), chunk):
+                    C = C_all[lo : lo + chunk]
+                    ids = ids_all[lo : lo + chunk]
+                    cn = np.sqrt((C * C).sum(axis=1))
+                    denom = cn[:, None] * qn[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (C @ Q.T) / denom
+                    cos = np.where(
+                        (denom != 0.0) & (ids[:, None] != qids[None, :]),
+                        cos,
+                        -np.inf,
                     )
-                best_ids.append(ids[part])
-                best_cos.append(np.take_along_axis(cos, part, axis=0))
-            bc = np.concatenate(best_cos, axis=0)  # (<=n_chunks*k) × |Q|
-            bi = np.concatenate(best_ids, axis=0)
-            kk = min(k, bc.shape[0])
-            kth = -np.sort(-bc, axis=0)[kk - 1]  # per-query k-th best
-            keep = bc >= (kth[None, :] - margin)
-            ci, qi = np.nonzero(keep & np.isfinite(bc))
-            if not len(ci):
-                continue
-            yield pd.DataFrame({q_id_col: qids[qi], id_col: bi[ci, qi]})
+                    if cos.shape[0] > k:
+                        # band-keep, not hard-cut: argpartition only finds
+                        # the chunk's k-th score; every row within margin
+                        # of it (ties included) survives
+                        kth = -np.partition(-cos, k - 1, axis=0)[k - 1]
+                        keep = cos >= (kth[None, :] - margin)
+                    else:
+                        keep = np.isfinite(cos)
+                    keep &= np.isfinite(cos)
+                    ci, qi = np.nonzero(keep)
+                    if len(ci):
+                        acc_q.append(qi)
+                        acc_i.append(ids[ci])
+                        acc_c.append(cos[ci, qi])
+                if not acc_q:
+                    continue
+                qi = np.concatenate(acc_q)
+                bid = np.concatenate(acc_i)
+                bc = np.concatenate(acc_c)
+                # batch-level cut: per-query k-th best over the kept rows,
+                # band preserved (volume control only — correctness never
+                # depends on this cut)
+                order = np.lexsort((-bc, qi))
+                qi, bid, bc = qi[order], bid[order], bc[order]
+                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+                counts = np.diff(np.r_[starts, len(qi)])
+                kth_pos = starts + np.minimum(k, counts) - 1
+                group_of_row = np.repeat(np.arange(len(starts)), counts)
+                keep = bc >= bc[kth_pos][group_of_row] - margin
+                yield pd.DataFrame({q_id_col: qids[qi[keep]], id_col: bid[keep]})
 
-    cands = (
-        corpus.select(id_col, emb_col)
-        .mapInPandas(shortlist, schema=cand_schema)
-        .dropDuplicates([q_id_col, id_col])
-    )
+        return shortlist
+
+    scan = corpus.select(id_col, emb_col)
+    if Q_all is None:
+        cands = scan.mapInPandas(
+            make_shortlist(None, None, None), schema=cand_schema
+        )
+    else:
+        blocks = _query_blocks(
+            len(qids_all),
+            Q_all.nbytes,
+            max_query_mb,
+            "topk_matmul",
+            "For |Q| this large use lsh_topk/ivf_topk/pq_topk "
+            "(candidate-pruned ANN) or raise max_query_mb.",
+        )
+        parts = []
+        for lo, hi in blocks:
+            Q = Q_all[lo:hi]
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            parts.append(
+                scan.mapInPandas(
+                    make_shortlist(Q, qn, qids_all[lo:hi]), schema=cand_schema
+                )
+            )
+        cands = reduce(DataFrame.union, parts)
+    cands = cands.dropDuplicates([q_id_col, id_col])
     # the guarded denominator mirrors cosine()'s operand order for every
     # surviving (non-zero-norm) row — bit-identical cos — while keeping
     # ANSI mode from crashing on degenerate rows the shortlist already
@@ -511,6 +618,7 @@ def radius_search(
     band_bits: int | None = None,
     n_hint: int | None = None,
     recall_target: float = 0.99,
+    max_query_mb: int = 256,
 ) -> DataFrame:
     """Radius search: every corpus vector within cosine >= ``threshold``
     of each query — the range-query complement of
@@ -554,12 +662,19 @@ def radius_search(
     * ``"matmul"`` — the exact scan at BLAS speed (see
       :func:`_radius_matmul`): same pair bill as broadcast, ~50×
       faster at the 100× decade, cos equal to the fold within 1 ulp.
-      The scale path for the low-threshold regime banding cannot serve.
-    * ``"auto"`` (default) — ``broadcast`` while N·|Q| <=
-      :data:`RADIUS_BRUTE_BILL_MAX` (bit-exact, and the bill is small);
-      past that, ``banded`` when the auto geometry fits
-      :data:`RADIUS_MAX_PLANES`, else ``matmul``. Corpus size comes
-      from ``n_hint`` or one COUNT; |Q| from a LIMIT-bounded count.
+      The scale path for the low-threshold regime banding cannot
+      serve; |Q| past ``max_query_mb`` of closure budget splits into
+      query blocks (still exact — one corpus scan per block).
+    * ``"auto"`` (default) — EXACT-ONLY dispatch: ``broadcast`` while
+      N·|Q| <= :data:`RADIUS_BRUTE_BILL_MAX` (bit-exact, and the bill
+      is small); past that, ``matmul``. Corpus size comes from
+      ``n_hint`` or one COUNT; |Q| from a LIMIT-bounded count. auto
+      NEVER selects ``banded``: the banded set is ~recall_target-
+      complete, not complete, and a dispatcher that silently swaps a
+      complete result for a 99%-complete one once the data grows is a
+      correctness trap (the r13 ADVICE item) — approximate candidates
+      are an explicit opt-in, priced by the measured crossover in
+      SCALE.md.
     """
     from cql_xmlpipe_spark.functions.vectors import dot, norm
 
@@ -569,16 +684,17 @@ def radius_search(
         n = n_hint if n_hint is not None else corpus.count()
         nq_probe = max(1, cap // max(n, 1)) + 1
         nq = queries.limit(nq_probe).count()
-        if n * nq <= cap:
-            mode = "broadcast"
-        else:
-            nb, bb = auto_band_config(n, threshold, recall_target)
-            mode = "banded" if nb * bb <= RADIUS_MAX_PLANES else "matmul"
-            if n_hint is None:
-                n_hint = n
+        mode = "broadcast" if n * nq <= cap else "matmul"
     if mode == "matmul":
         return _radius_matmul(
-            corpus, queries, threshold, id_col, emb_col, q_id_col, q_emb_col
+            corpus,
+            queries,
+            threshold,
+            id_col,
+            emb_col,
+            q_id_col,
+            q_emb_col,
+            max_query_mb=max_query_mb,
         )
 
     c = corpus.select(
@@ -828,6 +944,7 @@ def pq_topk(
     emb_col: str = "embedding",
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
+    max_query_mb: int = 256,
 ) -> DataFrame:
     """Approximate top-k via PRODUCT QUANTIZATION (Jégou et al., PAMI
     2011) with exact re-ranking: the embedding space splits into ``m``
@@ -842,12 +959,20 @@ def pq_topk(
 
     Scale shape: the corpus is scanned ONCE to encode (Arrow-batched
     argmin matmuls; codes are m bytes — a 64-dim float corpus compresses
-    64×), ADC scoring is a zero-shuffle broadcast crossJoin with a
-    per-row fold over m LUT lookups (no dot products, no vectors moved),
-    and only shortlist×|Q| full vectors are touched for re-ranking. At
-    100 TB this is the classic memory-bound ANN layout: codes resident,
-    vectors fetched per shortlist hit. Recall/latency trades via
-    (m, ks, shortlist); the recall gate pins the operating point.
+    64×), ADC scoring is a single zero-shuffle numpy pass over the codes
+    (LUT gather + row-sum per partition, ``argpartition`` shortlist in a
+    margin band — the ``topk_matmul`` device at code width; no per-pair
+    Column fold, no N·|Q| comparison sort), an exact Column-fold ADC
+    re-cut over the surviving <= partitions·|Q|·(shortlist+ties) rows
+    reproduces the global (adc asc, id asc) shortlist bit-for-bit, and
+    only shortlist×|Q| full vectors are touched for cosine re-ranking.
+    At 100 TB this is the classic memory-bound ANN layout: codes
+    resident, vectors fetched per shortlist hit. Recall/latency trades
+    via (m, ks, shortlist); the recall gate pins the operating point.
+    LUT closures past ``max_query_mb`` split into query blocks (one
+    codes scan per block, candidates unioned);
+    ``shortlist=None`` keeps the fold crossJoin (it scores and re-ranks
+    ALL pairs by construction — nothing to shortlist).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -965,20 +1090,140 @@ def pq_topk(
             F.col("lut"), s * ks + F.element_at(F.col("code"), s + 1) + 1
         ),
     )
-    # ADC scoring carries ONLY (q_id, id, adc) through the shortlist
-    # window: the sort feeding Spark's partial WindowGroupLimit holds
-    # every scored pair per partition, and dragging emb+q_emb+lut along
-    # (~700 B/pair) was measured to spill past the disk and DIE at the
-    # |Q| = N/97 100×-decade shape — 24 B/pair survives it (SCALE.md).
-    # Embeddings are fetched by id-join only for the shortlist's
-    # survivors, the same pattern as topk_matmul's re-rank.
-    scored = (
-        c.select(id_col, "code")
-        .crossJoin(F.broadcast(q.select(q_id_col, "lut")))
-        .filter(F.col(id_col) != F.col(q_id_col))
-        .select(q_id_col, id_col, adc.alias("adc"))
-    )
-    if shortlist is not None:
+    if shortlist is None:
+        # fullprobe: every pair is re-ranked anyway (the brute-identity
+        # gate), so the ADC fold is only a pass-through — keep the
+        # 24 B/pair crossJoin (the r13 row-width lesson, SCALE.md)
+        scored = (
+            c.select(id_col, "code")
+            .crossJoin(F.broadcast(q.select(q_id_col, "lut")))
+            .filter(F.col(id_col) != F.col(q_id_col))
+            .select(q_id_col, id_col, adc.alias("adc"))
+        )
+    else:
+        # numpy ADC shortlist (r14, closes the r13 `weak`): the r13 plan
+        # pruned the SORT ROWS to 24 B/pair but still paid a per-pair
+        # Column fold (m LUT element_ats) plus a full per-partition
+        # comparison sort over all N_p·|Q| pairs — 83.7 s steady at the
+        # jit-100× decade vs 33.6 s for the EXACT topk_matmul. Here each
+        # partition gathers LUT rows by code (one fancy-index + row-sum,
+        # no per-pair expression), band-keeps its `shortlist` best per
+        # query via O(n) argpartition, and emits only (q_id, id)
+        # survivors. Any global shortlist member is in its partition's
+        # shortlist; the margin band absorbs numpy-vs-fold ulp drift and
+        # keeps boundary ties, so the exact fold re-cut below reproduces
+        # the global (adc asc, id asc) shortlist bit-for-bit — output
+        # identical to the r13 window plan (the pinned fixture holds).
+        from functools import reduce
+
+        qids_all, Q_all, _ = _collect_query_matrix(
+            queries, q_id_col, q_emb_col, "pq_topk"
+        )
+        cand_schema = T.StructType(
+            [
+                T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+                T.StructField(id_col, corpus.schema[id_col].dataType),
+            ]
+        )
+        offsets = (np.arange(m) * ks).astype(np.int64)
+
+        def _lut_matrix(Qb):
+            L = np.empty((Qb.shape[0], m * ks), dtype=np.float64)
+            for s, (lo, hi) in enumerate(bounds):
+                diff = Qb[:, None, lo:hi] - books[s][None, :, :]
+                L[:, s * ks : (s + 1) * ks] = (diff**2).sum(axis=2)
+            return L
+
+        def make_adc_shortlist(L, qids):
+            # chunk corpus rows so the (|Q|, rows, m) gather block stays
+            # ~tens of MB per task (the matmul chunking discipline)
+            rows_per = max(1, 4_000_000 // max(len(qids) * m, 1))
+
+            def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    pdf = pdf[pdf["code"].notna()]
+                    if not len(pdf):
+                        continue
+                    codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+                    ids_all = pdf[id_col].to_numpy()
+                    acc_q: list = []
+                    acc_i: list = []
+                    acc_a: list = []
+                    for lo in range(0, len(ids_all), rows_per):
+                        idx = codes[lo : lo + rows_per] + offsets[None, :]
+                        ids = ids_all[lo : lo + rows_per]
+                        adc_np = L[:, idx].sum(axis=2)  # (|Q|, rows)
+                        adc_np[qids[:, None] == ids[None, :]] = np.inf
+                        if adc_np.shape[1] > shortlist:
+                            kth = np.partition(adc_np, shortlist - 1, axis=1)[
+                                :, shortlist - 1
+                            ]
+                            band = 1e-9 * np.maximum(1.0, np.abs(kth))
+                            keep = adc_np <= (kth + band)[:, None]
+                        else:
+                            keep = np.isfinite(adc_np)
+                        keep &= np.isfinite(adc_np)
+                        qi, ci = np.nonzero(keep)
+                        if len(qi):
+                            acc_q.append(qi)
+                            acc_i.append(ids[ci])
+                            acc_a.append(adc_np[qi, ci])
+                    if not acc_q:
+                        continue
+                    qi = np.concatenate(acc_q)
+                    bid = np.concatenate(acc_i)
+                    ba = np.concatenate(acc_a)
+                    # batch-level band cut (volume control; correctness
+                    # rides the exact fold re-cut, never this)
+                    order = np.lexsort((ba, qi))
+                    qi, bid, ba = qi[order], bid[order], ba[order]
+                    starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+                    counts = np.diff(np.r_[starts, len(qi)])
+                    kth_pos = starts + np.minimum(shortlist, counts) - 1
+                    group_of_row = np.repeat(np.arange(len(starts)), counts)
+                    kth = ba[kth_pos][group_of_row]
+                    keep = ba <= kth + 1e-9 * np.maximum(1.0, np.abs(kth))
+                    yield pd.DataFrame(
+                        {q_id_col: qids[qi[keep]], id_col: bid[keep]}
+                    )
+
+            return gen
+
+        codes_scan = c.select(id_col, "code")
+        if Q_all is None:
+            cands = corpus.sparkSession.createDataFrame([], cand_schema)
+        else:
+            blocks = _query_blocks(
+                len(qids_all),
+                int(len(qids_all)) * m * ks * 8,
+                max_query_mb,
+                "pq_topk",
+                "Raise max_query_mb — the LUT closure is m·ks·8 bytes per "
+                "query, far below the raw embeddings.",
+            )
+            parts = []
+            for blo, bhi in blocks:
+                parts.append(
+                    codes_scan.mapInPandas(
+                        make_adc_shortlist(
+                            _lut_matrix(Q_all[blo:bhi]), qids_all[blo:bhi]
+                        ),
+                        schema=cand_schema,
+                    )
+                )
+            cands = reduce(DataFrame.union, parts).dropDuplicates(
+                [q_id_col, id_col]
+            )
+        # exact fold re-cut: the SAME adc expression and (adc, id)
+        # row_number contract as the r13 plan, now over the pruned
+        # candidate set only — this is what makes the shortlist set
+        # bit-identical regardless of numpy summation order
+        scored = (
+            cands.join(codes_scan, id_col)
+            .join(F.broadcast(q.select(q_id_col, "lut")), q_id_col)
+            .filter(F.col(id_col) != F.col(q_id_col))
+            .select(q_id_col, id_col, adc.alias("adc"))
+        )
         w_adc = W.partitionBy(q_id_col).orderBy(F.col("adc"), F.col(id_col))
         scored = scored.withColumn("arank", F.row_number().over(w_adc)).filter(
             F.col("arank") <= shortlist

@@ -18,8 +18,11 @@ every ``--queries-mod``-th vector, or an external parquet of
 * ``radius`` — every neighbor within cosine >= ``--threshold``;
                ``--strategy`` {auto, broadcast, matmul, banded} maps
                straight onto ``radius_search(candidates=...)`` (auto
-               dispatches on the pair bill and the LSH geometry
-               budget; banded accepts ``--n-bands``/``--band-bits``).
+               is EXACT-only: broadcast → matmul on the pair bill;
+               banded is an explicit approximate opt-in and accepts
+               ``--n-bands``/``--band-bits``; ``--max-query-mb`` sets
+               the matmul closure budget past which exact query
+               blocks kick in).
 * ``ann``    — approximate top-k via ``--algo`` {lsh, ivf, pq}.
 * ``recall`` — per-query recall@k of ``--algo`` against the exact
                top-k, computed live — the retrieval health check.
@@ -69,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ann/recall only")
     p.add_argument("--n-bands", type=int, default=None, help="radius banded geometry")
     p.add_argument("--band-bits", type=int, default=None, help="radius banded geometry")
+    p.add_argument(
+        "--max-query-mb", type=int, default=256,
+        help="radius matmul/auto: per-task query-matrix closure budget; "
+        "|Q| past it splits into query blocks (exact, one corpus scan "
+        "per block)",
+    )
     p.add_argument("--out", default=None, help="write result parquet here")
     p.add_argument("--show", type=int, default=20,
                    help="without --out: print this many rows as JSON lines")
@@ -131,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         out = radius_search(
             e, q, threshold=args.threshold, candidates=args.strategy,
             n_bands=args.n_bands, band_bits=args.band_bits,
+            max_query_mb=args.max_query_mb,
         )
     elif args.contract == "ann":
         out = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[args.algo](
@@ -147,12 +157,24 @@ def main(argv: list[str] | None = None) -> int:
             .groupBy("q_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
+        # denominator is the PER-QUERY exact result count, not k: a
+        # corpus smaller than k+1 (or with null/zero-norm exclusions)
+        # has |exact| < k, and a perfect ANN must read recall 1.0, not
+        # |exact|/k — the same n_ex contract as the live radius recall
+        # gate (r13 ADVICE)
+        n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ex"))
         out = (
             q.select("q_id")
             .join(hits, "q_id", "left")
+            .join(n_exact, "q_id", "left")
             .select(
                 "q_id",
-                (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / args.k)
+                F.when(
+                    F.coalesce(F.col("n_ex"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                    / F.col("n_ex"),
+                )
+                .otherwise(F.lit(None))
                 .alias("recall"),
             )
         )

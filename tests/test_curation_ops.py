@@ -177,11 +177,12 @@ def test_radius_banded_subset_and_recall_law(spark):
 
 
 def test_radius_auto_strategy_selection(spark, monkeypatch):
-    """auto picks the documented strategy per (bill, threshold): tiny
-    bill → broadcast (plan shows the broadcast nested loop); big bill +
-    high threshold → banded (no cross join in the plan); big bill + low
-    threshold → matmul (Arrow scan node). Forced via the module budget
-    constants so a 300-row corpus exercises all three branches."""
+    """auto is EXACT-ONLY (r13 ADVICE: a dispatcher must never silently
+    swap a complete result for a ~99%-complete one as data grows): tiny
+    bill → broadcast (plan shows the broadcast nested loop); big bill →
+    matmul (single Arrow scan, no join) at EVERY threshold — banded
+    requires explicit opt-in. Forced via the module budget constant so a
+    300-row corpus exercises both branches."""
     from cql_xmlpipe_spark.operators import similarity as S
 
     corpus = _radius_corpus(spark)
@@ -189,16 +190,17 @@ def test_radius_auto_strategy_selection(spark, monkeypatch):
     plan = radius_search(corpus, q, 0.95)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     monkeypatch.setattr(S, "RADIUS_BRUTE_BILL_MAX", 10)
-    banded_plan = (
-        S.radius_search(corpus, q, 0.95)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastNestedLoopJoin" not in banded_plan
-    assert "MapInPandas" in banded_plan  # banded_sign_keys on both sides
-    low_t = S.radius_search(corpus, q, 0.2)
-    lp = low_t._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in lp and "Join" not in lp  # single-scan matmul
-    assert low_t.limit(1).count() == 1
+    for t in (0.95, 0.2):  # high threshold no longer flips to banded
+        big = S.radius_search(corpus, q, t)
+        bp = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in bp
+        assert "MapInPandas" in bp and "Join" not in bp  # single-scan matmul
+    assert S.radius_search(corpus, q, 0.2).limit(1).count() == 1
+    # and the matmul set equals the exact broadcast set on this corpus
+    ex = {(r["q_id"], r["vec_id"])
+          for r in radius_search(corpus, q, 0.95, candidates="broadcast").collect()}
+    au = {(r["q_id"], r["vec_id"]) for r in S.radius_search(corpus, q, 0.95).collect()}
+    assert au == ex
 
 
 def test_topk_matmul_equals_brute(spark):
@@ -250,31 +252,97 @@ def test_topk_matmul_tie_break_at_boundary(spark):
     assert [r[1] for r in sorted(b, key=lambda r: r[2])] == [1, 2]
 
 
-def test_topk_matmul_query_budget_guard(spark):
-    """The closure-shipped query matrix is size-guarded, naming the ANN
-    alternatives."""
-    import pytest
+def test_topk_matmul_ties_single_partition(spark):
+    """The r13 ADVICE repro: ALL tied rows land in ONE partition (and so
+    one BLAS chunk), ids deliberately out of order — a chunk-level hard
+    cut to k rows would keep an arbitrary k of the ties and break the
+    (cos desc, id asc) contract; the band-keep must surface every tie to
+    the exact re-rank, which picks the lowest ids like brute."""
+    from cql_xmlpipe_spark.operators.similarity import brute_force_topk, topk_matmul
 
-    from cql_xmlpipe_spark.operators.similarity import topk_matmul
+    rows = [(i, [1.0, 0.0, 0.0]) for i in (3, 4, 1, 2)]  # 4 exact ties
+    rows += [(10 + i, [0.0, 1.0, 0.0]) for i in range(3)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(1)
+    q = spark.createDataFrame([(0, [2.0, 0.0, 0.0])], "q_id long, q_emb array<float>")
+    a = sorted(map(tuple, brute_force_topk(corpus, q, k=2).collect()))
+    b = sorted(map(tuple, topk_matmul(corpus, q, k=2).collect()))
+    assert a == b
+    assert sorted(r[1] for r in b) == [1, 2]
+
+
+def test_pq_topk_blocked_luts_identical(spark):
+    """pq_topk's numpy ADC shortlist under one-query LUT blocks
+    (max_query_mb=0) reproduces the single-closure output exactly — the
+    block union feeds the same exact fold re-cut."""
+    from cql_xmlpipe_spark.operators.similarity import pq_topk
 
     corpus = _radius_corpus(spark)
-    q = corpus.filter("vec_id < 40").selectExpr("vec_id AS q_id", "embedding AS q_emb")
-    with pytest.raises(ValueError, match="lsh_topk|ann|ANN"):
-        topk_matmul(corpus, q, k=5, max_query_mb=0)
+    q = corpus.filter("vec_id < 12 AND embedding IS NOT NULL").selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    one = sorted(map(tuple, pq_topk(corpus, q, k=5, m=4, ks=8, shortlist=20).collect()))
+    blocked = sorted(
+        map(
+            tuple,
+            pq_topk(
+                corpus, q, k=5, m=4, ks=8, shortlist=20, max_query_mb=0
+            ).collect(),
+        )
+    )
+    assert one == blocked and len(one) == 12 * 5
 
 
-def test_radius_matmul_query_budget_guard(spark):
-    """The matmul path refuses to ship an oversized query matrix in the
-    task closure, naming the banded alternative."""
+def test_topk_matmul_query_blocks_exact(spark):
+    """|Q| past max_query_mb splits into query BLOCKS (one shortlist
+    scan each, candidates unioned) instead of refusing — output
+    identical to the single-closure run and to brute (r13 gap #2)."""
+    from cql_xmlpipe_spark.operators.similarity import brute_force_topk, topk_matmul
+
+    corpus = _radius_corpus(spark).filter("vec_id <> 77777")
+    q = corpus.filter("vec_id < 40 AND embedding IS NOT NULL").selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    # cap of 0 MB → one-row blocks: 40 scans on 40 queries, worst case
+    blocked = sorted(map(tuple, topk_matmul(corpus, q, k=5, max_query_mb=0).collect()))
+    assert blocked == sorted(map(tuple, brute_force_topk(corpus, q, k=5).collect()))
+
+
+def test_query_blocks_rescan_cap(spark):
+    """The block-nested path bounds its corpus-rescan bill: past
+    MAX_QUERY_BLOCKS blocks it refuses, naming the ANN alternative —
+    the one refusal left in the exact family."""
     import pytest
 
-    from cql_xmlpipe_spark.operators.similarity import _radius_matmul
+    from cql_xmlpipe_spark.operators import similarity as S
 
     corpus = _radius_corpus(spark)
-    q = corpus.filter("vec_id < 40").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    q = corpus.filter("vec_id < 70 AND embedding IS NOT NULL").selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    with pytest.raises(ValueError, match="blocks"):
+        S.topk_matmul(corpus, q, k=5, max_query_mb=0)  # 65 one-row blocks > 64
     with pytest.raises(ValueError, match="banded"):
-        _radius_matmul(corpus, q, 0.9, "vec_id", "embedding", "q_id", "q_emb",
-                       max_query_mb=0)
+        S._radius_matmul(corpus, q, 0.9, "vec_id", "embedding", "q_id", "q_emb",
+                         max_query_mb=0)
+
+
+def test_radius_matmul_query_blocks_exact(spark):
+    """The radius matmul path also blocks past the closure budget —
+    same qualifying set as broadcast, forwarded through radius_search's
+    max_query_mb passthrough (the r13 ADVICE passthrough gap)."""
+    corpus = _radius_corpus(spark)
+    q = corpus.filter("vec_id < 40 AND embedding IS NOT NULL").selectExpr(
+        "vec_id AS q_id", "embedding AS q_emb"
+    )
+    ex = {(r["q_id"], r["vec_id"]): r["cos"]
+          for r in radius_search(corpus, q, 0.9, candidates="broadcast").collect()}
+    bl = {(r["q_id"], r["vec_id"]): r["cos"]
+          for r in radius_search(corpus, q, 0.9, candidates="matmul",
+                                 max_query_mb=0).collect()}
+    assert set(ex) == set(bl) and len(ex) >= 30
+    assert max(abs(ex[k] - bl[k]) for k in ex) < 1e-12
 
 
 def test_char_entropy_degenerate_and_two_symbol(spark, tmp_path):

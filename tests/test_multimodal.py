@@ -577,3 +577,44 @@ def test_compressed_video_roundtrip_ffmpeg(spark):
     r = decode_video_features(media, use_codec=True).collect()[0]
     assert r["n_frames"] == 10 and abs(r["fps"] - 5.0) < 0.01
     assert r["width"] == 48 and r["height"] == 32
+
+
+def test_ffmpeg_seekable_fallback_mechanics(tmp_path, monkeypatch):
+    """_run_on_payload retries from a temp FILE when the pipe:0 attempt
+    fails (standard MP4s carry a trailing moov atom that a non-seekable
+    pipe can't reach — the r13 ADVICE boundary). Exercised with a fake
+    ffmpeg so the mechanics are pinned even in containers without media
+    binaries: the fake dies on pipe:0 and echoes the payload from a file
+    path, so a successful round-trip proves the retry ran."""
+    import numpy as np
+
+    from cql_xmlpipe_spark.functions import ffmpegcodec as FC
+
+    fake = tmp_path / "fake-ffmpeg"
+    fake.write_text(
+        "#!/bin/sh\n"
+        'for a in "$@"; do\n'
+        '  if [ "$a" = "pipe:0" ]; then\n'
+        '    echo "pipe:0: moov atom not found" >&2; exit 1\n'
+        "  fi\n"
+        "done\n"
+        "# last -i argument is the temp file; echo its bytes\n"
+        "prev=; src=\n"
+        'for a in "$@"; do\n'
+        '  if [ "$prev" = "-i" ]; then src="$a"; fi\n'
+        '  prev="$a"\n'
+        "done\n"
+        'cat "$src"\n'
+    )
+    fake.chmod(0o755)
+    monkeypatch.setenv("SPARK_GRAFT_FFMPEG", str(fake))
+    payload = np.arange(-4, 4, dtype="<i2").tobytes()
+    samples, rate = FC.decode_audio_ffmpeg(payload, rate=8000)
+    assert rate == 8000 and samples.tolist() == list(range(-4, 4))
+    # and when BOTH attempts fail, both diagnostics surface
+    dead = tmp_path / "dead-ffmpeg"
+    dead.write_text('#!/bin/sh\necho "bad payload" >&2; exit 1\n')
+    dead.chmod(0o755)
+    monkeypatch.setenv("SPARK_GRAFT_FFMPEG", str(dead))
+    with pytest.raises(ValueError, match="pipe:0 attempt"):
+        FC.decode_audio_ffmpeg(payload, rate=8000)
