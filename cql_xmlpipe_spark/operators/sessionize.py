@@ -125,3 +125,87 @@ def sessionize_bucketed(
         F.min("_st").alias("session_start_us"),
         F.max("_en").alias("session_end_us"),
     )
+
+
+def bucketed_prev(
+    events: DataFrame,
+    value_col: str,
+    bucket_us: int = DEFAULT_BUCKET_US,
+) -> DataFrame:
+    """Skew-hardened ``LAG(value) OVER (PARTITION BY user ORDER BY us,
+    event_id)`` — the :func:`sessionize_bucketed` pre-bucket + stitch
+    device generalized to the lag shape (r13 verdict task: the
+    transition/sequence gates window on the raw user key, so one hot
+    user's events sort in ONE task).
+
+    Input needs (user_id, event_id, us, ``value_col``); output adds
+    ``_prev`` = the previous event's value in the per-user total order.
+
+    1. the event-volume window keys on (user, ``bucket_us`` bucket) —
+       a hot user splits across as many tasks as buckets touched;
+    2. each bucket's LAST value is a per-(user, bucket) summary
+       aggregate (map-side combining, no event sort);
+    3. a lag over the SUMMARIES per user carries that value to the next
+       occupied bucket, where it becomes the bucket-first row's prev —
+       buckets partition the timeline, so the previous occupied
+       bucket's last event IS the global previous event.
+
+    First-row detection uses the order column (``us`` is never null),
+    not the value, so a legitimately-NULL value mid-stream is never
+    overwritten by the carry."""
+    b = events.withColumn("_bkt", F.floor(F.col("us") / F.lit(bucket_us)))
+    w_loc = W.partitionBy("user_id", "_bkt").orderBy("us", "event_id")
+    t = b.withColumn("_prev_loc", F.lag(value_col).over(w_loc)).withColumn(
+        "_loc_first", F.lag("us").over(w_loc).isNull()
+    )
+    lasts = b.groupBy("user_id", "_bkt").agg(
+        F.max_by(value_col, F.struct("us", "event_id")).alias("_last_v")
+    )
+    w_b = W.partitionBy("user_id").orderBy("_bkt")
+    carry = lasts.select(
+        "user_id", "_bkt", F.lag("_last_v").over(w_b).alias("_carry")
+    )
+    return (
+        t.join(carry, ["user_id", "_bkt"], "left")
+        .withColumn(
+            "_prev",
+            F.when(F.col("_loc_first"), F.col("_carry")).otherwise(
+                F.col("_prev_loc")
+            ),
+        )
+        .drop("_prev_loc", "_loc_first", "_carry")
+    )
+
+
+def bucketed_row_number(
+    events: DataFrame, bucket_us: int = DEFAULT_BUCKET_US
+) -> DataFrame:
+    """Skew-hardened per-user ``ROW_NUMBER() - 1`` (column ``rn``) and
+    per-user total count (column ``_n_user``) over the (us, event_id)
+    order — the pre-bucket + stitch device at the rank shape.
+
+    Local rank within (user, bucket) + the running count of earlier
+    buckets (a window over per-bucket COUNT summaries, ~#buckets rows
+    per user) reconstructs the global ordinal exactly: buckets
+    partition the timeline, so every earlier event is in an earlier-or-
+    equal bucket."""
+    b = events.withColumn("_bkt", F.floor(F.col("us") / F.lit(bucket_us)))
+    w_loc = W.partitionBy("user_id", "_bkt").orderBy("us", "event_id")
+    t = b.withColumn("_rn_loc", F.row_number().over(w_loc))
+    counts = b.groupBy("user_id", "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        W.partitionBy("user_id")
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "user_id",
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(W.partitionBy("user_id")).alias("_n_user"),
+    )
+    return (
+        t.join(offs, ["user_id", "_bkt"])
+        .withColumn("rn", F.col("_rn_loc") - 1 + F.col("_off"))
+        .drop("_rn_loc", "_off")
+    )

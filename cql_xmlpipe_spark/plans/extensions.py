@@ -4736,6 +4736,15 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).alias("rn"),
         F.ceil(F.sqrt(F.count(F.lit(1)).over(wall).cast("double"))).alias("ss"),
     )
+    return _ewma_segment_fold(r)
+
+
+def _ewma_segment_fold(r: DataFrame) -> DataFrame:
+    """The segmented affine-monoid EWMA fold over a ranked frame
+    (user_id, v, rn, ss) — shared by :func:`events_user_ewma` (plain
+    window ranking) and :func:`events_user_ewma_bucketed` (skew-
+    hardened ranking): identical IEEE op sequence either way, so both
+    run under the same oracle."""
     segs = (
         r.withColumn("seg", F.expr("rn div ss"))
         .groupBy("user_id", "seg")
@@ -6916,3 +6925,153 @@ def eval_suite_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._xmlpipe_cached = getattr(bucketed, "_xmlpipe_cached", [])
     return out
+
+
+# ---------------------------------------------------------------------------
+# round 14: skew-hardened twins of the per-user sequence gates.
+# The r13 sessionize measurement (SCALE.md) showed a 20M-event hot user
+# serializing the plain per-user window into one 40-58 s straggler task;
+# sessionize_bucketed fixed sessionize. These twins apply the same
+# pre-bucket + stitch device (operators/sessionize.py::bucketed_prev /
+# bucketed_row_number) to the remaining raw-user-key window gates —
+# identical output (same oracles), event-volume windows keyed on
+# (user, day-bucket). window_top3_orders_per_customer needs no twin:
+# its rank<=3 filter gets Spark 4's partial WindowGroupLimit, which cuts
+# every input partition to <=3 rows per customer BEFORE the shuffle.
+# ---------------------------------------------------------------------------
+
+from cql_xmlpipe_spark.plans.queries import ORACLE as _ORACLE  # noqa: E402
+
+
+@_q("events_type_transitions_bucketed", None)
+def events_type_transitions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened :func:`events_type_transitions`: the per-user lag
+    rides ``bucketed_prev`` — (user, day) windows + a per-bucket
+    last-value carry — so a hot user's transition counting parallelizes
+    across the days they touched instead of sorting their whole history
+    in one task. Same output, same oracle."""
+    from cql_xmlpipe_spark.operators.sessionize import bucketed_prev
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t = (
+        bucketed_prev(e, "event_type")
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("prev_type"), F.col("event_type").alias("next_type"))
+    )
+    cells = t.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wn)).alias(
+            "p_next"
+        ),
+    )
+
+
+@_q("events_user_ewma_bucketed", None)
+def events_user_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened :func:`events_user_ewma`: the per-user ROW_NUMBER
+    and COUNT ride ``bucketed_row_number`` — local rank within
+    (user, day) plus a running count over per-bucket summaries — then
+    the identical segmented affine fold. The hot user's O(n log n) sort
+    spreads across their days; the segment fold was already skew-free
+    (groupBy (user, seg) splits a 20M-event user into ~4.5k groups).
+    Same output bit-for-bit, same oracle."""
+    from cql_xmlpipe_spark.operators.sessionize import bucketed_row_number
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.coalesce(F.col("value").cast("double"), F.lit(0.0)).alias("v"),
+    )
+    r = bucketed_row_number(e).select(
+        "user_id",
+        "v",
+        "rn",
+        F.ceil(F.sqrt(F.col("_n_user").cast("double"))).alias("ss"),
+    )
+    return _ewma_segment_fold(r)
+
+
+@_q("events_session_paths_bucketed", None)
+def events_session_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened :func:`events_session_paths`: local per-(user, day)
+    sessionization collects LOCAL path fragments (one aggregate, no
+    event-volume per-user sort), the sessionize_bucketed chain-stitch
+    merges fragments crossing day cuts, and the final path is the
+    in-order concatenation of fragments — equal to the plain gate's
+    string because buckets partition the (us, event_id) order. Per-row
+    output size is still the session's own path length — that is the
+    QUERY's semantics (any engine materializes the path string); what
+    this twin removes is the hot user's single-task event sort. Same
+    output, same oracle."""
+    from cql_xmlpipe_spark.operators.sessionize import (
+        DEFAULT_BUCKET_US,
+        DEFAULT_GAP_US,
+        _sessionize_within,
+    )
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    b = e.withColumn("_bkt", F.floor(F.col("us") / F.lit(DEFAULT_BUCKET_US)))
+    local = (
+        _sessionize_within(b, ["user_id", "_bkt"], DEFAULT_GAP_US)
+        .groupBy("user_id", "_bkt", "_sid")
+        .agg(
+            F.min("us").alias("_st"),
+            F.max("us").alias("_en"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("_lp"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("_st", "_bkt", "_sid")
+    new_c = F.when(
+        (F.col("_st") - F.lag("_en").over(w) > DEFAULT_GAP_US)
+        | F.lag("_en").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    w2 = w.rowsBetween(W.unboundedPreceding, 0)
+    chained = local.withColumn("_new_c", new_c).withColumn(
+        "session_id", F.sum("_new_c").over(w2)
+    )
+    paths = chained.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_st", "_bkt", "_sid", "_lp"))
+                ),
+                lambda s: s["_lp"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# the twins run under the SAME oracles as their plain forms — register
+# after both definitions so the dict lookups see the plain entries
+_ORACLE["events_type_transitions_bucketed"] = _ORACLE["events_type_transitions"]
+_ORACLE["events_user_ewma_bucketed"] = _ORACLE["events_user_ewma"]
+_ORACLE["events_session_paths_bucketed"] = _ORACLE["events_session_paths"]

@@ -104,3 +104,107 @@ def test_gate_twin_matches_plain_gate(spark):
     assert _collect(events_sessionize_bucketed(spark, sf)) == _collect(
         events_sessionize(spark, sf)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 14: the lag/rank generalizations of the pre-bucket + stitch device
+# ---------------------------------------------------------------------------
+
+
+def _seq_events(spark, rows):
+    """rows: (user_id, event_id, us, event_type | None)."""
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, us long, event_type string"
+    )
+
+
+def test_bucketed_prev_matches_plain_lag(spark):
+    """bucketed_prev ≡ LAG over the raw per-user window at a 1-second
+    bucket width (cuts between almost every event pair), including:
+    empty buckets between events, ties on us broken by event_id across
+    a cut, and a NULL value mid-stream that the carry must NOT
+    overwrite."""
+    from pyspark.sql import Window as W
+
+    from cql_xmlpipe_spark.operators.sessionize import bucketed_prev
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        t = 0
+        for _ in range(200):
+            t += rng.choice([1, 137, 999_999, 1_000_000, 2_000_001, 5_500_000])
+            typ = None if rng.random() < 0.1 else rng.choice("abcde")
+            rows.append((u, eid, t, typ))
+            eid += 1
+    # exact tie straddling a bucket cut: same us, ordered by event_id
+    rows += [(3, 1000, 1_000_000, "x"), (3, 1001, 1_000_000, "y"),
+             (3, 1002, 1_000_000, "z")]
+    e = _seq_events(spark, rows)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    plain = sorted(
+        map(tuple, e.withColumn("_prev", F.lag("event_type").over(w)).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            bucketed_prev(e, "event_type", bucket_us=1_000_000)
+            .select("user_id", "event_id", "us", "event_type", "_prev")
+            .collect(),
+        )
+    )
+    assert got == plain
+
+
+def test_bucketed_row_number_matches_plain(spark):
+    """bucketed_row_number ≡ ROW_NUMBER()-1 + COUNT(*) over the raw
+    per-user window, under the same cut-adversarial corpus."""
+    from pyspark.sql import Window as W
+
+    from cql_xmlpipe_spark.operators.sessionize import bucketed_row_number
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        t = rng.randrange(10)
+        for _ in range(150):
+            t += rng.choice([1, 999_999, 1_000_000, 3_000_000])
+            rows.append((u, eid, t, "e"))
+            eid += 1
+    e = _seq_events(spark, rows)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    plain = sorted(
+        map(
+            tuple,
+            e.select(
+                "user_id",
+                "event_id",
+                (F.row_number().over(w) - 1).alias("rn"),
+                F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            bucketed_row_number(e, bucket_us=1_000_000)
+            .select("user_id", "event_id", "rn", F.col("_n_user").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == plain
+
+
+def test_bucketed_sequence_gate_twins_match_plain(spark, tmp_path):
+    """The three r14 gate twins reproduce their plain gates row-for-row
+    on the real sf0.001 events table (the gates' own input shape)."""
+    from cql_xmlpipe_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("events_type_transitions", "events_user_ewma",
+                 "events_session_paths"):
+        plain = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+        twin = sorted(map(tuple, QUERIES[name + "_bucketed"](spark, sf).collect()))
+        assert twin == plain, name
