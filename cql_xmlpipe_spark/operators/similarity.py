@@ -745,32 +745,30 @@ def radius_search(
     )
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    q_id_col: str = "q_id",
-    q_emb_col: str = "q_emb",
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+) -> tuple[DataFrame, list[list[float]]]:
+    """BUILD-ONCE half of IVF: train the coarse quantizer and assign
+    every corpus vector to its nearest cell.
+
+    Returns ``(assignments, centers)`` — assignments is the (id, cell)
+    DataFrame (int cell per vector; NULL embedding → NULL cell), centers
+    the n_cells×d centroid matrix as plain nested lists (picklable,
+    JSON-able — an index artifact, not a live model object). Feed both
+    to :func:`ivf_query` any number of times; :func:`ivf_topk` is
+    exactly ``ivf_query(*ivf_build(...))`` (pinned by pytest), and
+    :func:`ann_index_write`/:func:`ann_index_read` persist the pair as
+    parquet + a params row for cross-process reuse (the r13 verdict's
+    staged-index task: production retrains per INGEST, not per QUERY).
 
     Train: Spark ML KMeans (seeded, distributed) learns ``n_cells``
     centroids; the tiny centroid matrix broadcasts to every executor
-    inside the assignment UDF's closure. Assign: one Arrow-batched pandas
-    UDF computes each vector's nearest centroid as a single matmul
-    (argmin of |x-c|² via -2xCᵀ + |c|²). Search: each query probes its
-    ``n_probe`` nearest cells; candidate generation is an equi-join on
-    int cell ids — vectors shuffle once into cells, queries explode
-    ``n_probe``×.
-
-    At 100 TB: the cell assignment is a linear scan (no shuffle beyond
-    the cell-id join); recall/latency trades via n_cells ↛ corpus/n_cells
-    per probe. The LSH variant needs no training; IVF gives tighter cells
-    on clustered data.
+    inside the assignment UDF's closure. Assign: one Arrow-batched
+    pandas UDF computes each vector's nearest centroid as a single
+    matmul (argmin of |x-c|² via -2xCᵀ + |c|²).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -803,6 +801,19 @@ def ivf_topk(
     centers = np.stack(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
     )  # k×d
+    nearest = _ivf_cell_udfs(centers, top_n=1, as_array=False)
+    assignments = corpus.select(id_col, nearest(F.col(emb_col)).alias("cell"))
+    return assignments, [[float(x) for x in row] for row in centers]
+
+
+def _ivf_cell_udfs(centers, top_n: int, as_array: bool):
+    """Arrow-batched nearest-cell UDF over a centroid matrix: the single
+    int cell (``as_array=False`` — corpus assignment) or the ``top_n``
+    probe cells (``as_array=True`` — query fan-out)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    centers = np.asarray(centers, dtype=np.float64)
     half_norms = (centers * centers).sum(axis=1) / 2.0
 
     def _top_cells(batch: pd.Series, n: int) -> list:
@@ -829,12 +840,16 @@ def ivf_topk(
             out[i] = a
         return out
 
-    @F.pandas_udf(T.IntegerType())
-    def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for batch in it:
-            yield pd.Series(
-                [int(a[0]) if a is not None else None for a in _top_cells(batch, 1)]
-            )
+    if not as_array:
+
+        @F.pandas_udf(T.IntegerType())
+        def nearest_cell(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for batch in it:
+                yield pd.Series(
+                    [int(a[0]) if a is not None else None for a in _top_cells(batch, 1)]
+                )
+
+        return nearest_cell
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -842,20 +857,47 @@ def ivf_topk(
             yield pd.Series(
                 [
                     [int(x) for x in a] if a is not None else None
-                    for a in _top_cells(batch, n_probe)
+                    for a in _top_cells(batch, top_n)
                 ]
             )
 
+    return probe_cells
+
+
+def ivf_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    assignments: DataFrame,
+    centers: list[list[float]],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """QUERY-MANY half of IVF: top-k against a prebuilt
+    (:func:`ivf_build`) index. Each query probes its ``n_probe``
+    nearest cells; candidate generation is an equi-join on int cell
+    ids — vectors shuffle once into cells, queries explode
+    ``n_probe``×.
+
+    At 100 TB: the cell assignment is a one-time linear scan amortized
+    over every query batch (no shuffle beyond the cell-id join);
+    recall/latency trades via n_cells ↛ corpus/n_cells per probe. The
+    LSH variant needs no training; IVF gives tighter cells on
+    clustered data.
+    """
+    probe_cells = _ivf_cell_udfs(centers, top_n=n_probe, as_array=True)
     # candidate generation joins BARE (id, cell) ints and the scoring
     # window sorts only (q_id, id, cos) — embeddings are fetched by
     # id-join for the candidates alone, never dragged through the
     # cell join or the rank sort (the pq row-width lesson, SCALE.md)
-    c = corpus.select(id_col, nearest_cell(F.col(emb_col)).alias("cell"))
     q = queries.select(
         q_id_col, F.explode(probe_cells(F.col(q_emb_col))).alias("cell")
     )
     cands = (
-        c.join(q, "cell")
+        assignments.join(q, "cell")
         .filter(F.col(id_col) != F.col(q_id_col))
         .select(q_id_col, id_col)
     )
@@ -870,6 +912,29 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the one-call composition ``ivf_query(*ivf_build(...))``; see the
+    halves for the train/assign/search design. Per-call rebuild is the
+    GATE shape; production builds once per ingest (:func:`ivf_build`,
+    persisted via :func:`ann_index_write`) and queries many."""
+    assignments, centers = ivf_build(corpus, n_cells, id_col, emb_col)
+    return ivf_query(
+        corpus, queries, assignments, centers, k, n_probe,
+        id_col, emb_col, q_id_col, q_emb_col,
     )
 
 
@@ -933,47 +998,44 @@ def _pq_bounds(dim: int, m: int) -> list[tuple[int, int]]:
     return [(s * d0, (s + 1) * d0 if s < m - 1 else dim) for s in range(m)]
 
 
-def pq_topk(
+def _pq_stack(vals, what: str):
+    """float64 matrix of a pandas Series of arrays; names the offending
+    lengths on raggedness — shared by the PQ encode/LUT batch kernels."""
+    import numpy as np
+
+    try:
+        return np.stack(vals.to_numpy()).astype(np.float64)
+    except ValueError as exc:
+        lens = vals.map(len)
+        raise ValueError(
+            f"pq_topk: ragged {what} lengths "
+            f"{sorted(lens.unique().tolist())} in one batch; "
+            "embeddings must share one dimension"
+        ) from exc
+
+
+def pq_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     m: int = 4,
     ks: int = 16,
-    shortlist: int | None = 50,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    q_id_col: str = "q_id",
-    q_emb_col: str = "q_emb",
-    max_query_mb: int = 256,
-) -> DataFrame:
-    """Approximate top-k via PRODUCT QUANTIZATION (Jégou et al., PAMI
-    2011) with exact re-ranking: the embedding space splits into ``m``
-    subspaces, each learns a ``ks``-codeword codebook (seeded Spark ML
-    KMeans per subspace — deterministic), every corpus vector compresses
-    to ``m`` small ints, and each query scores the WHOLE corpus by ADC
-    (asymmetric distance: Σ_s lut[s][code_s], the query's precomputed
-    distance to every codeword) — then only the ``shortlist`` best ADC
-    candidates per query are re-ranked by exact cosine for the final
-    top-k. ``shortlist=None`` disables pruning (≡ brute force — the
-    fullprobe gate identity).
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """BUILD-ONCE half of PQ (Jégou et al., PAMI 2011): the embedding
+    space splits into ``m`` subspaces, each learns a ``ks``-codeword
+    codebook (seeded Spark ML KMeans per subspace — deterministic), and
+    every corpus vector compresses to ``m`` small ints in ONE encode
+    scan (Arrow-batched argmin matmuls; codes are m bytes — a 64-dim
+    float corpus compresses 64×).
 
-    Scale shape: the corpus is scanned ONCE to encode (Arrow-batched
-    argmin matmuls; codes are m bytes — a 64-dim float corpus compresses
-    64×), ADC scoring is a single zero-shuffle numpy pass over the codes
-    (LUT gather + row-sum per partition, ``argpartition`` shortlist in a
-    margin band — the ``topk_matmul`` device at code width; no per-pair
-    Column fold, no N·|Q| comparison sort), an exact Column-fold ADC
-    re-cut over the surviving <= partitions·|Q|·(shortlist+ties) rows
-    reproduces the global (adc asc, id asc) shortlist bit-for-bit, and
-    only shortlist×|Q| full vectors are touched for cosine re-ranking.
-    At 100 TB this is the classic memory-bound ANN layout: codes
-    resident, vectors fetched per shortlist hit. Recall/latency trades
-    via (m, ks, shortlist); the recall gate pins the operating point.
-    LUT closures past ``max_query_mb`` split into query blocks (one
-    codes scan per block, candidates unioned);
-    ``shortlist=None`` keeps the fold crossJoin (it scores and re-ranks
-    ALL pairs by construction — nothing to shortlist).
-    """
+    Returns ``(codes, books)``: codes the (id, code array<int>)
+    DataFrame (NULL embeddings carry no code — they can never become
+    candidates), books the m×ks×sub_dim codebooks as plain nested
+    lists (an index ARTIFACT — picklable, JSON-able, persistable via
+    :func:`ann_index_write`). Feed both to :func:`pq_query` any number
+    of times; :func:`pq_topk` is ``pq_query(*pq_build(...))``
+    (pinned by pytest). Production builds once per ingest, not per
+    query — the r13 verdict's staged-index task."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1023,23 +1085,12 @@ def pq_topk(
             )
         )  # ks × (hi-lo)
 
-    def _stack(vals, what: str):
-        try:
-            return np.stack(vals.to_numpy()).astype(np.float64)
-        except ValueError as exc:
-            lens = vals.map(len)
-            raise ValueError(
-                f"pq_topk: ragged {what} lengths "
-                f"{sorted(lens.unique().tolist())} in one batch; "
-                "embeddings must share one dimension"
-            ) from exc
-
     def _encode(batch: "pd.Series") -> "pd.Series":
         out: list = [None] * len(batch)
         mask = batch.notna()
         if not mask.any():
             return pd.Series(out)
-        M = _stack(batch[mask], "embedding")
+        M = _pq_stack(batch[mask], "embedding")
         codes = np.empty((M.shape[0], m), dtype=np.int32)
         for s, (lo, hi) in enumerate(bounds):
             sub = M[:, lo:hi]
@@ -1055,6 +1106,63 @@ def pq_topk(
         for batch in it:
             yield _encode(batch)
 
+    # NULL embeddings never become candidates — the same semantics as
+    # the Column-expression paths, made explicit here because a NULL
+    # adc would otherwise sort FIRST in the ascending shortlist window
+    # and displace real candidates
+    codes = corpus.select(
+        id_col, encode(F.col(emb_col)).alias("code")
+    ).filter(F.col("code").isNotNull())
+    return codes, [[[float(x) for x in row] for row in b] for b in books]
+
+
+def pq_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int | None = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    max_query_mb: int = 256,
+) -> DataFrame:
+    """QUERY-MANY half of PQ: each query scores the prebuilt code table
+    by ADC (asymmetric distance: Σ_s lut[s][code_s], the query's
+    precomputed distance to every codeword) — then only the
+    ``shortlist`` best ADC candidates per query are re-ranked by exact
+    cosine for the final top-k. ``shortlist=None`` disables pruning
+    (≡ brute force — the fullprobe gate identity).
+
+    Scale shape: ADC scoring is a single zero-shuffle numpy pass over
+    the codes (LUT gather + row-sum per partition, ``argpartition``
+    shortlist in a margin band — the ``topk_matmul`` device at code
+    width; no per-pair Column fold, no N·|Q| comparison sort), an exact
+    Column-fold ADC re-cut over the surviving
+    <= partitions·|Q|·(shortlist+ties) rows reproduces the global
+    (adc asc, id asc) shortlist bit-for-bit, and only shortlist×|Q|
+    full vectors are touched for cosine re-ranking. At 100 TB this is
+    the classic memory-bound ANN layout: codes resident (built once,
+    amortized over every query batch), vectors fetched per shortlist
+    hit. Recall/latency trades via (m, ks, shortlist); the recall gate
+    pins the operating point. LUT closures past ``max_query_mb`` split
+    into query blocks (one codes scan per block, candidates unioned);
+    ``shortlist=None`` keeps the fold crossJoin (it scores and re-ranks
+    ALL pairs by construction — nothing to shortlist).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in books]
+    m, ks = len(books), len(books[0])
+    dims = [b.shape[1] for b in books]
+    edges = [0]
+    for d in dims:
+        edges.append(edges[-1] + d)
+    bounds = list(zip(edges[:-1], edges[1:]))
+
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def query_lut(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # flat m×ks table of squared L2 distances from the query's
@@ -1063,7 +1171,7 @@ def pq_topk(
             out: list = [None] * len(batch)
             mask = batch.notna()
             if mask.any():
-                Q = _stack(batch[mask], "query embedding")
+                Q = _pq_stack(batch[mask], "query embedding")
                 luts = np.empty((Q.shape[0], m * ks), dtype=np.float64)
                 for s, (lo, hi) in enumerate(bounds):
                     diff = Q[:, None, lo:hi] - books[s][None, :, :]
@@ -1072,13 +1180,7 @@ def pq_topk(
                     out[i] = [float(x) for x in l]
             yield pd.Series(out)
 
-    # NULL embeddings never become candidates or queries — the same
-    # semantics as the Column-expression paths, made explicit here
-    # because a NULL adc would otherwise sort FIRST in the ascending
-    # shortlist window and displace real candidates
-    c = corpus.withColumn("code", encode(F.col(emb_col))).filter(
-        F.col("code").isNotNull()
-    )
+    # NULL query embeddings carry no LUT — never queries
     q = queries.withColumn("lut", query_lut(F.col(q_emb_col))).filter(
         F.col("lut").isNotNull()
     )
@@ -1095,8 +1197,7 @@ def pq_topk(
         # gate), so the ADC fold is only a pass-through — keep the
         # 24 B/pair crossJoin (the r13 row-width lesson, SCALE.md)
         scored = (
-            c.select(id_col, "code")
-            .crossJoin(F.broadcast(q.select(q_id_col, "lut")))
+            codes.crossJoin(F.broadcast(q.select(q_id_col, "lut")))
             .filter(F.col(id_col) != F.col(q_id_col))
             .select(q_id_col, id_col, adc.alias("adc"))
         )
@@ -1189,7 +1290,7 @@ def pq_topk(
 
             return gen
 
-        codes_scan = c.select(id_col, "code")
+        codes_scan = codes
         if Q_all is None:
             cands = corpus.sparkSession.createDataFrame([], cand_schema)
         else:
@@ -1240,3 +1341,64 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", "cos")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    shortlist: int | None = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    max_query_mb: int = 256,
+) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION with exact
+    re-ranking — the one-call composition ``pq_query(*pq_build(...))``;
+    see the halves for the train/encode/ADC design. Per-call rebuild is
+    the GATE shape; production builds once per ingest (:func:`pq_build`,
+    persisted via :func:`ann_index_write`) and queries many."""
+    codes, books = pq_build(corpus, m, ks, id_col, emb_col)
+    return pq_query(
+        corpus, queries, codes, books, k, shortlist,
+        id_col, emb_col, q_id_col, q_emb_col, max_query_mb,
+    )
+
+
+def ann_index_write(
+    index_df: DataFrame, params: dict, path: str
+) -> None:
+    """Persist a staged ANN index (the :func:`ivf_build`/:func:`pq_build`
+    output) for cross-process build-once/query-many: the per-vector
+    index rows (cell assignments or PQ codes) go to ``path``/rows as
+    parquet, the small training artifact (centroids/codebooks + kind)
+    to ``path``/params as a one-row JSON — both through the DataFrame
+    writers, so the layout works on any Hadoop-visible filesystem, not
+    just the driver's local disk."""
+    import json as _json
+
+    spark = index_df.sparkSession
+    index_df.write.mode("overwrite").parquet(f"{path}/rows")
+    spark.createDataFrame(
+        [(_json.dumps(params, sort_keys=True),)], "params_json string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/params")
+
+
+def ann_index_read(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted ANN index: (rows DataFrame, params dict).
+    ``params['kind']`` says which query half consumes it ('ivf' →
+    :func:`ivf_query` with params['centers'], 'pq' → :func:`pq_query`
+    with params['books'])."""
+    import json as _json
+
+    rows = spark.read.parquet(f"{path}/rows")
+    blob = spark.read.text(f"{path}/params").collect()
+    if len(blob) != 1:
+        raise ValueError(
+            f"ann_index_read: {path}/params holds {len(blob)} rows, "
+            "expected exactly one JSON params row"
+        )
+    return rows, _json.loads(blob[0][0])

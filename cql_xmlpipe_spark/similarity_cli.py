@@ -23,7 +23,15 @@ every ``--queries-mod``-th vector, or an external parquet of
                ``--n-bands``/``--band-bits``; ``--max-query-mb`` sets
                the matmul closure budget past which exact query
                blocks kick in).
-* ``ann``    — approximate top-k via ``--algo`` {lsh, ivf, pq}.
+* ``ann``    — approximate top-k via ``--algo`` {lsh, ivf, pq}
+               (``--n-cells``/``--n-probe``/``--m``/``--ks``/
+               ``--shortlist`` tune the quantizers). With
+               ``--index-dir`` the index is LOADED, not retrained.
+* ``ann-build`` — train + encode ONCE and persist the index artifact
+               to ``--index-dir`` (ivf: cell assignments + centroids;
+               pq: codes + codebooks) — the build-once/query-many
+               production shape; subsequent ``ann --index-dir`` runs
+               skip training entirely.
 * ``recall`` — per-query recall@k of ``--algo`` against the exact
                top-k, computed live — the retrieval health check.
 
@@ -46,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
         "parquet corpus.",
     )
     p.add_argument(
-        "--contract", required=True, choices=["topk", "radius", "ann", "recall"]
+        "--contract", required=True,
+        choices=["topk", "radius", "ann", "ann-build", "recall"],
     )
     p.add_argument("--data-dir", required=True, help="directory of embeddings.parquet")
     p.add_argument(
@@ -78,6 +87,18 @@ def build_parser() -> argparse.ArgumentParser:
         "|Q| past it splits into query blocks (exact, one corpus scan "
         "per block)",
     )
+    p.add_argument(
+        "--index-dir", default=None,
+        help="staged ANN index directory: ann-build WRITES it (train + "
+        "encode once), ann READS it (skip retraining — build-once/"
+        "query-many across processes)",
+    )
+    p.add_argument("--n-cells", type=int, default=16, help="ivf: coarse cells")
+    p.add_argument("--n-probe", type=int, default=3, help="ivf: probed cells/query")
+    p.add_argument("--m", type=int, default=4, help="pq: subspaces")
+    p.add_argument("--ks", type=int, default=16, help="pq: codewords/subspace")
+    p.add_argument("--shortlist", type=int, default=50,
+                   help="pq: ADC candidates re-ranked per query")
     p.add_argument("--out", default=None, help="write result parquet here")
     p.add_argument("--show", type=int, default=20,
                    help="without --out: print this many rows as JSON lines")
@@ -103,14 +124,26 @@ def main(argv: list[str] | None = None) -> int:
     if args.contract == "radius" and args.strategy == "brute":
         return _refuse("--strategy brute is the topk name; radius calls it "
                        "broadcast (auto | broadcast | matmul | banded)")
+    if args.contract == "ann-build":
+        if not args.index_dir:
+            return _refuse("--contract ann-build requires --index-dir")
+        if args.algo not in ("ivf", "pq"):
+            return _refuse(f"--algo {args.algo} has no trainable index "
+                           "(ivf | pq; lsh is stateless)")
 
     from pyspark.sql import functions as F
 
     from cql_xmlpipe_spark.operators.similarity import (
         RADIUS_BRUTE_BILL_MAX,
+        ann_index_read,
+        ann_index_write,
         brute_force_topk,
+        ivf_build,
+        ivf_query,
         ivf_topk,
         lsh_topk,
+        pq_build,
+        pq_query,
         pq_topk,
         radius_search,
         topk_matmul,
@@ -142,14 +175,50 @@ def main(argv: list[str] | None = None) -> int:
             n_bands=args.n_bands, band_bits=args.band_bits,
             max_query_mb=args.max_query_mb,
         )
+    elif args.contract == "ann-build":
+        if args.algo == "ivf":
+            rows, centers = ivf_build(e, n_cells=args.n_cells)
+            params = {"kind": "ivf", "n_probe": args.n_probe, "centers": centers}
+        else:
+            rows, books = pq_build(e, m=args.m, ks=args.ks)
+            params = {"kind": "pq", "shortlist": args.shortlist, "books": books}
+        ann_index_write(rows, params, args.index_dir)
+        print(f"built {args.algo} index at {args.index_dir}")
+        return 0
     elif args.contract == "ann":
-        out = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[args.algo](
-            e, q, k=args.k
-        )
+        if args.index_dir:
+            rows, params = ann_index_read(spark, args.index_dir)
+            if params["kind"] == "ivf":
+                out = ivf_query(
+                    e, q, rows, params["centers"], k=args.k,
+                    n_probe=params.get("n_probe", args.n_probe),
+                )
+            elif params["kind"] == "pq":
+                out = pq_query(
+                    e, q, rows, params["books"], k=args.k,
+                    shortlist=params.get("shortlist", args.shortlist),
+                )
+            else:
+                return _refuse(
+                    f"index at {args.index_dir} has unknown kind "
+                    f"{params.get('kind')!r}"
+                )
+        elif args.algo == "ivf":
+            out = ivf_topk(e, q, k=args.k, n_cells=args.n_cells, n_probe=args.n_probe)
+        elif args.algo == "pq":
+            out = pq_topk(e, q, k=args.k, m=args.m, ks=args.ks,
+                          shortlist=args.shortlist)
+        else:
+            out = lsh_topk(e, q, k=args.k)
     else:  # recall
-        approx = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[args.algo](
-            e, q, k=args.k
-        )
+        if args.algo == "ivf":
+            approx = ivf_topk(e, q, k=args.k, n_cells=args.n_cells,
+                              n_probe=args.n_probe)
+        elif args.algo == "pq":
+            approx = pq_topk(e, q, k=args.k, m=args.m, ks=args.ks,
+                             shortlist=args.shortlist)
+        else:
+            approx = lsh_topk(e, q, k=args.k)
         exact = brute_force_topk(e, q, k=args.k)
         hits = (
             approx.select("q_id", "vec_id")

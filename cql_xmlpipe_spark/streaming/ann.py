@@ -1,0 +1,100 @@
+"""Streaming ANN retrieval — the similarity-search twin of the dedup
+probe sinks (r13 verdict task 5: the staged-index pattern existed for
+text/embedding DEDUP only; retrieval retrained its quantizers per call).
+
+``ann_topk_probe_sink`` builds the IVF or PQ index ONCE at sink
+construction (:func:`~cql_xmlpipe_spark.operators.similarity.ivf_build`
+/ :func:`~cql_xmlpipe_spark.operators.similarity.pq_build`; the
+per-vector index rows are persisted/cached, the tiny training artifact
+lives in the closure) and answers every micro-batch of query vectors
+with top-k against the standing corpus through the matching query half
+— the corpus is never re-encoded per trigger, which is the whole point
+of a build/query split.
+
+Per-query independence makes the stream ≡ batch identity exact: top-k
+of query q depends only on (q, corpus, index), so the union of
+per-batch outputs equals one query of the whole increment (pinned in
+tests/test_streaming.py). Outputs land at ``out_path/batch=<id>`` —
+idempotent overwrite per micro-batch id, the same replay contract as
+the dedup sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ann_topk_probe_sink(
+    corpus: DataFrame,
+    out_path: str,
+    algo: str = "ivf",
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    n_cells: int = 16,
+    n_probe: int = 3,
+    m: int = 4,
+    ks: int = 16,
+    shortlist: int | None = 50,
+):
+    """foreachBatch sink: ANN top-k of each micro-batch of
+    (q_id, q_emb) queries against a standing corpus, index built once.
+
+    ``algo`` ∈ {'ivf', 'pq'} picks the quantizer (LSH needs no training
+    — for it, call the stateless ``lsh_topk`` per batch directly; a
+    staged form would stage nothing). The sink exposes:
+
+    * ``sink.index_rows`` — the cached per-vector index DataFrame
+      (cell assignments or PQ codes), for inspection or
+      :func:`~cql_xmlpipe_spark.operators.similarity.ann_index_write`;
+    * ``sink.params`` — the training artifact dict ({'kind', 'k', and
+      'centers' or 'books'});
+    * ``sink.close()`` — releases the cached index rows (the dedup
+      sinks' retirement contract).
+    """
+    from cql_xmlpipe_spark.operators.similarity import (
+        ivf_build,
+        ivf_query,
+        pq_build,
+        pq_query,
+    )
+
+    if algo == "ivf":
+        rows, centers = ivf_build(corpus, n_cells, id_col, emb_col)
+        params = {"kind": "ivf", "k": k, "n_probe": n_probe, "centers": centers}
+    elif algo == "pq":
+        rows, books = pq_build(corpus, m, ks, id_col, emb_col)
+        params = {"kind": "pq", "k": k, "shortlist": shortlist, "books": books}
+    else:
+        raise ValueError(
+            f"ann_topk_probe_sink: algo={algo!r} (expected ivf | pq; lsh is "
+            "stateless — call lsh_topk per batch, there is no index to stage)"
+        )
+    rows = rows.persist()
+    rows.count()  # materialize once so no micro-batch pays the build
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if algo == "ivf":
+            topk = ivf_query(
+                corpus, batch_df, rows, params["centers"], k, n_probe,
+                id_col, emb_col, q_id_col, q_emb_col,
+            )
+        else:
+            topk = pq_query(
+                corpus, batch_df, rows, params["books"], k, shortlist,
+                id_col, emb_col, q_id_col, q_emb_col,
+            )
+        topk.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    def close() -> None:
+        try:
+            rows.unpersist()
+        except Exception:
+            pass
+
+    probe_batch.close = close
+    probe_batch.index_rows = rows
+    probe_batch.params = params
+    return probe_batch

@@ -199,3 +199,58 @@ def test_knn_label_consistency_contract(spark):
     for r in rows:
         assert 0 <= r["n_same"] <= 10
         assert r["consistency"] == r["n_same"] / 10.0
+
+
+def test_staged_ann_equals_per_call(clustered, tmp_path, spark):
+    """r13 verdict task 5: build-once/query-many ≡ per-call rebuild for
+    IVF and PQ (the one-call forms are literally query(*build(...)), so
+    this pins the decomposition stays lossless), the SAME built index
+    serves a second query set, and the parquet+params persistence
+    round-trips into identical answers in a consumer that never saw the
+    training run."""
+    from cql_xmlpipe_spark.operators.similarity import (
+        ann_index_read,
+        ann_index_write,
+        ivf_build,
+        ivf_query,
+        pq_build,
+        pq_query,
+    )
+
+    e, q = clustered
+    q2 = e.filter(F.col("vec_id") % 12 == 5).filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    assign, centers = ivf_build(e, n_cells=10)
+    for qs in (q, q2):
+        a = sorted(map(tuple, ivf_topk(e, qs, k=10, n_cells=10, n_probe=3).collect()))
+        b = sorted(map(tuple, ivf_query(e, qs, assign, centers, k=10, n_probe=3).collect()))
+        assert a == b and len(a) > 0
+
+    codes, books = pq_build(e, m=4, ks=8)
+    for qs in (q, q2):
+        a = sorted(map(tuple, pq_topk(e, qs, k=10, m=4, ks=8, shortlist=40).collect()))
+        b = sorted(map(tuple, pq_query(e, qs, codes, books, k=10, shortlist=40).collect()))
+        assert a == b and len(a) > 0
+
+    # cross-process persistence: write, read back, query from the artifact
+    ivf_dir = str(tmp_path / "ivf_index")
+    ann_index_write(assign, {"kind": "ivf", "n_probe": 3, "centers": centers}, ivf_dir)
+    rows, params = ann_index_read(spark, ivf_dir)
+    assert params["kind"] == "ivf"
+    got = sorted(
+        map(tuple, ivf_query(e, q, rows, params["centers"], k=10,
+                             n_probe=params["n_probe"]).collect())
+    )
+    assert got == sorted(map(tuple, ivf_query(e, q, assign, centers, k=10, n_probe=3).collect()))
+
+    pq_dir = str(tmp_path / "pq_index")
+    ann_index_write(codes, {"kind": "pq", "shortlist": 40, "books": books}, pq_dir)
+    rows, params = ann_index_read(spark, pq_dir)
+    assert params["kind"] == "pq"
+    got = sorted(
+        map(tuple, pq_query(e, q, rows, params["books"], k=10,
+                            shortlist=params["shortlist"]).collect())
+    )
+    assert got == sorted(map(tuple, pq_query(e, q, codes, books, k=10, shortlist=40).collect()))

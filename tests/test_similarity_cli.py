@@ -107,3 +107,43 @@ def test_ann_and_recall_contracts(corpus_dir, capsys, tmp_path):
     rows = duckdb.sql(f"SELECT * FROM read_parquet('{out}/*.parquet')").fetchall()
     assert len(rows) == 4  # vec_ids 0,16,32,48
     assert all(0.0 <= r[1] <= 1.0 for r in rows)
+
+
+def test_ann_build_then_query_staged(corpus_dir, tmp_path, capsys):
+    """ann-build writes the index artifact; a SECOND CLI invocation
+    queries through it (no retraining) and the answers equal the
+    per-call ann contract — the cross-process build-once/query-many
+    contract (r13 verdict task 5)."""
+    idx = str(tmp_path / "ivf_idx")
+    assert main(["--contract", "ann-build", "--algo", "ivf",
+                 "--data-dir", corpus_dir, "--index-dir", idx,
+                 "--n-cells", "8"]) == 0
+    assert "built ivf index" in capsys.readouterr().out
+
+    out_staged = str(tmp_path / "staged_out")
+    assert main(["--contract", "ann", "--algo", "ivf",
+                 "--data-dir", corpus_dir, "--index-dir", idx,
+                 "--k", "5", "--queries-mod", "16",
+                 "--out", out_staged]) == 0
+    capsys.readouterr()
+    out_fresh = str(tmp_path / "fresh_out")
+    assert main(["--contract", "ann", "--algo", "ivf",
+                 "--data-dir", corpus_dir,
+                 "--k", "5", "--queries-mod", "16", "--n-cells", "8",
+                 "--out", out_fresh]) == 0
+    capsys.readouterr()
+
+    import duckdb
+
+    con = duckdb.connect()
+    a = con.sql(f"SELECT * FROM read_parquet('{out_staged}/*.parquet') ORDER BY q_id, rank").fetchall()
+    b = con.sql(f"SELECT * FROM read_parquet('{out_fresh}/*.parquet') ORDER BY q_id, rank").fetchall()
+    assert a == b and len(a) > 0
+
+    # refusals stay pre-Spark
+    assert main(["--contract", "ann-build", "--algo", "lsh",
+                 "--data-dir", corpus_dir, "--index-dir", idx]) == 2
+    assert "stateless" in capsys.readouterr().err
+    assert main(["--contract", "ann-build", "--algo", "pq",
+                 "--data-dir", corpus_dir]) == 2
+    assert "--index-dir" in capsys.readouterr().err

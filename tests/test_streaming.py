@@ -1096,3 +1096,73 @@ def test_streaming_lm_score_equals_batch(spark, tmp_path):
     assert got[102][1] < got[102][0]
     # OOV-heavy docs score strictly worse (higher ce) than in-LM docs
     assert got[101][2] > got[102][2]
+
+
+def test_ann_topk_probe_sink_equals_batch(spark, tmp_path):
+    """r13 verdict task 5: the retrieval twin of the dedup probe sinks.
+    The IVF/PQ index is built ONCE at sink construction; per-micro-batch
+    top-k outputs union to exactly one query of the whole increment
+    (per-query independence), and close() releases the cached index."""
+    import pyarrow as pa
+
+    from cql_xmlpipe_spark.operators.similarity import ivf_query, pq_query
+    from cql_xmlpipe_spark.streaming.ann import ann_topk_probe_sink
+
+    def _q_table(rows):
+        return pa.table(
+            {
+                "q_id": pa.array([r[0] for r in rows], pa.int64()),
+                "q_emb": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    import math
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(10):
+            v = [x + rng.gauss(0, 0.1) for x in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [float(x / n) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, _EMB_SCHEMA).persist()
+    corpus.count()
+    queries = [(1000 + i, rows[i * 9][1]) for i in range(6)]
+    batches = [queries[:2], queries[2:5], queries[5:]]
+    q_schema = "q_id long, q_emb array<float>"
+
+    for algo in ("ivf", "pq"):
+        src = tmp_path / f"ann_src_{algo}"
+        _stage_parquet_batches(src, batches, _q_table)
+        out = str(tmp_path / f"ann_out_{algo}")
+        sink = ann_topk_probe_sink(
+            corpus, out, algo=algo, k=5, n_cells=6, n_probe=2, m=4, ks=8,
+            shortlist=20,
+        )
+        assert sink.params["kind"] == algo
+        _drain(spark, src, q_schema, sink, tmp_path / f"ann_ckpt_{algo}")
+
+        got = _rows(spark.read.parquet(out), ["q_id", "vec_id", "rank", "cos"])
+        all_q = spark.createDataFrame(queries, q_schema)
+        if algo == "ivf":
+            want_df = ivf_query(
+                corpus, all_q, sink.index_rows, sink.params["centers"],
+                k=5, n_probe=2,
+            )
+        else:
+            want_df = pq_query(
+                corpus, all_q, sink.index_rows, sink.params["books"],
+                k=5, shortlist=20,
+            )
+        assert got == _rows(want_df, ["q_id", "vec_id", "rank", "cos"])
+        assert len(got) == 6 * 5
+        assert sink.index_rows.is_cached
+        sink.close()
+        assert not sink.index_rows.is_cached
