@@ -410,3 +410,58 @@ def test_bench_headline_curation_cap():
                "q17_small_quantity_revenue", "q21_late_suppliers",
                "q2_min_cost_supplier"}
     assert anchors <= set(bench.HEADLINE)
+
+
+def test_no_wide_rows_under_sort_or_window(spark):
+    """r13 verdict task 4 — the row-width moral as a regression test.
+    The PQ disk-death was a Sort whose input rows carried emb+q_emb+lut
+    (~700 B/pair); the fix class is 'prune to narrow keys BEFORE any
+    row-buffering operator, fetch vectors by id after'. Walk the
+    optimized plans of the retrieval/sequence headline queries and
+    assert no Sort/Window/WindowGroupLimit input carries an
+    embedding-class array or binary payload."""
+    from cql_xmlpipe_spark.plans.audit import sorted_wide_columns
+
+    names = [
+        "similarity_topk_matmul",
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "similarity_pq_topk",
+        "similarity_radius_search",
+        "window_top3_orders_per_customer",
+        "events_user_ewma_bucketed",
+        "dedup_embedding_groups",
+    ]
+    for name in names:
+        bad = sorted_wide_columns(QUERIES[name](spark, SF))
+        assert not bad, f"{name}: wide rows enter a row-buffering node: {bad}"
+
+
+def test_wide_row_auditor_flags_the_prefix_pq_shape(spark):
+    """The auditor must be RED on the shape that died: the pre-r13 ADC
+    plan ranked (window) rows still carrying lut + both embeddings.
+    Reconstructed here in miniature — if the auditor ever stops flagging
+    it, test_no_wide_rows_under_sort_or_window is vacuous."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cql_xmlpipe_spark.plans.audit import sorted_wide_columns
+
+    c = spark.createDataFrame(
+        [(1, [1, 2], [0.1, 0.2])], "vec_id long, code array<int>, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(9, [0.5] * 8, [0.3, 0.4])], "q_id long, lut array<double>, q_emb array<float>"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("adc", F.element_at("lut", F.element_at("code", 1) + 1))
+    )
+    w = W.partitionBy("q_id").orderBy("adc", "vec_id")
+    old_shape = scored.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= 5
+    )
+    bad = sorted_wide_columns(old_shape)
+    assert {c for _, c, _ in bad} >= {"lut", "embedding", "q_emb"}
+    # array<int> codes are small by construction and NOT flagged
+    assert all(col != "code" for _, col, _ in bad)
