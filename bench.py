@@ -198,7 +198,7 @@ RECORDS = {
     "dedup_cluster_assign": 3.575,
     "dedup_embedding_groups": 2.4,
     "dedup_embedding_incremental": 0.8,  # curated out r13; record kept
-    "similarity_radius_banded_recall": 2.91,
+    "similarity_radius_banded_recall": 1.8,  # r13 driver min folded r14
     "dedup_embedding_recall_sampled": 3.8,
     "dedup_exact_hash_groups": 0.212,
     "dedup_graph_degree": 4.0,
@@ -237,7 +237,7 @@ RECORDS = {
     "q7_volume_shipping": 0.8,
     "q8_market_share": 1.274,
     "q9_product_profit": 0.8,
-    "semdedup_prune": 6.5,
+    "semdedup_prune": 6.4,  # r13 driver min folded r14
     "similarity_cosine_topk": 0.5,
     "similarity_pq_topk": 4.4,
     "source_overlap_jaccard": 2.5,

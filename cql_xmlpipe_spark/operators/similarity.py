@@ -490,10 +490,28 @@ def topk_matmul(
 
     def make_shortlist(Q, qn, qids):
         chunk = max(1, 4_000_000 // max(len(qids) if qids is not None else 1, 1))
+        # compaction budget: the accumulator would otherwise grow to
+        # n_chunks·|Q|·k rows before the batch cut (at |Q| ~ 10⁵ over a
+        # wide partition that is GBs of (qi, id, cos) triples) — compact
+        # with the same band cut whenever it passes a few |Q|·k
+        n_q = len(qids) if qids is not None else 1
+        compact_at = max(4_000_000, 4 * n_q * k)
+
+        def group_band_cut(qi, bid, bc):
+            # per-query k-th best over the kept rows, band preserved
+            # (volume control only — correctness never depends on it)
+            order = np.lexsort((-bc, qi))
+            qi, bid, bc = qi[order], bid[order], bc[order]
+            starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+            counts = np.diff(np.r_[starts, len(qi)])
+            kth_pos = starts + np.minimum(k, counts) - 1
+            group_of_row = np.repeat(np.arange(len(starts)), counts)
+            keep = bc >= bc[kth_pos][group_of_row] - margin
+            return qi[keep], bid[keep], bc[keep]
 
         def shortlist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # per-TASK top-k(+tie band) per query: chunk-level band-keep,
-            # then one batch-level band cut — emitted volume is
+            # periodic compaction, one final band cut — emitted volume is
             # <= |Q|·(k + ties) per task
             for pdf in batches:
                 if Q is None:
@@ -513,6 +531,7 @@ def topk_matmul(
                 acc_q: list = []
                 acc_i: list = []
                 acc_c: list = []
+                acc_n = 0
                 for lo in range(0, len(ids_all), chunk):
                     C = C_all[lo : lo + chunk]
                     ids = ids_all[lo : lo + chunk]
@@ -539,22 +558,23 @@ def topk_matmul(
                         acc_q.append(qi)
                         acc_i.append(ids[ci])
                         acc_c.append(cos[ci, qi])
+                        acc_n += len(ci)
+                    if acc_n > compact_at:
+                        cq, cb, cc = group_band_cut(
+                            np.concatenate(acc_q),
+                            np.concatenate(acc_i),
+                            np.concatenate(acc_c),
+                        )
+                        acc_q, acc_i, acc_c = [cq], [cb], [cc]
+                        acc_n = len(cq)
                 if not acc_q:
                     continue
-                qi = np.concatenate(acc_q)
-                bid = np.concatenate(acc_i)
-                bc = np.concatenate(acc_c)
-                # batch-level cut: per-query k-th best over the kept rows,
-                # band preserved (volume control only — correctness never
-                # depends on this cut)
-                order = np.lexsort((-bc, qi))
-                qi, bid, bc = qi[order], bid[order], bc[order]
-                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
-                counts = np.diff(np.r_[starts, len(qi)])
-                kth_pos = starts + np.minimum(k, counts) - 1
-                group_of_row = np.repeat(np.arange(len(starts)), counts)
-                keep = bc >= bc[kth_pos][group_of_row] - margin
-                yield pd.DataFrame({q_id_col: qids[qi[keep]], id_col: bid[keep]})
+                qi, bid, bc = group_band_cut(
+                    np.concatenate(acc_q),
+                    np.concatenate(acc_i),
+                    np.concatenate(acc_c),
+                )
+                yield pd.DataFrame({q_id_col: qids[qi], id_col: bid})
 
         return shortlist
 
@@ -1239,19 +1259,38 @@ def pq_query(
             # chunk corpus rows so the (|Q|, rows, m) gather block stays
             # ~tens of MB per task (the matmul chunking discipline)
             rows_per = max(1, 4_000_000 // max(len(qids) * m, 1))
+            # compaction budget — same device as topk_matmul's shortlist:
+            # without it the accumulator grows to n_chunks·|Q|·shortlist
+            # triples before the batch cut
+            compact_at = max(4_000_000, 4 * len(qids) * shortlist)
+
+            def group_band_cut(qi, bid, ba):
+                # per-query shortlist-th best ADC over kept rows, band
+                # preserved (volume control; correctness rides the exact
+                # fold re-cut, never this)
+                order = np.lexsort((ba, qi))
+                qi, bid, ba = qi[order], bid[order], ba[order]
+                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+                counts = np.diff(np.r_[starts, len(qi)])
+                kth_pos = starts + np.minimum(shortlist, counts) - 1
+                group_of_row = np.repeat(np.arange(len(starts)), counts)
+                kth = ba[kth_pos][group_of_row]
+                keep = ba <= kth + 1e-9 * np.maximum(1.0, np.abs(kth))
+                return qi[keep], bid[keep], ba[keep]
 
             def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
                     pdf = pdf[pdf["code"].notna()]
                     if not len(pdf):
                         continue
-                    codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+                    codes_np = np.stack(pdf["code"].to_numpy()).astype(np.int64)
                     ids_all = pdf[id_col].to_numpy()
                     acc_q: list = []
                     acc_i: list = []
                     acc_a: list = []
+                    acc_n = 0
                     for lo in range(0, len(ids_all), rows_per):
-                        idx = codes[lo : lo + rows_per] + offsets[None, :]
+                        idx = codes_np[lo : lo + rows_per] + offsets[None, :]
                         ids = ids_all[lo : lo + rows_per]
                         adc_np = L[:, idx].sum(axis=2)  # (|Q|, rows)
                         adc_np[qids[:, None] == ids[None, :]] = np.inf
@@ -1269,24 +1308,23 @@ def pq_query(
                             acc_q.append(qi)
                             acc_i.append(ids[ci])
                             acc_a.append(adc_np[qi, ci])
+                            acc_n += len(qi)
+                        if acc_n > compact_at:
+                            cq, cb, ca = group_band_cut(
+                                np.concatenate(acc_q),
+                                np.concatenate(acc_i),
+                                np.concatenate(acc_a),
+                            )
+                            acc_q, acc_i, acc_a = [cq], [cb], [ca]
+                            acc_n = len(cq)
                     if not acc_q:
                         continue
-                    qi = np.concatenate(acc_q)
-                    bid = np.concatenate(acc_i)
-                    ba = np.concatenate(acc_a)
-                    # batch-level band cut (volume control; correctness
-                    # rides the exact fold re-cut, never this)
-                    order = np.lexsort((ba, qi))
-                    qi, bid, ba = qi[order], bid[order], ba[order]
-                    starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
-                    counts = np.diff(np.r_[starts, len(qi)])
-                    kth_pos = starts + np.minimum(shortlist, counts) - 1
-                    group_of_row = np.repeat(np.arange(len(starts)), counts)
-                    kth = ba[kth_pos][group_of_row]
-                    keep = ba <= kth + 1e-9 * np.maximum(1.0, np.abs(kth))
-                    yield pd.DataFrame(
-                        {q_id_col: qids[qi[keep]], id_col: bid[keep]}
+                    qi, bid, _ = group_band_cut(
+                        np.concatenate(acc_q),
+                        np.concatenate(acc_i),
+                        np.concatenate(acc_a),
                     )
+                    yield pd.DataFrame({q_id_col: qids[qi], id_col: bid})
 
             return gen
 
