@@ -223,7 +223,14 @@ RECORDS = {
     "events_session_paths": 0.761,
     "events_sessionize": 0.388,
     "events_type_transitions": 0.5,
-    "events_user_ewma": 0.415,
+    # events_user_ewma re-baselined round 14 (r13 verdict task 3): the
+    # 0.415 s record predates the √n-segmented fold (the r7 plan held
+    # O(user-history) arrays — fast at sf0.1, OOM-shaped at scale) and
+    # read 1.5-2.2× in every round since. Adjudicated by min-of-20 fresh
+    # runs at sf0.1 on idle hardware: min 0.560, p50 0.644 — the honest
+    # floor of the scale-safe plan is ~0.56 s; records must be
+    # attainable by the CURRENT plan or the 2× stall check cries wolf.
+    "events_user_ewma": 0.56,
     "events_value_outliers": 0.5,
     "multimodal_image_features_codec": 1.528,
     "outer_join_order_distribution": 0.4,

@@ -7108,3 +7108,22 @@ def similarity_pq_topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes, books = pq_build(e)
     return pq_query(e, q, codes, books, k=10)
+
+
+@_q("similarity_topk_blocked", _COSINE_ORACLE)
+def similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUERY-BLOCK path of ``topk_matmul`` under the same all-pairs
+    oracle (r14, closes the r13 'two LARGE sets' gap): ``max_query_mb=0``
+    plants the |Q|-beyond-closure-budget shape at gate scale, so the
+    five query vectors split into five one-row blocks — five shortlist
+    scans whose candidate unions feed ONE exact re-rank. Hash-exact
+    against the oracle ⇒ blocked ≡ unblocked ≡ brute, cos bits
+    included; SCALE.md records the decade run (hash-identical at
+    jit-100×, ~n_blocks corpus scans)."""
+    from cql_xmlpipe_spark.operators.similarity import topk_matmul
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return topk_matmul(e, q, k=10, max_query_mb=0)
