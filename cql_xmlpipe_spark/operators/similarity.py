@@ -1034,6 +1034,86 @@ def _pq_stack(vals, what: str):
         ) from exc
 
 
+def _pq_lut_matrix(Qb, books, bounds):
+    """(|Qb|, m·ks) float64 ADC lookup table: squared L2 distance from
+    each query (sub)vector to every codeword — the one LUT definition
+    shared by the PQ and IVF-PQ query paths (driver-side block matrices
+    AND the distributed per-row UDFs), so the numpy shortlist and the
+    exact Column-fold re-cut can never disagree on the table layout."""
+    import numpy as np
+
+    m, ks = len(books), books[0].shape[0]
+    L = np.empty((Qb.shape[0], m * ks), dtype=np.float64)
+    for s, (lo, hi) in enumerate(bounds):
+        diff = Qb[:, None, lo:hi] - books[s][None, :, :]
+        L[:, s * ks : (s + 1) * ks] = (diff**2).sum(axis=2)
+    return L
+
+
+def _adc_fold(m: int, ks: int, lut_col: str = "lut", code_col: str = "code"):
+    """The exact ADC Column fold Σ_s lut[s·ks + code_s]: m LUT
+    ``element_at``s per row — the re-cut arbiter both PQ paths rank by
+    (identical expression ⇒ identical bits, whatever numpy produced)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col(lut_col), s * ks + F.element_at(F.col(code_col), s + 1) + 1
+        ),
+    )
+
+
+def _make_adc_band_cut(shortlist: int):
+    """Per-query shortlist-th-best-ADC band cut over accumulated
+    (query_index, id, adc) triples — the compaction/final-cut device of
+    the numpy ADC shortlist kernels (volume control only; correctness
+    rides the exact fold re-cut, never this)."""
+    import numpy as np
+
+    def group_band_cut(qi, bid, ba):
+        order = np.lexsort((ba, qi))
+        qi, bid, ba = qi[order], bid[order], ba[order]
+        starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+        counts = np.diff(np.r_[starts, len(qi)])
+        kth_pos = starts + np.minimum(shortlist, counts) - 1
+        group_of_row = np.repeat(np.arange(len(starts)), counts)
+        kth = ba[kth_pos][group_of_row]
+        keep = ba <= kth + 1e-9 * np.maximum(1.0, np.abs(kth))
+        return qi[keep], bid[keep], ba[keep]
+
+    return group_band_cut
+
+
+def _cosine_rerank(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    q_id_col: str,
+    q_emb_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of candidate (q_id, id) pairs: fetch the
+    full vectors by id-join for the candidates ALONE (never dragging
+    them through candidate generation — the r13 row-width lesson),
+    score with the same Column-fold cosine and (cos desc, id) tie-break
+    as :func:`brute_force_topk`, keep top-``k`` per query."""
+    reranked = (
+        pairs.select(q_id_col, id_col)
+        .join(corpus.select(id_col, emb_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_emb_col)), q_id_col)
+        .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cos")
+    )
+
+
 def pq_build(
     corpus: DataFrame,
     m: int = 4,
@@ -1192,10 +1272,7 @@ def pq_query(
             mask = batch.notna()
             if mask.any():
                 Q = _pq_stack(batch[mask], "query embedding")
-                luts = np.empty((Q.shape[0], m * ks), dtype=np.float64)
-                for s, (lo, hi) in enumerate(bounds):
-                    diff = Q[:, None, lo:hi] - books[s][None, :, :]
-                    luts[:, s * ks : (s + 1) * ks] = (diff**2).sum(axis=2)
+                luts = _pq_lut_matrix(Q, books, bounds)
                 for i, l in zip(np.flatnonzero(mask.to_numpy()), luts):
                     out[i] = [float(x) for x in l]
             yield pd.Series(out)
@@ -1204,14 +1281,7 @@ def pq_query(
     q = queries.withColumn("lut", query_lut(F.col(q_emb_col))).filter(
         F.col("lut").isNotNull()
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("lut"), s * ks + F.element_at(F.col("code"), s + 1) + 1
-        ),
-    )
+    adc = _adc_fold(m, ks)
     if shortlist is None:
         # fullprobe: every pair is re-ranked anyway (the brute-identity
         # gate), so the ADC fold is only a pass-through — keep the
@@ -1248,13 +1318,6 @@ def pq_query(
         )
         offsets = (np.arange(m) * ks).astype(np.int64)
 
-        def _lut_matrix(Qb):
-            L = np.empty((Qb.shape[0], m * ks), dtype=np.float64)
-            for s, (lo, hi) in enumerate(bounds):
-                diff = Qb[:, None, lo:hi] - books[s][None, :, :]
-                L[:, s * ks : (s + 1) * ks] = (diff**2).sum(axis=2)
-            return L
-
         def make_adc_shortlist(L, qids):
             # chunk corpus rows so the (|Q|, rows, m) gather block stays
             # ~tens of MB per task (the matmul chunking discipline)
@@ -1263,20 +1326,7 @@ def pq_query(
             # without it the accumulator grows to n_chunks·|Q|·shortlist
             # triples before the batch cut
             compact_at = max(4_000_000, 4 * len(qids) * shortlist)
-
-            def group_band_cut(qi, bid, ba):
-                # per-query shortlist-th best ADC over kept rows, band
-                # preserved (volume control; correctness rides the exact
-                # fold re-cut, never this)
-                order = np.lexsort((ba, qi))
-                qi, bid, ba = qi[order], bid[order], ba[order]
-                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
-                counts = np.diff(np.r_[starts, len(qi)])
-                kth_pos = starts + np.minimum(shortlist, counts) - 1
-                group_of_row = np.repeat(np.arange(len(starts)), counts)
-                kth = ba[kth_pos][group_of_row]
-                keep = ba <= kth + 1e-9 * np.maximum(1.0, np.abs(kth))
-                return qi[keep], bid[keep], ba[keep]
+            group_band_cut = _make_adc_band_cut(shortlist)
 
             def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
@@ -1345,7 +1395,8 @@ def pq_query(
                 parts.append(
                     codes_scan.mapInPandas(
                         make_adc_shortlist(
-                            _lut_matrix(Q_all[blo:bhi]), qids_all[blo:bhi]
+                            _pq_lut_matrix(Q_all[blo:bhi], books, bounds),
+                            qids_all[blo:bhi],
                         ),
                         schema=cand_schema,
                     )
@@ -1367,17 +1418,8 @@ def pq_query(
         scored = scored.withColumn("arank", F.row_number().over(w_adc)).filter(
             F.col("arank") <= shortlist
         )
-    reranked = (
-        scored.select(q_id_col, id_col)
-        .join(corpus.select(id_col, emb_col), id_col)
-        .join(F.broadcast(queries.select(q_id_col, q_emb_col)), q_id_col)
-        .withColumn("cos", cosine(F.col(emb_col), F.col(q_emb_col)))
-    )
-    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        reranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id_col, id_col, "rank", "cos")
+    return _cosine_rerank(
+        scored, corpus, queries, k, id_col, emb_col, q_id_col, q_emb_col
     )
 
 
@@ -1406,6 +1448,325 @@ def pq_topk(
     )
 
 
+def _residualize(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    centers: list[list[float]],
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """(id, cell, resid) rows: each vector minus its coarse centroid —
+    the residual space IVF-PQ trains and encodes in (Jégou et al., PAMI
+    2011 §IV: quantizing residuals spends the codebook on the
+    within-cell detail the coarse quantizer can't express). One
+    Arrow-batched UDF over the (id, cell) join; NULL embeddings carry
+    no residual and can never be encoded."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(centers, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def resid_udf(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        out: list = [None] * len(emb)
+        mask = emb.notna() & cell.notna()
+        if mask.any():
+            M = _pq_stack(emb[mask], "embedding")
+            cells = cell[mask].to_numpy().astype(np.int64)
+            R = M - C[cells]
+            for i, r in zip(np.flatnonzero(mask.to_numpy()), R):
+                out[i] = [float(x) for x in r]
+        return pd.Series(out)
+
+    return (
+        corpus.select(id_col, emb_col)
+        .join(assignments, id_col)
+        .select(
+            id_col,
+            "cell",
+            resid_udf(F.col(emb_col), F.col("cell")).alias("resid"),
+        )
+        .filter(F.col("resid").isNotNull())
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """BUILD-ONCE half of IVF-PQ (IVFADC, Jégou et al. PAMI 2011): the
+    IVF coarse quantizer partitions the corpus into ``n_cells``
+    (:func:`ivf_build`), then PQ codebooks train on the RESIDUALS
+    x − centroid(x) and every vector's residual compresses to ``m``
+    small ints (:func:`pq_build` over the residual column — the same
+    seeded-KMeans halves, composed, not reimplemented).
+
+    Returns ``(index, centers, books)``: index the (id, cell, code)
+    DataFrame — ONE row per vector, the cell gating WHICH codes a query
+    scans and the code pricing HOW each scanned pair scores — centers
+    and books the plain-list training artifacts
+    (:func:`ann_index_write` persists all three as kind='ivfpq').
+
+    The residual DataFrame is cached for the duration of the m
+    per-subspace KMeans fits and released before return; downstream
+    actions on the returned lazy index recompute the residual join
+    once per action — production materializes the index per INGEST
+    via :func:`ann_index_write` and never pays it again."""
+    assignments, centers = ivf_build(corpus, n_cells, id_col, emb_col)
+    resid = _residualize(corpus, assignments, centers, id_col, emb_col).persist()
+    try:
+        codes, books = pq_build(resid, m, ks, id_col, "resid")
+        index = codes.join(assignments, id_col).select(id_col, "cell", "code")
+        return index, centers, books
+    finally:
+        resid.unpersist(blocking=False)
+
+
+def ivfpq_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index: DataFrame,
+    centers: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 3,
+    shortlist: int | None = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    max_query_mb: int = 256,
+) -> DataFrame:
+    """QUERY-MANY half of IVF-PQ: each query probes its ``n_probe``
+    nearest cells and ADC-scores ONLY those cells' codes — the
+    non-exhaustive composition of :func:`ivf_query`'s candidate gating
+    and :func:`pq_query`'s numpy ADC shortlist. Per probed (query,
+    cell) pair the LUT is built over the residual q − centroid(cell)
+    (IVFADC: the code approximates x − centroid(x), so the asymmetric
+    distance is |(q−c) − recon|²), distances stay comparable ACROSS a
+    query's probed cells, and the scan kernel groups each partition's
+    rows by cell so unprobed cells pay nothing — not even the gather.
+
+    Scale shape vs the siblings: :func:`pq_query` gathers LUT rows for
+    every (code, query) pair — N·|Q| at code width; here the gather
+    bill drops to ~N·|Q|·n_probe/n_cells and the rest of the pipeline
+    is unchanged: per-partition ``argpartition`` shortlist in a margin
+    band, an exact Column-fold ADC re-cut over the
+    <= partitions·|Q|·(shortlist+ties) survivors (the fold joins each
+    candidate's (q_id, cell) LUT row, so re-cut bits match the kernel's
+    table exactly), and the exact cosine re-rank. Probe cells and LUTs
+    come from ONE driver-side computation (guarded by ``max_query_mb``,
+    split into query blocks past it) shipped both into the kernel
+    closure and — as the (q_id, cell, lut) re-cut table — through a
+    broadcast join, so the two stages can never disagree on geometry.
+
+    ``shortlist=None`` disables ADC pruning entirely: every gated
+    candidate re-ranks by exact cosine, which IS IVF flat search —
+    the call delegates to :func:`ivf_query` over this index's cells
+    (with ``n_probe == n_cells`` that reproduces brute force exactly —
+    the fullprobe gate identity)."""
+    import numpy as np
+    from functools import reduce
+    from pyspark.sql import types as T
+
+    if shortlist is None:
+        return ivf_query(
+            corpus, queries, index.select(id_col, "cell"), centers,
+            k, n_probe, id_col, emb_col, q_id_col, q_emb_col,
+        )
+
+    books = [np.asarray(b, dtype=np.float64) for b in books]
+    m, ks = len(books), len(books[0])
+    edges = [0]
+    for b in books:
+        edges.append(edges[-1] + b.shape[1])
+    bounds = list(zip(edges[:-1], edges[1:]))
+    C = np.asarray(centers, dtype=np.float64)
+    n_cells = C.shape[0]
+    n_probe = min(n_probe, n_cells)
+    half_norms = (C * C).sum(axis=1) / 2.0
+    offsets = (np.arange(m) * ks).astype(np.int64)
+    spark = corpus.sparkSession
+
+    cand_schema = T.StructType(
+        [
+            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+        ]
+    )
+    qids_all, Q_all, _ = _collect_query_matrix(
+        queries, q_id_col, q_emb_col, "ivfpq_topk"
+    )
+    if Q_all is None:
+        return _cosine_rerank(
+            spark.createDataFrame([], cand_schema), corpus, queries, k,
+            id_col, emb_col, q_id_col, q_emb_col,
+        )
+
+    def make_cell_adc_shortlist(lut_by_cell):
+        compact_at = max(4_000_000, 4 * len(qids_all) * shortlist)
+        group_band_cut = _make_adc_band_cut(shortlist)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf[pdf["code"].notna() & pdf["cell"].notna()]
+                if not len(pdf):
+                    continue
+                acc_q: list = []
+                acc_i: list = []
+                acc_a: list = []
+                acc_n = 0
+                for cell, grp in pdf.groupby("cell", sort=False):
+                    entry = lut_by_cell.get(int(cell))
+                    if entry is None:
+                        continue
+                    q_idx, Lc = entry
+                    qids_sub = qids_all[q_idx]
+                    codes_np = np.stack(grp["code"].to_numpy()).astype(np.int64)
+                    ids_all = grp[id_col].to_numpy()
+                    # chunk so the (|Q_cell|, rows, m) gather block stays
+                    # ~tens of MB per task (the matmul chunking discipline)
+                    rows_per = max(1, 4_000_000 // max(len(q_idx) * m, 1))
+                    for lo in range(0, len(ids_all), rows_per):
+                        idx = codes_np[lo : lo + rows_per] + offsets[None, :]
+                        ids = ids_all[lo : lo + rows_per]
+                        adc_np = Lc[:, idx].sum(axis=2)
+                        adc_np[qids_sub[:, None] == ids[None, :]] = np.inf
+                        if adc_np.shape[1] > shortlist:
+                            kth = np.partition(
+                                adc_np, shortlist - 1, axis=1
+                            )[:, shortlist - 1]
+                            band = 1e-9 * np.maximum(1.0, np.abs(kth))
+                            keep = adc_np <= (kth + band)[:, None]
+                        else:
+                            keep = np.isfinite(adc_np)
+                        keep &= np.isfinite(adc_np)
+                        qi, ci = np.nonzero(keep)
+                        if len(qi):
+                            acc_q.append(q_idx[qi])
+                            acc_i.append(ids[ci])
+                            acc_a.append(adc_np[qi, ci])
+                            acc_n += len(qi)
+                        if acc_n > compact_at:
+                            cq, cb, ca = group_band_cut(
+                                np.concatenate(acc_q),
+                                np.concatenate(acc_i),
+                                np.concatenate(acc_a),
+                            )
+                            acc_q, acc_i, acc_a = [cq], [cb], [ca]
+                            acc_n = len(cq)
+                if not acc_q:
+                    continue
+                qi, bid, _ = group_band_cut(
+                    np.concatenate(acc_q),
+                    np.concatenate(acc_i),
+                    np.concatenate(acc_a),
+                )
+                yield pd.DataFrame({q_id_col: qids_all[qi], id_col: bid})
+
+        return gen
+
+    blocks = _query_blocks(
+        len(qids_all),
+        int(len(qids_all)) * n_probe * m * ks * 8,
+        max_query_mb,
+        "ivfpq_topk",
+        "Raise max_query_mb — the per-query closure is n_probe·m·ks·8 "
+        "bytes of LUT, far below the raw embeddings.",
+    )
+    parts = []
+    lut_q: list = []
+    lut_c: list = []
+    lut_v: list = []
+    for blo, bhi in blocks:
+        Qb = Q_all[blo:bhi]
+        # EXACTLY _ivf_cell_udfs' probe math (x·c − |c|²/2, argsort
+        # descending) so gating here, the shortlist=None delegate, and
+        # ivf_query all agree on which cells a query probes
+        scores = Qb @ C.T - half_norms
+        probe = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
+        lut_by_cell: dict = {}
+        for c in np.unique(probe):
+            q_loc = np.flatnonzero((probe == c).any(axis=1))
+            Lc = _pq_lut_matrix(Qb[q_loc] - C[c], books, bounds)
+            lut_by_cell[int(c)] = (q_loc + blo, Lc)
+            for gq, lrow in zip(q_loc + blo, Lc):
+                qv = qids_all[gq]
+                # numpy scalars fail createDataFrame's type verifier
+                lut_q.append(qv.item() if hasattr(qv, "item") else qv)
+                lut_c.append(int(c))
+                lut_v.append([float(x) for x in lrow])
+        parts.append(
+            index.mapInPandas(
+                make_cell_adc_shortlist(lut_by_cell), schema=cand_schema
+            )
+        )
+    cands = reduce(DataFrame.union, parts).dropDuplicates([q_id_col, id_col])
+
+    lut_schema = T.StructType(
+        [
+            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lut", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    q_luts = spark.createDataFrame(
+        list(zip(lut_q, lut_c, lut_v)), schema=lut_schema
+    )
+    total_lut_bytes = len(lut_v) * m * ks * 8
+    if total_lut_bytes <= max_query_mb * 1e6:
+        q_luts = F.broadcast(q_luts)
+    # exact fold re-cut: same ADC expression, same (adc, id) row_number
+    # contract as pq_query — over the gated candidate set only. The
+    # (q_id, cell) join fetches the one LUT row the kernel scored this
+    # candidate's cell with, so re-cut bits can never drift from it.
+    scored = (
+        cands.join(index, id_col)
+        .join(q_luts, [q_id_col, "cell"])
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, _adc_fold(m, ks).alias("adc"))
+    )
+    w_adc = W.partitionBy(q_id_col).orderBy(F.col("adc"), F.col(id_col))
+    scored = scored.withColumn("arank", F.row_number().over(w_adc)).filter(
+        F.col("arank") <= shortlist
+    )
+    return _cosine_rerank(
+        scored, corpus, queries, k, id_col, emb_col, q_id_col, q_emb_col
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    m: int = 4,
+    ks: int = 16,
+    n_probe: int = 3,
+    shortlist: int | None = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    max_query_mb: int = 256,
+) -> DataFrame:
+    """Approximate top-k via IVF-PQ (IVFADC: coarse cells gate WHICH
+    residual codes each query ADC-scans) — the one-call composition
+    ``ivfpq_query(*ivfpq_build(...))``; see the halves for the
+    train/encode/gate/ADC design. Per-call rebuild is the GATE shape;
+    production builds once per ingest (:func:`ivfpq_build`, persisted
+    via :func:`ann_index_write`) and queries many."""
+    index, centers, books = ivfpq_build(corpus, n_cells, m, ks, id_col, emb_col)
+    return ivfpq_query(
+        corpus, queries, index, centers, books, k, n_probe, shortlist,
+        id_col, emb_col, q_id_col, q_emb_col, max_query_mb,
+    )
+
+
 def ann_index_write(
     index_df: DataFrame, params: dict, path: str
 ) -> None:
@@ -1429,7 +1790,7 @@ def ann_index_read(spark, path: str) -> tuple[DataFrame, dict]:
     """Load a persisted ANN index: (rows DataFrame, params dict).
     ``params['kind']`` says which query half consumes it ('ivf' →
     :func:`ivf_query` with params['centers'], 'pq' → :func:`pq_query`
-    with params['books'])."""
+    with params['books'], 'ivfpq' → :func:`ivfpq_query` with both)."""
     import json as _json
 
     rows = spark.read.parquet(f"{path}/rows")

@@ -1768,13 +1768,20 @@ def _ann_recall(spark: SparkSession, sf_dir: str, algo: str) -> DataFrame:
     approximate top-10 ∩ brute-force top-10 (the brute-force baseline is
     itself oracle-gated by similarity_cosine_topk). Every q_id emits a
     row even at 0 hits (left join from the query set)."""
-    from cql_xmlpipe_spark.operators.similarity import ivf_topk, lsh_topk, pq_topk
+    from cql_xmlpipe_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
 
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    approx = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[algo](e, q, k=10)
+    approx = {
+        "lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk, "ivfpq": ivfpq_topk,
+    }[algo](e, q, k=10)
     exact = brute_force_topk(e, q, k=10)
     hits = (
         approx.select("q_id", "vec_id")
@@ -5850,6 +5857,55 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(spark, sf_dir, "pq")
 
 
+@_q("similarity_ivfpq_topk", _ann_topk_oracle("ivfpq"))
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF-PQ (IVFADC, Jégou et al. PAMI 2011:
+    16 coarse cells gate WHICH residual-encoded codes each query
+    ADC-scans; n_probe 3, 4×16 codebooks, shortlist 50, exact cosine
+    re-rank — operators/similarity.py::ivfpq_topk). Hash-gated against
+    the pinned frozen-run fixture (coarse KMeans and per-subspace
+    residual KMeans both seeded — deterministic, stability-asserted
+    across shuffle settings before pinning); recall is separately gated
+    by similarity_ivfpq_recall and machinery exactness by the fullprobe
+    twin (n_probe=n_cells + shortlist=None ≡ brute force)."""
+    from cql_xmlpipe_spark.operators.similarity import ivfpq_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivfpq_topk(e, q, k=10)
+
+
+@_q("similarity_ivfpq_fullprobe_topk", _COSINE_ORACLE)
+def similarity_ivfpq_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ machinery under the exact-cosine oracle: with
+    ``n_probe == n_cells`` every cell is probed and ``shortlist=None``
+    disables ADC pruning, so coarse-train → residualize →
+    codebook-train → cell-gate → exact-rerank must reproduce
+    brute-force top-k EXACTLY (same tie-break: cos desc, id). Makes the
+    composite path gate-visible end to end; the production n_probe-3
+    shortlist-50 variant above stays fixture-pinned with a live recall
+    gate."""
+    from cql_xmlpipe_spark.operators.similarity import ivfpq_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivfpq_topk(e, q, k=10, n_cells=16, n_probe=16, shortlist=None)
+
+
+@_q("similarity_ivfpq_recall", _ann_recall_oracle("ivfpq"))
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the PRODUCTION 16-cell n_probe-3 4×16 shortlist-50
+    IVF-PQ: per-query recall@10 vs live brute force against pinned
+    frozen-run values (both KMeans stages seeded — deterministic).
+    Machinery exactness is separately gated by
+    similarity_ivfpq_fullprobe_topk."""
+    return _ann_recall(spark, sf_dir, "ivfpq")
+
+
 _GOPHER_ORACLE = """
     WITH t AS (
       SELECT doc_id,
@@ -7108,6 +7164,23 @@ def similarity_pq_topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes, books = pq_build(e)
     return pq_query(e, q, codes, books, k=10)
+
+
+@_q("similarity_ivfpq_topk_staged", _ann_topk_oracle("ivfpq"))
+def similarity_ivfpq_topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/query-many decomposition of
+    ``similarity_ivfpq_topk`` (ivfpq_build + ivfpq_query) under the
+    same pinned fixture — staged (cell, code) index + centers +
+    codebooks reproduce the per-call composite bit-for-bit. Production
+    persists all three via ann_index_write (kind='ivfpq') per ingest."""
+    from cql_xmlpipe_spark.operators.similarity import ivfpq_build, ivfpq_query
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    index, centers, books = ivfpq_build(e)
+    return ivfpq_query(e, q, index, centers, books, k=10)
 
 
 @_q("similarity_topk_blocked", _COSINE_ORACLE)

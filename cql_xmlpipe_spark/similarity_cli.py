@@ -23,13 +23,14 @@ every ``--queries-mod``-th vector, or an external parquet of
                ``--n-bands``/``--band-bits``; ``--max-query-mb`` sets
                the matmul closure budget past which exact query
                blocks kick in).
-* ``ann``    — approximate top-k via ``--algo`` {lsh, ivf, pq}
+* ``ann``    — approximate top-k via ``--algo`` {lsh, ivf, pq, ivfpq}
                (``--n-cells``/``--n-probe``/``--m``/``--ks``/
                ``--shortlist`` tune the quantizers). With
                ``--index-dir`` the index is LOADED, not retrained.
 * ``ann-build`` — train + encode ONCE and persist the index artifact
                to ``--index-dir`` (ivf: cell assignments + centroids;
-               pq: codes + codebooks) — the build-once/query-many
+               pq: codes + codebooks; ivfpq: (cell, code) rows +
+               centroids + codebooks) — the build-once/query-many
                production shape; subsequent ``ann --index-dir`` runs
                skip training entirely.
 * ``recall`` — per-query recall@k of ``--algo`` against the exact
@@ -77,7 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "brute", "broadcast", "matmul", "banded"],
         help="topk: auto|brute|matmul; radius: auto|broadcast|matmul|banded",
     )
-    p.add_argument("--algo", default="lsh", choices=["lsh", "ivf", "pq"],
+    p.add_argument("--algo", default="lsh",
+                   choices=["lsh", "ivf", "pq", "ivfpq"],
                    help="ann/recall only")
     p.add_argument("--n-bands", type=int, default=None, help="radius banded geometry")
     p.add_argument("--band-bits", type=int, default=None, help="radius banded geometry")
@@ -127,9 +129,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.contract == "ann-build":
         if not args.index_dir:
             return _refuse("--contract ann-build requires --index-dir")
-        if args.algo not in ("ivf", "pq"):
+        if args.algo not in ("ivf", "pq", "ivfpq"):
             return _refuse(f"--algo {args.algo} has no trainable index "
-                           "(ivf | pq; lsh is stateless)")
+                           "(ivf | pq | ivfpq; lsh is stateless)")
 
     from pyspark.sql import functions as F
 
@@ -141,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
         ivf_build,
         ivf_query,
         ivf_topk,
+        ivfpq_build,
+        ivfpq_query,
+        ivfpq_topk,
         lsh_topk,
         pq_build,
         pq_query,
@@ -179,6 +184,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.algo == "ivf":
             rows, centers = ivf_build(e, n_cells=args.n_cells)
             params = {"kind": "ivf", "n_probe": args.n_probe, "centers": centers}
+        elif args.algo == "ivfpq":
+            rows, centers, books = ivfpq_build(e, n_cells=args.n_cells,
+                                               m=args.m, ks=args.ks)
+            params = {"kind": "ivfpq", "n_probe": args.n_probe,
+                      "shortlist": args.shortlist, "centers": centers,
+                      "books": books}
         else:
             rows, books = pq_build(e, m=args.m, ks=args.ks)
             params = {"kind": "pq", "shortlist": args.shortlist, "books": books}
@@ -198,6 +209,12 @@ def main(argv: list[str] | None = None) -> int:
                     e, q, rows, params["books"], k=args.k,
                     shortlist=params.get("shortlist", args.shortlist),
                 )
+            elif params["kind"] == "ivfpq":
+                out = ivfpq_query(
+                    e, q, rows, params["centers"], params["books"], k=args.k,
+                    n_probe=params.get("n_probe", args.n_probe),
+                    shortlist=params.get("shortlist", args.shortlist),
+                )
             else:
                 return _refuse(
                     f"index at {args.index_dir} has unknown kind "
@@ -208,6 +225,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.algo == "pq":
             out = pq_topk(e, q, k=args.k, m=args.m, ks=args.ks,
                           shortlist=args.shortlist)
+        elif args.algo == "ivfpq":
+            out = ivfpq_topk(e, q, k=args.k, n_cells=args.n_cells,
+                             n_probe=args.n_probe, m=args.m, ks=args.ks,
+                             shortlist=args.shortlist)
         else:
             out = lsh_topk(e, q, k=args.k)
     else:  # recall
@@ -217,6 +238,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.algo == "pq":
             approx = pq_topk(e, q, k=args.k, m=args.m, ks=args.ks,
                              shortlist=args.shortlist)
+        elif args.algo == "ivfpq":
+            approx = ivfpq_topk(e, q, k=args.k, n_cells=args.n_cells,
+                                n_probe=args.n_probe, m=args.m, ks=args.ks,
+                                shortlist=args.shortlist)
         else:
             approx = lsh_topk(e, q, k=args.k)
         exact = brute_force_topk(e, q, k=args.k)

@@ -42,7 +42,7 @@ def ann_topk_probe_sink(
     """foreachBatch sink: ANN top-k of each micro-batch of
     (q_id, q_emb) queries against a standing corpus, index built once.
 
-    ``algo`` ∈ {'ivf', 'pq'} picks the quantizer (LSH needs no training
+    ``algo`` ∈ {'ivf', 'pq', 'ivfpq'} picks the quantizer (LSH needs no training
     — for it, call the stateless ``lsh_topk`` per batch directly; a
     staged form would stage nothing). The sink exposes:
 
@@ -57,6 +57,8 @@ def ann_topk_probe_sink(
     from cql_xmlpipe_spark.operators.similarity import (
         ivf_build,
         ivf_query,
+        ivfpq_build,
+        ivfpq_query,
         pq_build,
         pq_query,
     )
@@ -67,10 +69,17 @@ def ann_topk_probe_sink(
     elif algo == "pq":
         rows, books = pq_build(corpus, m, ks, id_col, emb_col)
         params = {"kind": "pq", "k": k, "shortlist": shortlist, "books": books}
+    elif algo == "ivfpq":
+        rows, centers, books = ivfpq_build(corpus, n_cells, m, ks, id_col, emb_col)
+        params = {
+            "kind": "ivfpq", "k": k, "n_probe": n_probe,
+            "shortlist": shortlist, "centers": centers, "books": books,
+        }
     else:
         raise ValueError(
-            f"ann_topk_probe_sink: algo={algo!r} (expected ivf | pq; lsh is "
-            "stateless — call lsh_topk per batch, there is no index to stage)"
+            f"ann_topk_probe_sink: algo={algo!r} (expected ivf | pq | ivfpq; "
+            "lsh is stateless — call lsh_topk per batch, there is no index "
+            "to stage)"
         )
     rows = rows.persist()
     rows.count()  # materialize once so no micro-batch pays the build
@@ -80,6 +89,11 @@ def ann_topk_probe_sink(
             topk = ivf_query(
                 corpus, batch_df, rows, params["centers"], k, n_probe,
                 id_col, emb_col, q_id_col, q_emb_col,
+            )
+        elif algo == "ivfpq":
+            topk = ivfpq_query(
+                corpus, batch_df, rows, params["centers"], params["books"],
+                k, n_probe, shortlist, id_col, emb_col, q_id_col, q_emb_col,
             )
         else:
             topk = pq_query(

@@ -46,7 +46,12 @@ CORPUS_KEY_SQL = EMB_CORPUS_FINGERPRINT_SQL
 
 def main() -> None:
     from cql_xmlpipe_spark.plans.extensions import _COSINE_ORACLE
-    from cql_xmlpipe_spark.operators.similarity import ivf_topk, lsh_topk, pq_topk
+    from cql_xmlpipe_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import load_table
 
@@ -74,6 +79,7 @@ def main() -> None:
             ("lsh", lsh_topk(e, q, k=10)),
             ("ivf", ivf_topk(e, q, k=10)),
             ("pq", pq_topk(e, q, k=10)),
+            ("ivfpq", ivfpq_topk(e, q, k=10)),
         ):
             got: dict[int, set[int]] = {qid: set() for qid in exact}
             for r in df.collect():

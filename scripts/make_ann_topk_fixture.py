@@ -52,7 +52,12 @@ CORPUS_KEY_SQL = EMB_CORPUS_FINGERPRINT_SQL
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from cql_xmlpipe_spark.operators.similarity import ivf_topk, lsh_topk, pq_topk
+    from cql_xmlpipe_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import load_table
 
@@ -71,7 +76,12 @@ def main() -> None:
         q = e.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
-        for algo, op in (("lsh", lsh_topk), ("ivf", ivf_topk), ("pq", pq_topk)):
+        for algo, op in (
+            ("lsh", lsh_topk),
+            ("ivf", ivf_topk),
+            ("pq", pq_topk),
+            ("ivfpq", ivfpq_topk),
+        ):
             runs = []
             for parts in ("32", "7"):
                 spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from cql_xmlpipe_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
     pq_topk,
 )
@@ -69,11 +70,12 @@ def clustered(spark):
     ("lsh", {}, 0.6),
     ("ivf", {"n_cells": 10, "n_probe": 3}, 0.8),
     ("pq", {"m": 4, "ks": 8, "shortlist": 40}, 0.8),
+    ("ivfpq", {"n_cells": 10, "n_probe": 3, "m": 4, "ks": 8, "shortlist": 40}, 0.8),
 ])
 def test_ann_recall_on_clustered_data(impl, kwargs, floor, clustered):
     e, q = clustered
     truth = _pairs(brute_force_topk(e, q, k=10))
-    fn = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk}[impl]
+    fn = {"lsh": lsh_topk, "ivf": ivf_topk, "pq": pq_topk, "ivfpq": ivfpq_topk}[impl]
     approx = _pairs(fn(e, q, k=10, **kwargs))
     recall = len(truth & approx) / len(truth)
     assert recall >= floor, f"{impl} recall {recall:.2f} < {floor}"
@@ -168,6 +170,116 @@ def test_pq_null_and_ragged_embeddings(spark):
     assert "ragged" in str(ei.value)
 
 
+def test_ivfpq_fullprobe_equals_brute_force(clustered):
+    """n_probe=n_cells + shortlist=None must reproduce brute force
+    EXACTLY (ranks and cosines) — the machinery identity the
+    similarity_ivfpq_fullprobe_topk gate pins on the driver corpus."""
+    e, q = clustered
+    exact = sorted(map(tuple, brute_force_topk(e, q, k=10).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                e, q, k=10, n_cells=10, n_probe=10, m=4, ks=8, shortlist=None
+            ).collect(),
+        )
+    )
+    assert full == exact
+
+
+def test_ivfpq_flat_equals_ivf_and_gating_prunes(clustered):
+    """Two structural identities of the composite: (a) shortlist=None
+    IS IVF flat search — ADC prunes nothing, so output ≡ ivf_topk at
+    the same (n_cells, n_probe); (b) the cell gate actually restricts
+    the candidate universe — every ivfpq result id is in the query's
+    probed cells (checked against the built index's assignments)."""
+    from cql_xmlpipe_spark.operators.similarity import ivfpq_build, ivfpq_query
+
+    e, q = clustered
+    flat = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                e, q, k=10, n_cells=10, n_probe=3, m=4, ks=8, shortlist=None
+            ).collect(),
+        )
+    )
+    ivf = sorted(
+        map(tuple, ivf_topk(e, q, k=10, n_cells=10, n_probe=3).collect())
+    )
+    assert flat == ivf
+
+    index, centers, books = ivfpq_build(e, n_cells=10, m=4, ks=8)
+    got = ivfpq_query(
+        e, q, index, centers, books, k=10, n_probe=2, shortlist=40
+    )
+    cell_of = {r["vec_id"]: r["cell"] for r in index.select("vec_id", "cell").collect()}
+    import numpy as np
+
+    C = np.asarray(centers)
+    half = (C * C).sum(axis=1) / 2.0
+    q_rows = {r["q_id"]: np.asarray(r["q_emb"], dtype=np.float64) for r in q.collect()}
+    probed = {
+        qid: set(np.argsort(-(v @ C.T - half))[:2].tolist())
+        for qid, v in q_rows.items()
+    }
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert cell_of[r["vec_id"]] in probed[r["q_id"]], (
+            f"result {r['vec_id']} (cell {cell_of[r['vec_id']]}) outside "
+            f"query {r['q_id']}'s probed cells {probed[r['q_id']]}"
+        )
+
+
+def test_ivfpq_null_ragged_and_blocked(spark, clustered):
+    """NULL/ragged contract as the siblings (null vectors never encode,
+    null queries yield no rows, raggedness is named) plus the
+    query-block identity: max_query_mb=0 forces one-row blocks and the
+    blocked union must equal the single-closure output exactly."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((40, None))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (1, None)], "q_id long, q_emb array<float>"
+    )
+    got = ivfpq_topk(e, q, k=5, n_cells=4, n_probe=2, m=2, ks=4, shortlist=10).collect()
+    assert got, "IVF-PQ returned nothing for the valid query"
+    assert all(r["q_id"] == 0 for r in got)
+    assert all(r["vec_id"] != 40 for r in got)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0, 0.5]), (2, [1.0, -2.0, 3.0, 0.5]), (3, [1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    rq = spark.createDataFrame(
+        [(0, [1.0, -2.0, 3.0, 0.5])], "q_id long, q_emb array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        ivfpq_topk(ragged, rq, k=2, n_cells=2, n_probe=1, m=2, ks=2).collect()
+    assert "ragged" in str(ei.value)
+
+    ec, qc = clustered
+    base = sorted(
+        map(
+            tuple,
+            ivfpq_topk(ec, qc, k=10, n_cells=10, n_probe=3, m=4, ks=8,
+                       shortlist=40).collect(),
+        )
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            ivfpq_topk(ec, qc, k=10, n_cells=10, n_probe=3, m=4, ks=8,
+                       shortlist=40, max_query_mb=0).collect(),
+        )
+    )
+    assert blocked == base and len(base) > 0
+
+
 def test_hard_negatives_never_share_label(spark):
     from cql_xmlpipe_spark.plans.extensions import similarity_hard_negatives
 
@@ -213,6 +325,8 @@ def test_staged_ann_equals_per_call(clustered, tmp_path, spark):
         ann_index_write,
         ivf_build,
         ivf_query,
+        ivfpq_build,
+        ivfpq_query,
         pq_build,
         pq_query,
     )
@@ -254,3 +368,32 @@ def test_staged_ann_equals_per_call(clustered, tmp_path, spark):
                             shortlist=params["shortlist"]).collect())
     )
     assert got == sorted(map(tuple, pq_query(e, q, codes, books, k=10, shortlist=40).collect()))
+
+    # the composite: staged ≡ per-call, and the three-artifact
+    # (index rows + centers + books) persistence round-trips
+    index, centers2, books2 = ivfpq_build(e, n_cells=10, m=4, ks=8)
+    for qs in (q, q2):
+        a = sorted(map(tuple, ivfpq_topk(
+            e, qs, k=10, n_cells=10, n_probe=3, m=4, ks=8, shortlist=40
+        ).collect()))
+        b = sorted(map(tuple, ivfpq_query(
+            e, qs, index, centers2, books2, k=10, n_probe=3, shortlist=40
+        ).collect()))
+        assert a == b and len(a) > 0
+
+    ivfpq_dir = str(tmp_path / "ivfpq_index")
+    ann_index_write(
+        index,
+        {"kind": "ivfpq", "n_probe": 3, "shortlist": 40,
+         "centers": centers2, "books": books2},
+        ivfpq_dir,
+    )
+    rows, params = ann_index_read(spark, ivfpq_dir)
+    assert params["kind"] == "ivfpq"
+    got = sorted(map(tuple, ivfpq_query(
+        e, q, rows, params["centers"], params["books"], k=10,
+        n_probe=params["n_probe"], shortlist=params["shortlist"],
+    ).collect()))
+    assert got == sorted(map(tuple, ivfpq_query(
+        e, q, index, centers2, books2, k=10, n_probe=3, shortlist=40
+    ).collect()))

@@ -140,6 +140,30 @@ def test_ann_build_then_query_staged(corpus_dir, tmp_path, capsys):
     b = con.sql(f"SELECT * FROM read_parquet('{out_fresh}/*.parquet') ORDER BY q_id, rank").fetchall()
     assert a == b and len(a) > 0
 
+    # the composite: three-artifact build, staged ≡ per-call via CLI
+    idx2 = str(tmp_path / "ivfpq_idx")
+    assert main(["--contract", "ann-build", "--algo", "ivfpq",
+                 "--data-dir", corpus_dir, "--index-dir", idx2,
+                 "--n-cells", "8", "--m", "4", "--ks", "8",
+                 "--shortlist", "20"]) == 0
+    assert "built ivfpq index" in capsys.readouterr().out
+    out_staged2 = str(tmp_path / "staged_out_ivfpq")
+    assert main(["--contract", "ann", "--algo", "ivfpq",
+                 "--data-dir", corpus_dir, "--index-dir", idx2,
+                 "--k", "5", "--queries-mod", "16",
+                 "--out", out_staged2]) == 0
+    capsys.readouterr()
+    out_fresh2 = str(tmp_path / "fresh_out_ivfpq")
+    assert main(["--contract", "ann", "--algo", "ivfpq",
+                 "--data-dir", corpus_dir,
+                 "--k", "5", "--queries-mod", "16", "--n-cells", "8",
+                 "--m", "4", "--ks", "8", "--shortlist", "20",
+                 "--out", out_fresh2]) == 0
+    capsys.readouterr()
+    a = con.sql(f"SELECT * FROM read_parquet('{out_staged2}/*.parquet') ORDER BY q_id, rank").fetchall()
+    b = con.sql(f"SELECT * FROM read_parquet('{out_fresh2}/*.parquet') ORDER BY q_id, rank").fetchall()
+    assert a == b and len(a) > 0
+
     # refusals stay pre-Spark
     assert main(["--contract", "ann-build", "--algo", "lsh",
                  "--data-dir", corpus_dir, "--index-dir", idx]) == 2

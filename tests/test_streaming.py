@@ -1105,7 +1105,11 @@ def test_ann_topk_probe_sink_equals_batch(spark, tmp_path):
     (per-query independence), and close() releases the cached index."""
     import pyarrow as pa
 
-    from cql_xmlpipe_spark.operators.similarity import ivf_query, pq_query
+    from cql_xmlpipe_spark.operators.similarity import (
+        ivf_query,
+        ivfpq_query,
+        pq_query,
+    )
     from cql_xmlpipe_spark.streaming.ann import ann_topk_probe_sink
 
     def _q_table(rows):
@@ -1138,7 +1142,7 @@ def test_ann_topk_probe_sink_equals_batch(spark, tmp_path):
     batches = [queries[:2], queries[2:5], queries[5:]]
     q_schema = "q_id long, q_emb array<float>"
 
-    for algo in ("ivf", "pq"):
+    for algo in ("ivf", "pq", "ivfpq"):
         src = tmp_path / f"ann_src_{algo}"
         _stage_parquet_batches(src, batches, _q_table)
         out = str(tmp_path / f"ann_out_{algo}")
@@ -1155,6 +1159,11 @@ def test_ann_topk_probe_sink_equals_batch(spark, tmp_path):
             want_df = ivf_query(
                 corpus, all_q, sink.index_rows, sink.params["centers"],
                 k=5, n_probe=2,
+            )
+        elif algo == "ivfpq":
+            want_df = ivfpq_query(
+                corpus, all_q, sink.index_rows, sink.params["centers"],
+                sink.params["books"], k=5, n_probe=2, shortlist=20,
             )
         else:
             want_df = pq_query(
