@@ -1284,6 +1284,147 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = f"""
+    WITH w AS ({_TOKS_CTE}),
+    base AS (SELECT doc_id, toks FROM w WHERE len(toks) > 0),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM e GROUP BY doc_id, dl, term),
+    wdf AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM base),
+    q AS (
+      SELECT term, df FROM (SELECT DISTINCT term, df FROM wdf)
+      ORDER BY df DESC, term LIMIT 8),
+    scored AS (
+      SELECT t.term, t.doc_id, t.tf,
+             CAST(t.dl AS BIGINT) AS dl, CAST(q.df AS BIGINT) AS df,
+             CAST(floor(ln((CAST(s.n_docs - q.df AS DOUBLE) + 0.5)
+                           / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS idf_q6,
+             CAST(floor(
+               (CAST(floor(ln((CAST(s.n_docs - q.df AS DOUBLE) + 0.5)
+                              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+                           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0)
+               * (CAST(t.tf AS DOUBLE) * 2.2
+                  / (CAST(t.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE)
+                                             * s.n_docs / s.total_len))))
+               * 1000000.0 + 0.5) AS BIGINT) AS score_q6
+      FROM wdf t JOIN q ON t.term = q.term CROSS JOIN stats s)
+    SELECT term, doc_id, tf, dl, df, idf_q6, score_q6,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+                ORDER BY score_q6 DESC, doc_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
+@_q("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, k1=1.2 b=0.75):
+    top-10 documents per query term over the postings table — the
+    scoring-ranked complement of ``inverted_index_postings`` (boolean
+    retrieval) and ``text_tfidf_top_terms`` (per-doc term salience).
+    The gate's query workload self-derives as the corpus's 8 highest-df
+    terms (df desc, term asc — deterministic); production supplies its
+    own terms and skips that branch.
+
+    Cross-engine device: idf = ln((N−df+0.5)/(df+0.5)+1) is the one
+    transcendental — fixed-point quantized (×1e6, floor(x+0.5), BIGINT)
+    before use, the house ln discipline; the tf saturation
+    tf·(k1+1)/(tf + k1·(1−b + b·dl·N/Σdl)) is divisions/multiplies of
+    identical operands in the identical order, bit-stable across Spark
+    and DuckDB, and the final score re-quantizes to score_q6 so the
+    rank tie-break (score_q6 desc, doc_id) is integer-exact.
+
+    Scale shape: one corpus-sized tf shuffle with map-side combine; df
+    rides a term-window ON the tf table (the single-pipeline tfidf
+    lesson — no second tokenize); corpus stats are a broadcast 1-row
+    aggregate; the 8-term workload broadcast-joins the postings so
+    scoring and the top-k window (WindowGroupLimit-pruned) touch only
+    the workload's postings. At 100 TB the index is built once per
+    ingest and the per-query bill is |postings(term)| — the classic
+    inverted-index retrieval shape."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select("doc_id", TX.words(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    e = base.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = e.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_len"),
+    )
+    q = (
+        wdf.select("term", "df").distinct()
+        .orderBy(F.col("df").desc(), "term")
+        .limit(8)
+        .select("term")
+    )
+    idf_q6 = F.floor(
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    scored = (
+        wdf.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_q6", idf_q6)
+        .withColumn(
+            "score_q6",
+            F.floor(
+                (F.col("idf_q6") / 1000000.0)
+                * (
+                    F.col("tf").cast("double") * 2.2
+                    / (
+                        F.col("tf").cast("double")
+                        + 1.2
+                        * (
+                            0.25
+                            + 0.75
+                            * (
+                                F.col("dl").cast("double")
+                                * F.col("n_docs")
+                                / F.col("total_len")
+                            )
+                        )
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            ).cast("long"),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("term").orderBy(F.col("score_q6").desc(), "doc_id")
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= 10)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.col("dl").cast("long").alias("dl"),
+            F.col("df").cast("long").alias("df"),
+            "idf_q6",
+            "score_q6",
+            "rank",
+        )
+    )
+
+
 _POSTINGS_ORACLE = f"""
     WITH w AS ({_TOKS_CTE}),
     t AS (

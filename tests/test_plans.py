@@ -427,6 +427,7 @@ def test_no_wide_rows_under_sort_or_window(spark):
         "similarity_lsh_topk",
         "similarity_ivf_topk",
         "similarity_pq_topk",
+        "similarity_ivfpq_topk",
         "similarity_radius_search",
         "window_top3_orders_per_customer",
         "events_user_ewma_bucketed",
