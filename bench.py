@@ -171,6 +171,17 @@ HEADLINE = [
     # the documents scan (the shape text_quality_scores already times),
     # and text_dup_spans the gram-hash machinery text_crossdoc_ngram_dup
     # already times plus one partition-local window.
+    # round-14 additions are GATE-ONLY by the same rule: the list sits
+    # at the cap and both ride already-timed machinery —
+    # similarity_ivfpq_topk composes the per-subspace-KMeans + encode +
+    # numpy-ADC + re-rank shape similarity_pq_topk already times (plus
+    # one same-class coarse KMeans; its scale story is the STAGED
+    # measurement in SCALE.md, which the per-call gate shape would not
+    # show), and text_bm25_topk rides the tokenize → tf → term-window
+    # pipeline text_tfidf_top_terms already times plus one broadcast
+    # join. The staged gates (similarity_*_topk_staged) are gate-only
+    # for the same reason: they time the same query halves minus
+    # training.
 ]
 assert len(HEADLINE) <= 65, "HEADLINE over the curation cap — apply the rule above"
 

@@ -1678,10 +1678,16 @@ def ivfpq_query(
         "Raise max_query_mb — the per-query closure is n_probe·m·ks·8 "
         "bytes of LUT, far below the raw embeddings.",
     )
+    lut_schema = T.StructType(
+        [
+            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lut", T.ArrayType(T.DoubleType())),
+        ]
+    )
     parts = []
-    lut_q: list = []
-    lut_c: list = []
-    lut_v: list = []
+    lut_parts = []
+    n_lut_rows = 0
     for blo, bhi in blocks:
         Qb = Q_all[blo:bhi]
         # EXACTLY _ivf_cell_udfs' probe math (x·c − |c|²/2, argsort
@@ -1690,6 +1696,7 @@ def ivfpq_query(
         scores = Qb @ C.T - half_norms
         probe = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
         lut_by_cell: dict = {}
+        lut_rows: list = []
         for c in np.unique(probe):
             q_loc = np.flatnonzero((probe == c).any(axis=1))
             Lc = _pq_lut_matrix(Qb[q_loc] - C[c], books, bounds)
@@ -1697,28 +1704,26 @@ def ivfpq_query(
             for gq, lrow in zip(q_loc + blo, Lc):
                 qv = qids_all[gq]
                 # numpy scalars fail createDataFrame's type verifier
-                lut_q.append(qv.item() if hasattr(qv, "item") else qv)
-                lut_c.append(int(c))
-                lut_v.append([float(x) for x in lrow])
+                lut_rows.append(
+                    (
+                        qv.item() if hasattr(qv, "item") else qv,
+                        int(c),
+                        [float(x) for x in lrow],
+                    )
+                )
         parts.append(
             index.mapInPandas(
                 make_cell_adc_shortlist(lut_by_cell), schema=cand_schema
             )
         )
+        # per-BLOCK re-cut table: peak driver residency is one block's
+        # rows (~max_query_mb), not all blocks' — the union defers the
+        # rest to the executors like every other block artifact
+        lut_parts.append(spark.createDataFrame(lut_rows, schema=lut_schema))
+        n_lut_rows += len(lut_rows)
     cands = reduce(DataFrame.union, parts).dropDuplicates([q_id_col, id_col])
-
-    lut_schema = T.StructType(
-        [
-            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("lut", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    q_luts = spark.createDataFrame(
-        list(zip(lut_q, lut_c, lut_v)), schema=lut_schema
-    )
-    total_lut_bytes = len(lut_v) * m * ks * 8
-    if total_lut_bytes <= max_query_mb * 1e6:
+    q_luts = reduce(DataFrame.union, lut_parts)
+    if n_lut_rows * m * ks * 8 <= max_query_mb * 1e6:
         q_luts = F.broadcast(q_luts)
     # exact fold re-cut: same ADC expression, same (adc, id) row_number
     # contract as pq_query — over the gated candidate set only. The
