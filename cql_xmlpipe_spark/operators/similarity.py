@@ -1512,10 +1512,15 @@ def ivfpq_build(
     (:func:`ann_index_write` persists all three as kind='ivfpq').
 
     The residual DataFrame is cached for the duration of the m
-    per-subspace KMeans fits and released before return; downstream
-    actions on the returned lazy index recompute the residual join
-    once per action — production materializes the index per INGEST
-    via :func:`ann_index_write` and never pays it again."""
+    per-subspace KMeans fits and released before return. The returned
+    index is LAZY: a downstream action re-derives the residual join +
+    encode once per plan REFERENCE — :func:`ivfpq_query` references it
+    in every block's scan kernel plus the re-cut join, so a B-block
+    per-call query pays the encode pipeline B+1 times (the gap
+    measure_r14b shows between per-call 186 s and build 85 s + staged
+    query 11 s). Production persists the index per INGEST
+    (:func:`ann_index_write`, or ``.persist()`` as the streaming sink
+    does) and never pays it again."""
     assignments, centers = ivf_build(corpus, n_cells, id_col, emb_col)
     resid = _residualize(corpus, assignments, centers, id_col, emb_col).persist()
     try:
@@ -1557,12 +1562,12 @@ def ivfpq_query(
     is unchanged: per-partition ``argpartition`` shortlist in a margin
     band, an exact Column-fold ADC re-cut over the
     <= partitions·|Q|·(shortlist+ties) survivors (the fold joins each
-    candidate's (q_id, cell) LUT row, so re-cut bits match the kernel's
-    table exactly), and the exact cosine re-rank. Probe cells and LUTs
-    come from ONE driver-side computation (guarded by ``max_query_mb``,
-    split into query blocks past it) shipped both into the kernel
-    closure and — as the (q_id, cell, lut) re-cut table — through a
-    broadcast join, so the two stages can never disagree on geometry.
+    candidate's (q_id, cell) LUT row), and the exact cosine re-rank.
+    Kernel closures carry the driver-computed probe/LUT blocks (guarded
+    by ``max_query_mb``, split into query blocks past it); the re-cut's
+    (q_id, cell, lut) table is generated distributively by the same
+    math (see the inline note — a driver-side build would hold all
+    blocks at once), broadcast while it fits the budget.
 
     ``shortlist=None`` disables ADC pruning entirely: every gated
     candidate re-ranks by exact cosine, which IS IVF flat search —
@@ -1678,16 +1683,7 @@ def ivfpq_query(
         "Raise max_query_mb — the per-query closure is n_probe·m·ks·8 "
         "bytes of LUT, far below the raw embeddings.",
     )
-    lut_schema = T.StructType(
-        [
-            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("lut", T.ArrayType(T.DoubleType())),
-        ]
-    )
     parts = []
-    lut_parts = []
-    n_lut_rows = 0
     for blo, bhi in blocks:
         Qb = Q_all[blo:bhi]
         # EXACTLY _ivf_cell_udfs' probe math (x·c − |c|²/2, argsort
@@ -1696,34 +1692,61 @@ def ivfpq_query(
         scores = Qb @ C.T - half_norms
         probe = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
         lut_by_cell: dict = {}
-        lut_rows: list = []
         for c in np.unique(probe):
             q_loc = np.flatnonzero((probe == c).any(axis=1))
             Lc = _pq_lut_matrix(Qb[q_loc] - C[c], books, bounds)
             lut_by_cell[int(c)] = (q_loc + blo, Lc)
-            for gq, lrow in zip(q_loc + blo, Lc):
-                qv = qids_all[gq]
-                # numpy scalars fail createDataFrame's type verifier
-                lut_rows.append(
-                    (
-                        qv.item() if hasattr(qv, "item") else qv,
-                        int(c),
-                        [float(x) for x in lrow],
-                    )
-                )
         parts.append(
             index.mapInPandas(
                 make_cell_adc_shortlist(lut_by_cell), schema=cand_schema
             )
         )
-        # per-BLOCK re-cut table: peak driver residency is one block's
-        # rows (~max_query_mb), not all blocks' — the union defers the
-        # rest to the executors like every other block artifact
-        lut_parts.append(spark.createDataFrame(lut_rows, schema=lut_schema))
-        n_lut_rows += len(lut_rows)
     cands = reduce(DataFrame.union, parts).dropDuplicates([q_id_col, id_col])
-    q_luts = reduce(DataFrame.union, lut_parts)
-    if n_lut_rows * m * ks * 8 <= max_query_mb * 1e6:
+
+    # the re-cut's (q_id, cell, lut) table is computed DISTRIBUTIVELY
+    # (pq_query's query_lut device, exploded per probed cell): a
+    # driver-side build would hold every block's rows at once — at the
+    # 64-block cap ~16 GB of driver heap, exactly the residency the
+    # block split exists to avoid. Row-wise dots, the float32→float64
+    # widening, and argsort tie order are all bit-reproductions of the
+    # driver probe above (same libraries, batch-independent math), and
+    # any residual drift is caught by the pinned gates, whose stability
+    # is asserted across shuffle settings before pinning.
+    lut_schema = T.StructType(
+        [
+            T.StructField(q_id_col, queries.schema[q_id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lut", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def lut_rows_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[q_emb_col].notna()]
+            if not len(pdf):
+                continue
+            Qb = _pq_stack(pdf[q_emb_col], "query embedding")
+            probe = np.argsort(-(Qb @ C.T - half_norms), axis=1)[
+                :, :n_probe
+            ].astype("int32")
+            out_q: list = []
+            out_c: list = []
+            out_l: list = []
+            qv = pdf[q_id_col].to_numpy()
+            for c in np.unique(probe):
+                q_loc = np.flatnonzero((probe == c).any(axis=1))
+                Lc = _pq_lut_matrix(Qb[q_loc] - C[c], books, bounds)
+                out_q.extend(qv[q_loc])
+                out_c.extend([int(c)] * len(q_loc))
+                out_l.extend(list(Lc))
+            yield pd.DataFrame(
+                {q_id_col: out_q, "cell": out_c, "lut": out_l}
+            )
+
+    q_luts = queries.select(q_id_col, q_emb_col).mapInPandas(
+        lut_rows_gen, schema=lut_schema
+    )
+    if len(qids_all) * n_probe * m * ks * 8 <= max_query_mb * 1e6:
         q_luts = F.broadcast(q_luts)
     # exact fold re-cut: same ADC expression, same (adc, id) row_number
     # contract as pq_query — over the gated candidate set only. The
