@@ -209,8 +209,8 @@ RECORDS = {
     "dedup_cluster_assign": 3.575,
     "dedup_embedding_groups": 2.4,
     "dedup_embedding_incremental": 0.8,  # curated out r13; record kept
-    "similarity_radius_banded_recall": 1.8,  # r13 driver min folded r14
-    "dedup_embedding_recall_sampled": 3.8,
+    "similarity_radius_banded_recall": 1.7,  # r13 driver min folded r14
+    "dedup_embedding_recall_sampled": 3.7,
     "dedup_exact_hash_groups": 0.212,
     "dedup_graph_degree": 4.0,
     "dedup_incremental_probe": 3.4,
@@ -243,11 +243,11 @@ RECORDS = {
     # attainable by the CURRENT plan or the 2× stall check cries wolf.
     "events_user_ewma": 0.56,
     "events_value_outliers": 0.5,
-    "multimodal_image_features_codec": 1.528,
+    "multimodal_image_features_codec": 1.5,
     "outer_join_order_distribution": 0.4,
     "phrase_search_postings": 0.593,
     "q17_small_quantity_revenue": 0.846,
-    "q1_pricing_summary": 1.021,
+    "q1_pricing_summary": 1.0,
     "q21_late_suppliers": 1.3,
     "q2_min_cost_supplier": 1.3,
     "q3_shipping_priority": 0.6,
@@ -255,7 +255,7 @@ RECORDS = {
     "q7_volume_shipping": 0.8,
     "q8_market_share": 1.274,
     "q9_product_profit": 0.8,
-    "semdedup_prune": 6.4,  # r13 driver min folded r14
+    "semdedup_prune": 6.2,  # r13 driver min folded r14
     "similarity_cosine_topk": 0.5,
     "similarity_pq_topk": 4.4,
     "source_overlap_jaccard": 2.5,
@@ -265,8 +265,8 @@ RECORDS = {
     "streaming_user_profile_state": 1.5,
     "streaming_watermark_dedup": 1.5,
     "text_bigram_lm_score": 2.1,
-    "text_crossdoc_ngram_dup": 2.711,
-    "text_decontaminate_eval_overlap": 1.6,
+    "text_crossdoc_ngram_dup": 2.7,
+    "text_decontaminate_eval_overlap": 1.5,
     "text_lang_confusion": 0.6,
     "text_langid_heuristic": 0.454,
     "text_quality_scores": 0.5,
@@ -274,7 +274,7 @@ RECORDS = {
     "text_term_cooccurrence": 1.2,
     "text_tfidf_top_terms": 0.849,
     "text_vocab_oov": 1.4,
-    "token_orders_murmur3": 0.36,
+    "token_orders_murmur3": 0.3,
     "topk_orders": 0.165,
     "variant_extraction_events": 0.464,
     "window_running_revenue": 0.444,
