@@ -74,3 +74,42 @@ def test_wav_roundtrip_any_samples(samples, rate):
     s = np.array(samples, np.int16)
     got, got_rate = decode_wav(encode_wav(s, rate))
     assert got_rate == rate and (got == s).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),    # queries
+    st.integers(min_value=1, max_value=60),   # candidate rows
+    st.integers(min_value=1, max_value=8),    # shortlist
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_adc_band_cut_never_loses_a_shortlist_member(nq, nr, shortlist, seed):
+    """The numpy band cut (_make_adc_band_cut — the volume-control stage
+    of the PQ and IVF-PQ shortlist kernels) must be a SUPERSET filter:
+    for every query, all rows in the true per-query shortlist by
+    (adc asc, id asc) survive the cut — ties at the boundary included
+    (the r13 ADVICE tie-band class). Correctness of the final output
+    rides the exact fold re-cut; this pins the invariant that makes the
+    re-cut sufficient."""
+    from cql_xmlpipe_spark.operators.similarity import _make_adc_band_cut
+
+    rng = np.random.default_rng(seed)
+    qi = rng.integers(0, nq, size=nr)
+    bid = rng.permutation(nr)  # unique ids
+    # quantized scores force plenty of exact ties at the boundary
+    ba = rng.integers(0, 6, size=nr).astype(np.float64)
+    kq, kb, _ = _make_adc_band_cut(shortlist)(qi.copy(), bid.copy(), ba.copy())
+    kept = set(zip(kq.tolist(), kb.tolist()))
+    for q in range(nq):
+        rows = sorted(
+            ((ba[i], bid[i]) for i in range(nr) if qi[i] == q)
+        )
+        if not rows:
+            continue
+        cutoff = rows[min(shortlist, len(rows)) - 1][0]
+        for a, b in rows:
+            if a <= cutoff:  # every true-shortlist row and its ties
+                assert (q, b) in kept, (
+                    f"query {q}: row id={b} adc={a} inside the "
+                    f"shortlist-{shortlist} band (cutoff {cutoff}) was cut"
+                )
