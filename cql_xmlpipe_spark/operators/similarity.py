@@ -1573,7 +1573,14 @@ def ivfpq_query(
     candidate re-ranks by exact cosine, which IS IVF flat search —
     the call delegates to :func:`ivf_query` over this index's cells
     (with ``n_probe == n_cells`` that reproduces brute force exactly —
-    the fullprobe gate identity)."""
+    the fullprobe gate identity).
+
+    Operating-point law (measured, SCALE.md round-14 knob sweeps): on
+    near-dup-heavy corpora the recall limiter is ``shortlist`` vs the
+    near-tie band — clones of a true neighbor share its cells, so
+    raising ``n_probe`` buys wall, not recall; size ``shortlist``
+    above the corpus's near-dup family size (0.596 → 0.998 recall@10
+    going 50 → 200 at the jit-100× decade) or dedup first."""
     import numpy as np
     from functools import reduce
     from pyspark.sql import types as T
