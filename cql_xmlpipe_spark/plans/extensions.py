@@ -4577,6 +4577,128 @@ def embedding_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lloyd_update(e, cent)
 
 
+@_q(
+    "embedding_silhouette_by_label",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL),
+    comp AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+      FROM e),
+    cq AS (
+      SELECT label, i,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0
+                                 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000.0) AS c
+      FROM comp GROUP BY label, i),
+    cent AS (SELECT label, list(c ORDER BY i) AS cemb FROM cq GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, c.label AS clabel,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.cemb[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - c.cemb[i]))),
+               (a, b) -> a + b) AS dist
+      FROM e, cent c),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN dist END) AS a_intra,
+             MIN(CASE WHEN clabel <> label THEN dist END) AS b_inter
+      FROM d GROUP BY vec_id, label)
+    SELECT vec_id, label, a_intra, b_inter,
+           CASE
+             WHEN a_intra IS NULL OR b_inter IS NULL THEN NULL
+             WHEN greatest(a_intra, b_inter) > 0.0
+               THEN (b_inter - a_intra) / greatest(a_intra, b_inter)
+             ELSE 0.0
+           END AS silhouette
+    FROM ab
+    """,
+)
+def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SIMPLIFIED SILHOUETTE against the label partition
+    (Hruschka et al. 2004's centroid form of Rousseeuw 1987): a = sqdist
+    to the own-label centroid, b = min sqdist to any other label's
+    centroid, s = (b−a)/max(a,b) — the label-quality audit that says
+    which examples sit inside their class's embedding region and which
+    are closer to a different class (mislabel/boundary candidates,
+    the per-example complement of ``embedding_knn_label_consistency``'s
+    neighborhood vote). Centroid-based, so the bill is O(N·L), not the
+    classic silhouette's O(N²).
+
+    Determinism: centroids are 1e-6 fixed-point integer sums divided
+    once in double (the ``_lloyd_update`` device — exact and
+    order-free); distances are the shared left-to-right ``sqdist`` fold
+    that bit-matches DuckDB ``list_reduce``; a/b/s are then identical
+    IEEE expressions in both engines, so the gate hash-compares raw
+    doubles with no wobble budget. A single-label corpus yields NULL
+    silhouettes (no "other" centroid exists) in both engines rather
+    than an arbitrary 0.
+
+    Scale shape: the centroid aggregate shuffles L×d int64 partials
+    with map-side combine (corpus-size-independent state); the L
+    centroids collapse to ONE broadcast struct-array row; scoring is a
+    zero-shuffle map-side transform per vector — the
+    ``_lloyd_assign`` plan with L distances kept instead of argmin."""
+    from cql_xmlpipe_spark.functions.vectors import sqdist
+
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull()
+    )
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn(
+        "q", F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    cq = comp.groupBy("label", "dim").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("c")
+    )
+    cent = cq.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cemb")
+    )
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("label", "cemb"))).alias("cents")
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            c["label"].alias("clabel"),
+            sqdist(F.col("embedding"), c["cemb"]).alias("dist"),
+        ),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn("dists", dists)
+    a_intra = F.array_min(
+        F.transform(
+            F.filter(F.col("dists"), lambda d: d["clabel"] == F.col("label")),
+            lambda d: d["dist"],
+        )
+    )
+    b_inter = F.array_min(
+        F.transform(
+            F.filter(F.col("dists"), lambda d: d["clabel"] != F.col("label")),
+            lambda d: d["dist"],
+        )
+    )
+    s = (
+        F.when(a_intra.isNull() | b_inter.isNull(), F.lit(None).cast("double"))
+        .when(
+            F.greatest(a_intra, b_inter) > 0.0,
+            (b_inter - a_intra) / F.greatest(a_intra, b_inter),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        a_intra.alias("a_intra"),
+        b_inter.alias("b_inter"),
+        s.alias("silhouette"),
+    )
+
+
 #: Prototypicality prune fraction: the most-prototypical 30% of each
 #: cluster (highest cosine to own centroid) is marked for pruning — the
 #: SSL-prototypes operating regime (keep hard examples, cut redundant

@@ -294,6 +294,61 @@ def test_hard_negatives_never_share_label(spark):
         assert 1 <= r["rank"] <= 10 and r["q_id"] != r["vec_id"]
 
 
+def test_silhouette_contracts(spark):
+    """Value sanity + edge contracts for the simplified silhouette:
+    (1) on a two-label corpus with well-separated planted clusters,
+    members score near +1 and a planted vector sitting AT the other
+    label's centroid scores negative; (2) s is always in [-1, 1];
+    (3) a single-label corpus yields NULL silhouettes (no 'other'
+    centroid), never an arbitrary 0."""
+    from cql_xmlpipe_spark.plans.extensions import embedding_silhouette_by_label
+
+    rows = embedding_silhouette_by_label(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["silhouette"] is not None:
+            assert -1.0000001 <= r["silhouette"] <= 1.0000001
+
+    import random
+
+    rng = random.Random(11)
+    dim = 8
+    centers = {0: [5.0] * dim, 1: [-5.0] * dim}
+    data = []
+    vid = 0
+    for lab, c in centers.items():
+        for _ in range(10):
+            data.append((vid, lab, [x + rng.gauss(0, 0.1) for x in c]))
+            vid += 1
+    # a mislabeled vector: labeled 0 but sitting at label 1's centroid
+    data.append((vid, 0, list(centers[1])))
+    e = spark.createDataFrame(data, "vec_id long, label int, embedding array<float>")
+
+    import cql_xmlpipe_spark.plans.extensions as X
+
+    orig = X.load_table
+    X.load_table = lambda _s, _t, _d: e
+    try:
+        got = {r["vec_id"]: r for r in embedding_silhouette_by_label(spark, SF).collect()}
+    finally:
+        X.load_table = orig
+    clean = [got[v]["silhouette"] for v in range(vid) if v != 20]
+    assert all(s > 0.9 for s in clean), clean[:3]
+    assert got[vid]["silhouette"] < -0.5  # the planted mislabel
+
+    single = spark.createDataFrame(
+        [(0, 7, [1.0, 2.0]), (1, 7, [2.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    X.load_table = lambda _s, _t, _d: single
+    try:
+        rows1 = embedding_silhouette_by_label(spark, SF).collect()
+    finally:
+        X.load_table = orig
+    assert len(rows1) == 2
+    assert all(r["silhouette"] is None and r["b_inter"] is None for r in rows1)
+
+
 def test_knn_label_consistency_contract(spark):
     from cql_xmlpipe_spark.operators.dedup import stratum_filter
     from cql_xmlpipe_spark.plans.extensions import (
