@@ -21,6 +21,9 @@ smaller output — no caps needed):
 * ``resample``        — per-doc copy counts executing the
                         uniform-equalizing weights (portable stochastic
                         rounding, E[copies] = weight)
+* ``silhouette``      — per-vector simplified-silhouette label audit
+                        over ``embeddings.parquet`` (a_intra, b_inter,
+                        s = (b−a)/max(a,b); mislabel candidates < 0)
 
 ``--out DIR`` writes parquet; otherwise the first ``--show`` rows print
 as JSON lines (planner tables are tiny — per-source — except
@@ -45,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "mix-weights", "mix-temperature", "epoch-plan",
-            "domain-cap", "resample",
+            "domain-cap", "resample", "silhouette",
         ],
     )
     p.add_argument("--data-dir", required=True, help="directory of documents.parquet")
@@ -91,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         _mix_temperature_core,
         corpus_mix_resample,
         corpus_mix_weights,
+        embedding_silhouette_by_label,
     )
     from cql_xmlpipe_spark.session import get_spark
     from cql_xmlpipe_spark.sources.registry import load_table
@@ -110,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
         out = _domain_cap_core(
             load_table(spark, "documents", args.data_dir), args.cap_frac
         )
+    elif args.contract == "silhouette":
+        # the label-quality audit over embeddings.parquet (the other
+        # contracts read documents.parquet; --data-dir holds both)
+        out = embedding_silhouette_by_label(spark, args.data_dir)
     else:
         out = corpus_mix_resample(spark, args.data_dir)
 

@@ -86,3 +86,30 @@ def test_cli_mix_weights_and_resample_expectation(corpus_dir, capsys):
     assert len(copies) == 10
     # weight 5.0 on B is integral: exactly 5 copies, no stochastic part
     assert copies[9] == 5
+
+
+def test_cli_silhouette_contract(spark, tmp_path, capsys):
+    """The label-quality audit is CLI-reachable: per-vector rows with
+    the (a_intra, b_inter, silhouette) columns, s in [-1, 1] or NULL.
+    Its corpus is embeddings.parquet (the other contracts read
+    documents.parquet), so the test stages its own two-label corpus."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, i % 2, [rng.gauss(3.0 if i % 2 else -3.0, 0.2) for _ in range(6)])
+        for i in range(20)
+    ]
+    d = str(tmp_path / "silcorpus")
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    rc = main(["--contract", "silhouette", "--data-dir", d, "--show", "50"])
+    assert rc == 0
+    out = _json_rows(capsys)
+    assert len(out) == 20
+    for r in out:
+        assert {"vec_id", "label", "a_intra", "b_inter", "silhouette"} <= set(r)
+        # two well-separated planted labels: every vector coheres
+        assert float(r["silhouette"]) > 0.5

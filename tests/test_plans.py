@@ -429,6 +429,7 @@ def test_no_wide_rows_under_sort_or_window(spark):
         "similarity_pq_topk",
         "similarity_ivfpq_topk",
         "similarity_radius_search",
+        "text_bm25_topk",
         "window_top3_orders_per_customer",
         "events_user_ewma_bucketed",
         "dedup_embedding_groups",
