@@ -24,6 +24,9 @@ smaller output — no caps needed):
 * ``silhouette``      — per-vector simplified-silhouette label audit
                         over ``embeddings.parquet`` (a_intra, b_inter,
                         s = (b−a)/max(a,b); mislabel candidates < 0)
+* ``weighted-sample`` — A-ES weighted sampling WITHOUT replacement:
+                        the ``--sample-k`` docs winning the u^(1/w)
+                        key, w = token count (Efraimidis–Spirakis)
 
 ``--out DIR`` writes parquet; otherwise the first ``--show`` rows print
 as JSON lines (planner tables are tiny — per-source — except
@@ -48,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "mix-weights", "mix-temperature", "epoch-plan",
-            "domain-cap", "resample", "silhouette",
+            "domain-cap", "resample", "silhouette", "weighted-sample",
         ],
     )
     p.add_argument("--data-dir", required=True, help="directory of documents.parquet")
@@ -67,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="domain-cap only: max fraction of corpus docs one source "
         "may contribute",
     )
+    p.add_argument(
+        "--sample-k", type=int, default=100,
+        help="weighted-sample only: how many docs to draw",
+    )
     p.add_argument("--out", default=None, help="write result parquet here")
     p.add_argument("--show", type=int, default=20,
                    help="without --out: print this many rows as JSON lines")
@@ -83,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"refused: --budget-mult must be positive, got {args.budget_mult}",
               file=sys.stderr)
         return 2
+    if args.contract == "weighted-sample" and args.sample_k <= 0:
+        print(f"refused: --sample-k must be positive, got {args.sample_k}",
+              file=sys.stderr)
+        return 2
     if args.contract == "domain-cap" and not (0.0 < args.cap_frac <= 1.0):
         print(f"refused: --cap-frac must be in (0, 1], got {args.cap_frac}",
               file=sys.stderr)
@@ -94,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         _mix_temperature_core,
         corpus_mix_resample,
         corpus_mix_weights,
+        _weighted_sample_core,
         embedding_silhouette_by_label,
     )
     from cql_xmlpipe_spark.session import get_spark
@@ -113,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.contract == "domain-cap":
         out = _domain_cap_core(
             load_table(spark, "documents", args.data_dir), args.cap_frac
+        )
+    elif args.contract == "weighted-sample":
+        out = _weighted_sample_core(
+            load_table(spark, "documents", args.data_dir), args.sample_k
         )
     elif args.contract == "silhouette":
         # the label-quality audit over embeddings.parquet (the other

@@ -3865,6 +3865,91 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corpus_weighted_sample",
+    f"""
+    WITH w AS ({_TOKS_CTE}),
+    t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM w WHERE len(toks) > 0),
+    keyed AS (
+      SELECT t.doc_id, d.source, t.n_tokens,
+             CAST(floor(
+               ln((CAST(concat('0x',
+                     substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) + 1) / 4294967296.0)
+               / CAST(t.n_tokens AS DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS key_q
+      FROM t JOIN documents d USING (doc_id))
+    SELECT doc_id, source, n_tokens, key_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id)
+                AS INTEGER) AS pick_rank
+    FROM keyed
+    QUALIFY pick_rank <= 100
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the A-ES key
+    (Efraimidis & Spirakis 2006): each doc draws a portable uniform u
+    (md5-derived, the ``corpus_mix_resample`` device, +1 so u ∈ (0, 1])
+    and the k docs with the largest u^(1/w) win — here ranked by the
+    monotone-equivalent ln(u)/w with w = token count, so long documents
+    are proportionally favored without ever drawing a doc twice (the
+    complement of ``corpus_mix_resample``'s with-replacement copies).
+    k = 100 at the gate; production parameterizes it.
+
+    Cross-engine device: ln is the one transcendental — the RANKING
+    KEY itself is fixed-point quantized (×1e9, floor(x+0.5), BIGINT;
+    half-up is sign-consistent in both engines) so the top-k cut and
+    the (key_q desc, doc_id) tie-break are integer-exact, the same
+    discipline as the bm25 idf. Zero-token docs carry no weight and
+    are excluded (ln(u)/0 is undefined, and a zero-weight item should
+    never be sampled — A-ES's own boundary).
+
+    Scale shape: one tokenize scan produces (doc_id, n_tokens), the
+    key is a per-row expression, and the global top-k rides ONE
+    TakeOrderedAndProject-class rank (WindowGroupLimit prunes each
+    partition to k rows pre-shuffle) — no full sort of the corpus. At
+    100 TB this is the standard one-pass distributed weighted sampler;
+    k beyond executor memory would switch to per-partition top-k +
+    driver merge, the same plan Spark already generates here."""
+    return _weighted_sample_core(load_table(spark, "documents", sf_dir), 100)
+
+
+def _weighted_sample_core(d: DataFrame, k: int) -> DataFrame:
+    """The A-ES sampler over a documents DataFrame with ``k``
+    parameterized — the CLI form; see :func:`corpus_weighted_sample`
+    (the k=100 gate) for the device and its determinism argument."""
+    from pyspark.sql import Window as W
+
+    t = d.select(
+        "doc_id", "source", F.size(TX.words(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key_q = F.floor(
+        F.log(u) / F.col("n_tokens").cast("double") * 1e9 + F.lit(0.5)
+    ).cast("long")
+    keyed = t.withColumn("key_q", key_q)
+    rank = F.row_number().over(
+        W.orderBy(F.col("key_q").desc(), "doc_id")
+    )
+    return (
+        keyed.withColumn("pick_rank", rank)
+        .filter(F.col("pick_rank") <= k)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "key_q",
+            "pick_rank",
+        )
+    )
+
+
 #: Temperature for the tempered-mixture weights (the τ of multilingual
 #: sampling à la XLM-R/mT5: q_s ∝ p_s^τ flattens the source distribution
 #: toward uniform as τ→0, keeps it natural at τ=1).

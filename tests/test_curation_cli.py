@@ -113,3 +113,19 @@ def test_cli_silhouette_contract(spark, tmp_path, capsys):
         assert {"vec_id", "label", "a_intra", "b_inter", "silhouette"} <= set(r)
         # two well-separated planted labels: every vector coheres
         assert float(r["silhouette"]) > 0.5
+
+
+def test_cli_weighted_sample_contract(corpus_dir, capsys):
+    """A-ES sampling is CLI-reachable with --sample-k parameterization;
+    bad k refuses pre-Spark."""
+    rc = main(["--contract", "weighted-sample", "--data-dir", corpus_dir,
+               "--sample-k", "3", "--show", "10"])
+    assert rc == 0
+    rows = _json_rows(capsys)
+    assert len(rows) == 3
+    assert [r["pick_rank"] for r in rows] == [1, 2, 3]
+    assert len({r["doc_id"] for r in rows}) == 3
+
+    assert main(["--contract", "weighted-sample", "--data-dir", corpus_dir,
+                 "--sample-k", "0"]) == 2
+    assert "--sample-k" in capsys.readouterr().err

@@ -433,3 +433,37 @@ def test_containment_asymmetry_and_floor(spark, tmp_path):
     j = {(r["id_a"], r["id_b"]): r["jaccard"]
          for r in ngram_jaccard_pairs(d, threshold=0.5).collect()}
     assert (1, 2) not in j
+
+
+def test_weighted_sample_favors_heavy_docs(spark, tmp_path):
+    """A-ES property pin for corpus_weighted_sample: on a planted
+    corpus of 200 heavy (1000-token) and 200 light (10-token) docs,
+    the top-100 picks are dominated by heavy docs (u^(1/w) with a
+    100x weight ratio), every pick is unique (without replacement),
+    and empty docs never appear. The md5-derived uniforms make the
+    outcome deterministic, so the dominance assertion is a fixed
+    fact of the device, not a flaky statistic."""
+    from cql_xmlpipe_spark.plans import extensions as X
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "heavy", "en", " ".join(["w"] * 1000)))
+    for i in range(200, 400):
+        rows.append((i, "light", "en", " ".join(["w"] * 10)))
+    rows.append((400, "light", "en", ""))  # zero tokens: never sampled
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    orig = X.load_table
+    X.load_table = lambda _s, _t, _d: d
+    try:
+        got = X.corpus_weighted_sample(spark, "unused").collect()
+    finally:
+        X.load_table = orig
+    assert len(got) == 100
+    assert len({r["doc_id"] for r in got}) == 100      # without replacement
+    assert all(r["doc_id"] != 400 for r in got)        # zero-weight excluded
+    n_heavy = sum(1 for r in got if r["source"] == "heavy")
+    assert n_heavy >= 80, n_heavy
+    ranks = sorted(r["pick_rank"] for r in got)
+    assert ranks == list(range(1, 101))
