@@ -389,13 +389,16 @@ def _collapse_prelude(
     """Shared exact-duplicate collapse staging for the two collapsed
     operators: returns ``(mem, th, sets, rep_pairs)`` where ``mem`` is
     the (id, rep) membership map over identical texts (rep = min id of
-    the group; sha256 keys cross the wire, never text), ``th`` the
-    persisted hash projection behind it (scanned twice: aggregate side +
-    join side), ``sets`` the persisted shingle-hash projection of the
-    representatives (feeds the inner LSH AND serves as the eligibility
-    filter — ONE tokenization of the reps), and ``rep_pairs`` the
-    verified near-dup pairs between representatives. The caller owns
-    all three caches (track them via :func:`_track_cached`).
+    the group; sha256 keys cross the wire, never text — computed as a
+    min-window over the hash partitioning, ONE exchange and ONE scan of
+    the hash projection instead of the old groupBy+join-back's two),
+    ``th`` the un-persisted hash projection behind it (returned for
+    tracking-API compatibility; unpersist on it is a no-op), ``sets``
+    the persisted shingle-hash projection of the representatives (feeds
+    the inner LSH AND serves as the eligibility filter — ONE
+    tokenization of the reps), and ``rep_pairs`` the verified near-dup
+    pairs between representatives. The caller owns the caches (track
+    them via :func:`_track_cached`).
 
     ``max_pairs`` runs the guard's two stages IN COST ORDER before any
     LSH work: stage-1 (here) prices the exact-clone output from the
@@ -403,10 +406,19 @@ def _collapse_prelude(
     signatures; stage-2 (inside :func:`minhash_lsh_pairs`) bounds
     candidate volume from the banded index — which only jittered
     families reach, after stage-1 has already passed."""
-    th = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th")).persist()
-    reps = th.groupBy("_th").agg(F.min(id_col).alias("rep"))
-    mem = th.join(reps, "_th").select(F.col(id_col), "rep").persist()
-    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
+    # membership map in ONE shuffle: min-id-per-group as a window over the
+    # sha256 partitioning instead of groupBy+join-back (r14 optimization,
+    # guide §2.4 — the aggregate and the join shared the _th partitioning,
+    # so they collapse into one exchange; the hash projection is also
+    # scanned once, not twice, dropping its persist). Output identical:
+    # min over the whole frame == the group's min.
+    th = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th"))
+    mem = th.select(
+        F.col(id_col), F.min(id_col).over(W.partitionBy("_th")).alias("rep")
+    ).persist()
+    # a representative is the row whose id IS the group min — no distinct
+    # pass needed (each rep appears exactly once as its own member)
+    rep_ids = mem.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col))
     rep_docs = df.join(rep_ids, id_col, "left_semi")
     sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
     if max_pairs is not None:
@@ -2344,14 +2356,22 @@ def ngram_jaccard_pairs_collapsed(
     smoke (volume-FLAT on clone replication; previously the century smoke
     excluded this operator), for ~2 s extra staging at sf0.1 — the same
     trade the minhash family made."""
+    # same one-exchange membership-map device as _collapse_prelude (r14,
+    # guide §2.4): min-id window over the (block, sha256) partitioning
+    # replaces groupBy+join-back — identical output, one scan of the hash
+    # projection, no distinct pass for the rep set (a rep is the row whose
+    # id equals the group min)
     th = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
         F.sha2(F.col(text_col), 256).alias("_th"),
+    )
+    mem = th.select(
+        F.col(id_col),
+        "block",
+        F.min(id_col).over(W.partitionBy("block", "_th")).alias("rep"),
     ).persist()
-    reps = th.groupBy("block", "_th").agg(F.min(id_col).alias("rep"))
-    mem = th.join(reps, ["block", "_th"]).select(F.col(id_col), "block", "rep").persist()
-    rep_ids = mem.select(F.col("rep").alias(id_col)).distinct()
+    rep_ids = mem.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col))
     # persist: rep_docs feeds the PPJoin AND the eligibility filter; the
     # within/cross/union branches of ONE action would otherwise recompute
     # the corpus semi-join per uncached reference (measured 52 s vs 19 s
