@@ -1149,41 +1149,55 @@ def pq_build(
         raise ValueError("pq_topk: corpus has no non-null embeddings")
     bounds = _pq_bounds(len(probe[0]), m)
 
-    # per-subspace codebooks: seeded KMeans over the sliced columns
-    books: list[np.ndarray] = []
-    for s, (lo, hi) in enumerate(bounds):
+    # per-subspace codebooks: seeded KMeans over the sliced columns.
+    # The m fits are INDEPENDENT jobs (disjoint column slices, per-slice
+    # seeds), so they are submitted from a small driver thread pool and
+    # overlap on the cluster (guide §2.6: actions are only sequential
+    # because driver code calls them sequentially; concurrent jobs
+    # back-fill each other's stage tails). Centroids are bit-identical
+    # to the sequential loop — each fit is seeded (42+s) and sees the
+    # same input regardless of submission order.
+    def _fit_subspace(s: int, lo: int, hi: int) -> np.ndarray:
         train = corpus.filter(F.col(emb_col).isNotNull()).select(
             array_to_vector(F.slice(F.col(emb_col), lo + 1, hi - lo)).alias(
                 "features"
             )
         )
-        try:
-            model = KMeans(
-                k=ks, seed=42 + s, maxIter=20, featuresCol="features"
-            ).fit(train)
-        except Exception:
-            dims = (
-                corpus.filter(F.col(emb_col).isNotNull())
-                .groupBy(F.size(F.col(emb_col)).alias("dim"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .orderBy("dim")
-                .collect()
-            )
-            if len(dims) > 1:
-                raise ValueError(
-                    f"pq_topk: ragged '{emb_col}' dimensions "
-                    f"{[(r['dim'], r['n']) for r in dims]}; embeddings "
-                    "must share one dimension"
-                ) from None
-            raise
-        books.append(
-            np.stack(
-                [
-                    c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-                    for c in model.clusterCenters()
-                ]
-            )
+        model = KMeans(
+            k=ks, seed=42 + s, maxIter=20, featuresCol="features"
+        ).fit(train)
+        return np.stack(
+            [
+                c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+                for c in model.clusterCenters()
+            ]
         )  # ks × (hi-lo)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+            books: list[np.ndarray] = list(
+                pool.map(
+                    lambda args: _fit_subspace(*args),
+                    [(s, lo, hi) for s, (lo, hi) in enumerate(bounds)],
+                )
+            )
+    except Exception:
+        dims = (
+            corpus.filter(F.col(emb_col).isNotNull())
+            .groupBy(F.size(F.col(emb_col)).alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("dim")
+            .collect()
+        )
+        if len(dims) > 1:
+            raise ValueError(
+                f"pq_topk: ragged '{emb_col}' dimensions "
+                f"{[(r['dim'], r['n']) for r in dims]}; embeddings "
+                "must share one dimension"
+            ) from None
+        raise
 
     def _encode(batch: "pd.Series") -> "pd.Series":
         out: list = [None] * len(batch)
