@@ -286,6 +286,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     sets: DataFrame | None = None,
     max_pairs: int | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
 
@@ -320,13 +321,21 @@ def minhash_lsh_pairs(
     caller_sets = sets is not None
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k).persist()
-    # persist: the banded buckets feed BOTH sides of the candidate
-    # self-join; without this the 64-min aggregation executes twice
-    # (measured 6× wall at sf0.1). One row per doc, 65 longs — tiny.
-    sigs = _minhash_sigs(sets, id_col).persist()
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(_band_keys()).alias("band", "bucket")
-    )
+    if buckets is None:
+        # persist: the banded buckets feed BOTH sides of the candidate
+        # self-join; without this the 64-min aggregation executes twice
+        # (measured 6× wall at sf0.1). One row per doc, 65 longs — tiny.
+        sigs = _minhash_sigs(sets, id_col).persist()
+        buckets = sigs.select(
+            F.col(id_col), F.posexplode(_band_keys()).alias("band", "bucket")
+        )
+    else:
+        # caller supplies an already-staged (id, band, bucket) index over
+        # exactly the docs in ``sets`` (derived from a persisted superset
+        # staging — band keys are per-text deterministic, so a subset
+        # slice of the staged index IS the subset's index); no signature
+        # aggregate to run or persist here
+        sigs = None
     if max_pairs is not None:
         bstats = _guard_band_stats(buckets, "band", ["bucket"])
         _enforce_pair_budget(
@@ -341,7 +350,11 @@ def minhash_lsh_pairs(
             "row per family (the candidate-verify cost remains — the "
             "family's texts are distinct); raise max_pairs only if "
             "that verify bill is budgeted.",
-            caches=([sigs] if caller_sets else [sigs, sets]),
+            caches=[
+                c
+                for c in ((sigs,) if caller_sets else (sigs, sets))
+                if c is not None
+            ],
         )
     cands = (
         buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -371,11 +384,8 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return (
-        _track_cached(result, sigs)
-        if caller_sets
-        else _track_cached(result, sets, sigs)
-    )
+    own = (sigs,) if caller_sets else (sets, sigs)
+    return _track_cached(result, *[c for c in own if c is not None])
 
 
 def _collapse_prelude(
@@ -385,6 +395,7 @@ def _collapse_prelude(
     threshold: float,
     k: int,
     max_pairs: int | None = None,
+    staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared exact-duplicate collapse staging for the two collapsed
     operators: returns ``(mem, th, sets, rep_pairs)`` where ``mem`` is
@@ -420,7 +431,19 @@ def _collapse_prelude(
     # pass needed (each rep appears exactly once as its own member)
     rep_ids = mem.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col))
     rep_docs = df.join(rep_ids, id_col, "left_semi")
-    sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
+    if staged is not None:
+        # caller-owned full-corpus staging (stage_corpus_lsh over df):
+        # shingle sets and band keys are per-text deterministic, so the
+        # representative slices are plain semi-joins of the persisted
+        # staging — no second tokenize/shingle/sign pass over df (r14;
+        # the incremental-roster composition previously signed the
+        # corpus once for the standing pipeline and once for the probe)
+        s_sets, s_buckets = staged
+        sets = s_sets.join(rep_ids, id_col, "left_semi").persist()
+        rep_buckets = s_buckets.join(rep_ids, id_col, "left_semi")
+    else:
+        sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
+        rep_buckets = None
     if max_pairs is not None:
         stats = _guard_clone_stats(
             mem.join(sets.select(F.col(id_col).alias("rep")), "rep"), ["rep"]
@@ -438,7 +461,8 @@ def _collapse_prelude(
         )
     try:
         rep_pairs = minhash_lsh_pairs(
-            rep_docs, text_col, id_col, threshold, k, sets=sets, max_pairs=max_pairs
+            rep_docs, text_col, id_col, threshold, k,
+            sets=sets, max_pairs=max_pairs, buckets=rep_buckets,
         )
     except PairOutputBudgetExceeded:
         _unpersist_quiet(mem, th, sets)
@@ -453,6 +477,7 @@ def minhash_lsh_pairs_collapsed(
     threshold: float = 0.5,
     k: int = 3,
     max_pairs: int | None = None,
+    staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with exact-duplicate collapse — the
     production staging every large-corpus dedup runs (exact-dedup first,
@@ -501,7 +526,7 @@ def minhash_lsh_pairs_collapsed(
     arithmetic stage (see :func:`_collapse_prelude`). None (default)
     skips both stages."""
     mem, th, sets, rep_pairs = _collapse_prelude(
-        df, text_col, id_col, threshold, k, max_pairs
+        df, text_col, id_col, threshold, k, max_pairs, staged=staged
     )
     eligible = sets.select(F.col(id_col).alias("rep"))
     em = mem.join(eligible, "rep")
@@ -576,7 +601,12 @@ def cluster_assign_collapsed(
 
 
 def _labeled_collapsed(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int,
+    staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Shared collapse→LSH→verify→CC→member-fan-back stage: returns
     ``(labeled, caches)`` where ``labeled`` is (id, cluster_id) for every
@@ -585,9 +615,13 @@ def _labeled_collapsed(
     the persisted intermediates the caller must track. Docs outside
     eligible groups are absent — :func:`cluster_assign_collapsed` adds
     them back as singletons; the roster contract never needs them."""
-    mem, th, sets, rep_pairs = _collapse_prelude(df, text_col, id_col, threshold, k)
+    mem, th, sets, rep_pairs = _collapse_prelude(
+        df, text_col, id_col, threshold, k, staged=staged
+    )
+    # the rep set without a distinct pass: a representative is the member
+    # whose id equals the group min (same device as _collapse_prelude)
     cc = connected_components(
-        mem.select(F.col("rep").alias(id_col)).distinct(), rep_pairs
+        mem.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col)), rep_pairs
     )
     eligible = sets.select(F.col(id_col).alias("rep"))
     labeled = (
@@ -604,6 +638,7 @@ def minhash_groups_collapsed(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 3,
+    staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTER ROSTERS — (cluster_id, cluster_size, sorted
     members) for every multi-doc cluster — the LINEAR-output dedup
@@ -631,7 +666,9 @@ def minhash_groups_collapsed(
     membership rows avoided at target scale. Output identical, pinned
     by the recursive-CTE oracle. Singleton docs are omitted: "no
     duplicates" is the complement, not a row per doc at 100 TB."""
-    labeled, caches = _labeled_collapsed(df, text_col, id_col, threshold, k)
+    labeled, caches = _labeled_collapsed(
+        df, text_col, id_col, threshold, k, staged=staged
+    )
     groups = (
         labeled.groupBy("cluster_id")
         .agg(
@@ -1782,6 +1819,7 @@ def incremental_probe_pairs(
     k: int = 3,
     max_pairs: int | None = None,
     corpus_staged: tuple[DataFrame, DataFrame] | None = None,
+    increment_staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: near-dup pairs between a NEW batch and
     an EXISTING corpus, without ever forming corpus×corpus (or
@@ -1822,15 +1860,22 @@ def incremental_probe_pairs(
     batch against the corpus first — one linear hash join — so only
     novel texts probe).
     """
-    i_sets, i_buckets = _lsh_prep(increment, text_col, id_col, k)
+    if increment_staged is not None:
+        # caller-owned increment staging (stage_corpus_lsh over the
+        # batch): shared with the batch-internal LSH so one ingest signs
+        # the batch once, not twice
+        i_sets, i_buckets = increment_staged
+        caches = []
+    else:
+        i_sets, i_buckets = _lsh_prep(increment, text_col, id_col, k)
+        caches = [i_sets, i_buckets]
     if corpus_staged is not None:
         # caller-owned corpus staging (stage_corpus_lsh): reused across
         # ingests, so refusal/cleanup must never unpersist it here
         c_sets, c_buckets = corpus_staged
-        caches = [i_sets, i_buckets]
     else:
         c_sets, c_buckets = _lsh_prep(corpus, text_col, id_col, k)
-        caches = [i_sets, i_buckets, c_sets, c_buckets]
+        caches += [c_sets, c_buckets]
     if max_pairs is not None:
         remedy = (
             "Identical-text cross pairs are irreducible output; run the "
@@ -2111,20 +2156,34 @@ def incremental_roster_update(
     """
     if emit not in ("full", "delta"):
         raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
-    cross = incremental_probe_pairs(
-        corpus, increment, text_col, id_col, threshold, k,
-        max_pairs=max_pairs, corpus_staged=corpus_staged,
-    )
+    # sign the batch ONCE: the probe's increment side and the
+    # batch-internal LSH consume the same per-text-deterministic staging
+    # (r14 — previously each pipeline tokenized and signed the increment
+    # independently)
+    i_staged = _lsh_prep(increment, text_col, id_col, k)
+    try:
+        cross = incremental_probe_pairs(
+            corpus, increment, text_col, id_col, threshold, k,
+            max_pairs=max_pairs, corpus_staged=corpus_staged,
+            increment_staged=i_staged,
+        )
+    except PairOutputBudgetExceeded:
+        _unpersist_quiet(*i_staged)
+        raise
     try:
         batch = minhash_lsh_pairs_collapsed(
-            increment, text_col, id_col, threshold, k, max_pairs=max_pairs
+            increment, text_col, id_col, threshold, k,
+            max_pairs=max_pairs, staged=i_staged,
         )
     except PairOutputBudgetExceeded:
         # the probe side already staged its persists; don't leak them
         # when the batch-side guard refuses
         unpersist_intermediates(cross)
+        _unpersist_quiet(*i_staged)
         raise
-    return _roster_update_assemble(cross, batch, rosters, id_col, emit)
+    out = _roster_update_assemble(cross, batch, rosters, id_col, emit)
+    out._xmlpipe_cached = [*getattr(out, "_xmlpipe_cached", []), *i_staged]
+    return out
 
 
 def _roster_update_assemble(

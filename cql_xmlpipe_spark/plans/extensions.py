@@ -1069,9 +1069,18 @@ def dedup_incremental_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     increment = d.filter(F.col("doc_id") % 5 == 0)
-    standing = DD.minhash_groups_collapsed(corpus, threshold=0.5, k=3).persist()
+    # sign the corpus ONCE (r14): the standing pipeline's representative
+    # slices and the probe's index both derive from this staging — shingle
+    # sets and band keys are per-text deterministic, so the composition's
+    # output is unchanged while the corpus is tokenized/signed once, not
+    # twice (operators/dedup.py::_collapse_prelude staged path)
+    c_staged = DD.stage_corpus_lsh(corpus)
+    standing = DD.minhash_groups_collapsed(
+        corpus, threshold=0.5, k=3, staged=c_staged
+    ).persist()
     out = DD.incremental_roster_update(
-        corpus, increment, standing, threshold=0.5, k=3, emit="full"
+        corpus, increment, standing, threshold=0.5, k=3, emit="full",
+        corpus_staged=c_staged,
     )
     # the standing pipeline's persisted intermediates (and the standing
     # roster pin itself) ride the result's cleanup hook
@@ -1079,6 +1088,7 @@ def dedup_incremental_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
         *getattr(out, "_xmlpipe_cached", []),
         standing,
         *getattr(standing, "_xmlpipe_cached", []),
+        *c_staged,
     ]
     return out
 
@@ -1158,14 +1168,21 @@ def dedup_incremental_rosters_delta(spark: SparkSession, sf_dir: str) -> DataFra
     d = load_table(spark, "documents", sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     increment = d.filter(F.col("doc_id") % 5 == 0)
-    standing = DD.minhash_groups_collapsed(corpus, threshold=0.5, k=3).persist()
+    # one corpus staging shared by the standing pipeline and the probe —
+    # see dedup_incremental_rosters
+    c_staged = DD.stage_corpus_lsh(corpus)
+    standing = DD.minhash_groups_collapsed(
+        corpus, threshold=0.5, k=3, staged=c_staged
+    ).persist()
     out = DD.incremental_roster_update(
-        corpus, increment, standing, threshold=0.5, k=3, emit="delta"
+        corpus, increment, standing, threshold=0.5, k=3, emit="delta",
+        corpus_staged=c_staged,
     )
     out._xmlpipe_cached = [
         *getattr(out, "_xmlpipe_cached", []),
         standing,
         *getattr(standing, "_xmlpipe_cached", []),
+        *c_staged,
     ]
     return out
 
