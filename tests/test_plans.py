@@ -230,12 +230,18 @@ def test_full_outer_diff_uses_smj(spark):
 
 
 def test_embeddings_export_single_spread_then_codegen(spark):
-    """A4 export: pruned scan -> ONE deliberate round-robin spread of the
+    """A4 export: pruned scan -> ONE deliberate key-HASH spread of the
     single-row-group testdata file -> the whole XML assembly as one
-    codegen'd Project. Any extra exchange or a Python node is a regression."""
+    codegen'd Project. Hash, not round-robin (r14): a keyless
+    repartition pays sortBeforeRepartition — a full local sort of every
+    input partition — for retry determinism; hashing the document key is
+    deterministic for free. Any extra exchange, a reappearing
+    RoundRobinPartitioning (with its hidden sort), or a Python node is a
+    regression."""
     plan = _plan(spark, "xmlpipe_embeddings_export")
     assert plan.count("Exchange") == 2  # one node, printed twice (tree+details)
-    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning(vec_id" in plan
+    assert "RoundRobinPartitioning" not in plan and "Sort " not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
