@@ -438,9 +438,16 @@ def _collapse_prelude(
         # staging — no second tokenize/shingle/sign pass over df (r14;
         # the incremental-roster composition previously signed the
         # corpus once for the standing pipeline and once for the probe)
+        # buckets may be None (sets-only staging: the caller shares the
+        # tokenized projection but nobody else needs the banded index, so
+        # signatures still run over the representative slice only)
         s_sets, s_buckets = staged
         sets = s_sets.join(rep_ids, id_col, "left_semi").persist()
-        rep_buckets = s_buckets.join(rep_ids, id_col, "left_semi")
+        rep_buckets = (
+            s_buckets.join(rep_ids, id_col, "left_semi")
+            if s_buckets is not None
+            else None
+        )
     else:
         sets = shingle_hash_sets(rep_docs, text_col, id_col, k).persist()
         rep_buckets = None
@@ -840,9 +847,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     verify: str = "arrays",
+    hash_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise shingle Jaccard within blocking groups, via inverted
     index — NOT a block² cross join.
+
+    ``hash_sets`` (r14): an already-persisted :func:`shingle_hash_sets`
+    projection of ``df`` (same ``k``) — the sorted-hash base is then a
+    plain id-join of (id, block) against ``sort_array(hs)`` instead of a
+    second tokenize/shingle/hash pass over the text (the hash multiset
+    is identical: both paths transform the same distinct-shingle array).
+    Callers staging one corpus projection for several pipelines (the
+    recall gates run this AND the MinHash path on the same stratum) pass
+    it here; ownership of that cache stays with the caller.
 
     Explode distinct shingles, self-join on (block, shingle): only pairs
     that actually share a shingle are ever materialized, and the group-by
@@ -867,7 +884,6 @@ def ngram_jaccard_pairs(
       same ints; pytest pins variant equality). Measured A/B at the
       jittered decade in SCALE.md decides the default.
     """
-    sh = shingles(words(F.col(text_col)), k)
     # sorted distinct shingle hashes = canonical global order for the
     # PREFIX FILTER (PPJoin principle): if J(A,B) >= t, the two sets must
     # share an element within the first |X| - ceil(t*|X|) + 1 elements of
@@ -875,17 +891,33 @@ def ngram_jaccard_pairs(
     # preserved (verification below recomputes true Jaccard); candidate
     # volume drops ~(1-t) and frequency-skewed shingles mostly fall out
     # of prefixes, which is what keeps this viable at corpus scale.
-    base = (
-        df.select(
-            F.col(id_col),
-            F.col(block_col).alias("block"),
-            F.sort_array(
-                F.transform(sh, lambda s: F.xxhash64(s))
-            ).alias("sh"),
+    if hash_sets is not None:
+        # the caller's persisted hash-set projection: an inner id-join
+        # keeps exactly the ≥1-shingle docs (shingle_hash_sets filters
+        # them), same as the size filter below
+        base = (
+            df.select(F.col(id_col), F.col(block_col).alias("block"))
+            .join(
+                hash_sets.select(
+                    F.col(id_col), F.sort_array("hs").alias("sh")
+                ),
+                id_col,
+            )
+            .persist()
         )
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    else:
+        sh = shingles(words(F.col(text_col)), k)
+        base = (
+            df.select(
+                F.col(id_col),
+                F.col(block_col).alias("block"),
+                F.sort_array(
+                    F.transform(sh, lambda s: F.xxhash64(s))
+                ).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .persist()
+        )
     n = F.size("sh")
     prefix_len = (n - F.ceil(n * threshold) + 1).cast("int")
     prefixes = base.select(
@@ -1576,16 +1608,26 @@ def minhash_recall_sampled(
     ci95_hi), counts over stratum-internal pairs.
     """
     stratum = df.filter(stratum_filter(id_col, sample_frac))
-    lsh_full = minhash_lsh_pairs_collapsed(stratum, text_col, id_col, threshold, k)
+    # tokenize the stratum ONCE (r14): both sides' pipelines consume the
+    # same per-text-deterministic shingle-hash projection — the LSH
+    # collapse derives its representative slices from it (sets-only
+    # staging; signatures still run over reps only) and the PPJoin builds
+    # its sorted base from it, instead of each re-tokenizing the stratum
+    s_sets = shingle_hash_sets(stratum, text_col, id_col, k).persist()
+    lsh_full = minhash_lsh_pairs_collapsed(
+        stratum, text_col, id_col, threshold, k, staged=(s_sets, None)
+    )
     exact_full = ngram_jaccard_pairs_collapsed(
         stratum.withColumn("_blk", F.lit(1)),
         text_col, id_col, block_col="_blk", threshold=threshold, k=k,
+        hash_sets=s_sets,
     )
     lsh = lsh_full.select("id_a", "id_b")
     exact = exact_full.select("id_a", "id_b")
     result = _recall_wilson_row(lsh, exact)
     return _track_cached(
         result,
+        s_sets,
         *getattr(lsh_full, "_xmlpipe_cached", []),
         *getattr(exact_full, "_xmlpipe_cached", []),
     )
@@ -2395,6 +2437,7 @@ def ngram_jaccard_pairs_collapsed(
     threshold: float = 0.5,
     k: int = 3,
     verify: str = "arrays",
+    hash_sets: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with exact-duplicate collapse — the
     same staging that made the minhash family volume-flat on clone-heavy
@@ -2436,15 +2479,28 @@ def ngram_jaccard_pairs_collapsed(
     # the corpus semi-join per uncached reference (measured 52 s vs 19 s
     # at the 10x smoke before these pins)
     rep_docs = df.join(rep_ids, id_col, "left_semi").persist()
-    rep_pairs = ngram_jaccard_pairs(
-        rep_docs, text_col, id_col, block_col, threshold, k, verify
-    )
-    # eligibility: groups whose text yields >= 1 shingle (cheap expression
-    # filter on the rep docs — no pairing work); persisted because em is
-    # referenced by both sides of the within self-join
-    eligible = rep_docs.filter(
-        F.size(shingles(words(F.col(text_col)), k)) > 0
-    ).select(F.col(id_col).alias("rep")).persist()
+    if hash_sets is not None:
+        # caller-staged shingle-hash projection of df (r14): the rep
+        # slice is a semi-join, the PPJoin base an id-join inside
+        # ngram_jaccard_pairs, and eligibility falls out of the same
+        # projection (it keeps exactly the ≥1-shingle docs) — the rep
+        # texts are never tokenized a second time
+        rep_sets = hash_sets.join(rep_ids, id_col, "left_semi")
+        rep_pairs = ngram_jaccard_pairs(
+            rep_docs, text_col, id_col, block_col, threshold, k, verify,
+            hash_sets=rep_sets,
+        )
+        eligible = rep_sets.select(F.col(id_col).alias("rep")).persist()
+    else:
+        rep_pairs = ngram_jaccard_pairs(
+            rep_docs, text_col, id_col, block_col, threshold, k, verify
+        )
+        # eligibility: groups whose text yields >= 1 shingle (cheap
+        # expression filter on the rep docs — no pairing work); persisted
+        # because em is referenced by both sides of the within self-join
+        eligible = rep_docs.filter(
+            F.size(shingles(words(F.col(text_col)), k)) > 0
+        ).select(F.col(id_col).alias("rep")).persist()
     em = mem.join(eligible, "rep")
     within = (
         em.select("rep", F.col(id_col).alias("ma"))

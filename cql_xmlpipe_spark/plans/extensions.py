@@ -270,9 +270,16 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     only possible below J ≈ 0.85, where per-pair recall 1-(1-J⁴)¹⁶
     decays — e.g. ≈ 0.99979 at J = 0.8)."""
     d = load_table(spark, "documents", sf_dir)
-    lsh = DD.minhash_lsh_pairs_collapsed(d, threshold=0.35).select("id_a", "id_b")
+    # tokenize the corpus ONCE for both sides (r14) — same sharing device
+    # as minhash_recall_sampled; the projection rides the harness's
+    # clearCache between queries
+    s_sets = DD.shingle_hash_sets(d).persist()
+    lsh = DD.minhash_lsh_pairs_collapsed(
+        d, threshold=0.35, staged=(s_sets, None)
+    ).select("id_a", "id_b")
     exact = DD.ngram_jaccard_pairs_collapsed(
-        d.withColumn("_blk", F.lit(1)), block_col="_blk", threshold=0.35, k=3
+        d.withColumn("_blk", F.lit(1)), block_col="_blk", threshold=0.35, k=3,
+        hash_sets=s_sets,
     ).select("id_a", "id_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
