@@ -80,10 +80,14 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted — no partsupp; bridge derived from lineitem):
     min-cost supplier per part within a region, i.e. a correlated-MIN
-    subquery decorrelated to a per-part aggregate re-joined on equality.
-    The bridge and the best-cost table shuffle on partkey (co-located);
-    supplier/nation/region lookups are broadcast. Cost equality compares
-    the *same* IEEE double on both sides (MIN of identical divisions)."""
+    subquery decorrelated to a per-part MIN-window re-checked on equality
+    (r14: previously a per-part aggregate re-JOINED on equality — that
+    referenced the bridge+broadcast-joins subtree twice, executing the
+    whole lineitem aggregate twice, plus a join exchange; the window
+    shares the subtree's single partkey exchange, one pass). Supplier/
+    nation/region lookups are broadcast. Cost equality compares the
+    *same* IEEE double on both sides (MIN of identical divisions — the
+    window MIN is the same aggregate over the same rows)."""
     ps = _ps(spark, sf_dir)
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
     n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
@@ -97,12 +101,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
     )
-    best = eu.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
-        F.min("ps_supplycost").alias("b_cost")
-    )
+    from pyspark.sql import Window as W
+
+    # the broadcast p-join only drops whole parts (p_partkey is unique),
+    # so the per-part MIN over the joined rows equals the pre-join
+    # decorrelated aggregate for every surviving part
     return (
         eu.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
-        .join(best, F.col("b_partkey") == F.col("ps_partkey"))
+        .withColumn(
+            "b_cost",
+            F.min("ps_supplycost").over(W.partitionBy("ps_partkey")),
+        )
         .filter(F.col("ps_supplycost") == F.col("b_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
