@@ -571,16 +571,23 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(late).alias("n_late_rows"),
         )
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("supp_late").alias("n_late_supp"),
-    )
+    # per-order totals as a WINDOW over the orderkey partitioning the
+    # (order, supplier) grain already has (r14): the old groupBy+join-back
+    # referenced per_supp twice, executing the fact join and its collapse
+    # twice — the window shares one exchange and one pass (integer
+    # count/sum, exact either way)
+    from pyspark.sql import Window as W
+
+    w_ord = W.partitionBy("l_orderkey")
+    per_supp = per_supp.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w_ord)
+    ).withColumn("n_late_supp", F.sum("supp_late").over(w_ord))
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_5").select(
         "n_nationkey"
     )
     return (
-        per_supp.join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        per_supp
         .filter(
             (F.col("supp_late") == 1)
             & (F.col("n_supp") > 1)
