@@ -297,27 +297,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: rows below 20% of their part's average quantity.
-    The correlated-avg subquery decorrelates to a per-part SUM/COUNT
-    **window** over the partkey partitioning (r14:
-    previously a per-part aggregate re-joined to lineitem, which scanned
-    lineitem twice and shuffled both sides; the window is one scan and
-    one exchange — the broadcast p-join is per-row 1:1 on partkey, so
-    the window sees exactly the part's full row set either way). The
-    threshold is ``0.2 * (exact-decimal-sum-as-double / count)`` — the
-    window's decimal sum is order-free exact like the groupBy's, so the
-    comparison is the same IEEE sequence on both engines."""
-    from pyspark.sql import Window as W
-
+    The correlated-avg subquery decorrelates to a per-part aggregate
+    re-joined to lineitem (both sides shuffle on l_partkey — co-located,
+    no second shuffle for the join itself under AQE). The threshold is
+    ``0.2 * (exact-decimal-sum-as-double / count)`` so the comparison is
+    the same IEEE sequence on both engines. (r14 note: the window form
+    of this decorrelation — one scan, one exchange — was implemented and
+    measured 1.0 → 1.8 s in the interleaved bench: the window's full
+    sort of the fact rows costs more than the second pruned columnar
+    scan + hash aggregate. Q2/Q21 keep their window forms because their
+    doubled subtrees were expensive; a bare fact scan is not.)"""
     l = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    w = W.partitionBy("l_partkey")
+    agg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .withColumn(
-            "sum_qty",
-            F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double"),
-        )
-        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .join(agg, F.col("a_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * (F.col("sum_qty") / F.col("cnt")))
         .groupBy("p_brand")
         .agg(
