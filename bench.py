@@ -285,14 +285,20 @@ RECORDS = {
 }
 
 
-def format_bench_line(timings: dict[str, float], sf) -> str:
+def format_bench_line(timings: dict[str, float], sf, cpus: int | None = None) -> str:
     """Render the result as ONE JSON line that fits the driver's tail
     window. The driver records only the last 2000 chars of stdout and
     parses the JSON line out of that tail — a longer line is
     unparseable by construction (BENCH_r06-r08 all hit this once the
     headline set passed ~55 queries). Emit compactly and degrade timing
     precision (3dp → 2dp → 1dp) until the line fits; sub-0.1 s
-    precision is noise at these wall-clocks anyway."""
+    precision is noise at these wall-clocks anyway.
+
+    ``cpus`` (r15, VERDICT r14 scaling item): the session's ACTUAL
+    ``sc.defaultParallelism``, echoed so the scaling harness can verify
+    $SPARK_GRAFT_CPUS was honored (it always was — bench builds its
+    session via get_spark, which reads the env var — but the line
+    carried no evidence). Additive field; format otherwise unchanged."""
     out = {
         "metric": "headline_query_wall_clock_total",
         "value": 0.0,
@@ -300,6 +306,8 @@ def format_bench_line(timings: dict[str, float], sf) -> str:
         "queries": {},
         "sf": sf,
     }
+    if cpus is not None:
+        out["cpus"] = cpus
     for ndigits in (3, 2, 1, 0):
         out["queries"] = {
             n: (round(v, ndigits) if ndigits else int(round(v)))
@@ -429,7 +437,9 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         format_bench_line(
-            timings, float(sf) if sf.replace(".", "").isdigit() else sf
+            timings,
+            float(sf) if sf.replace(".", "").isdigit() else sf,
+            cpus=spark.sparkContext.defaultParallelism,
         )
     )
     return 0

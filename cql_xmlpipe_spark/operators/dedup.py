@@ -396,20 +396,21 @@ def _collapse_prelude(
     k: int,
     max_pairs: int | None = None,
     staged: tuple[DataFrame, DataFrame] | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared exact-duplicate collapse staging for the two collapsed
-    operators: returns ``(mem, th, sets, rep_pairs)`` where ``mem`` is
+    operators: returns ``(mem, sets, rep_pairs)`` where ``mem`` is
     the (id, rep) membership map over identical texts (rep = min id of
     the group; sha256 keys cross the wire, never text — computed as a
     min-window over the hash partitioning, ONE exchange and ONE scan of
     the hash projection instead of the old groupBy+join-back's two),
-    ``th`` the un-persisted hash projection behind it (returned for
-    tracking-API compatibility; unpersist on it is a no-op), ``sets``
-    the persisted shingle-hash projection of the representatives (feeds
-    the inner LSH AND serves as the eligibility filter — ONE
-    tokenization of the reps), and ``rep_pairs`` the verified near-dup
-    pairs between representatives. The caller owns the caches (track
-    them via :func:`_track_cached`).
+    ``sets`` the persisted shingle-hash projection of the
+    representatives (feeds the inner LSH AND serves as the eligibility
+    filter — ONE tokenization of the reps), and ``rep_pairs`` the
+    verified near-dup pairs between representatives. The caller owns
+    the caches (track them via :func:`_track_cached`). The sha256 hash
+    projection behind ``mem`` is un-persisted and NOT returned (ADVICE
+    r14: a dead 'cache' flowing through the tracking API invites a
+    caller to assume it is pinned).
 
     ``max_pairs`` runs the guard's two stages IN COST ORDER before any
     LSH work: stage-1 (here) prices the exact-clone output from the
@@ -464,7 +465,7 @@ def _collapse_prelude(
             f"max_pairs={max_pairs:,}. The pair contract is irreducibly "
             "quadratic in clone-family size; use minhash_groups_collapsed "
             "(one roster row per family, linear output) or raise max_pairs.",
-            caches=(mem, th, sets),
+            caches=(mem, sets),
         )
     try:
         rep_pairs = minhash_lsh_pairs(
@@ -472,9 +473,9 @@ def _collapse_prelude(
             sets=sets, max_pairs=max_pairs, buckets=rep_buckets,
         )
     except PairOutputBudgetExceeded:
-        _unpersist_quiet(mem, th, sets)
+        _unpersist_quiet(mem, sets)
         raise
-    return mem, th, sets, rep_pairs
+    return mem, sets, rep_pairs
 
 
 def minhash_lsh_pairs_collapsed(
@@ -532,7 +533,7 @@ def minhash_lsh_pairs_collapsed(
     embedding operator's bucket guard, run strictly AFTER the cheap
     arithmetic stage (see :func:`_collapse_prelude`). None (default)
     skips both stages."""
-    mem, th, sets, rep_pairs = _collapse_prelude(
+    mem, sets, rep_pairs = _collapse_prelude(
         df, text_col, id_col, threshold, k, max_pairs, staged=staged
     )
     eligible = sets.select(F.col(id_col).alias("rep"))
@@ -563,7 +564,6 @@ def minhash_lsh_pairs_collapsed(
     return _track_cached(
         within.unionByName(cross),
         mem,
-        th,
         sets,
         *getattr(rep_pairs, "_xmlpipe_cached", []),
     )
@@ -622,7 +622,7 @@ def _labeled_collapsed(
     the persisted intermediates the caller must track. Docs outside
     eligible groups are absent — :func:`cluster_assign_collapsed` adds
     them back as singletons; the roster contract never needs them."""
-    mem, th, sets, rep_pairs = _collapse_prelude(
+    mem, sets, rep_pairs = _collapse_prelude(
         df, text_col, id_col, threshold, k, staged=staged
     )
     # the rep set without a distinct pass: a representative is the member
@@ -636,7 +636,7 @@ def _labeled_collapsed(
         .join(cc.select(F.col(id_col).alias("rep"), "cluster_id"), "rep")
         .select(F.col(id_col), "cluster_id")
     )
-    return labeled, [mem, th, sets, *getattr(rep_pairs, "_xmlpipe_cached", [])]
+    return labeled, [mem, sets, *getattr(rep_pairs, "_xmlpipe_cached", [])]
 
 
 def minhash_groups_collapsed(
@@ -2223,7 +2223,15 @@ def incremental_roster_update(
         unpersist_intermediates(cross)
         _unpersist_quiet(*i_staged)
         raise
-    out = _roster_update_assemble(cross, batch, rosters, id_col, emit)
+    try:
+        out = _roster_update_assemble(cross, batch, rosters, id_col, emit)
+    except Exception:
+        # assemble's internal CC-failure handler unpersists the edge list
+        # and the pair frames' tracked caches, but the increment staging
+        # only joins the result's cleanup hook after assemble returns —
+        # don't leak it for the session lifetime on that path (ADVICE r14)
+        _unpersist_quiet(*i_staged)
+        raise
     out._xmlpipe_cached = [*getattr(out, "_xmlpipe_cached", []), *i_staged]
     return out
 

@@ -1183,20 +1183,33 @@ def pq_build(
                     [(s, lo, hi) for s, (lo, hi) in enumerate(bounds)],
                 )
             )
-    except Exception:
-        dims = (
-            corpus.filter(F.col(emb_col).isNotNull())
-            .groupBy(F.size(F.col(emb_col)).alias("dim"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("dim")
-            .collect()
-        )
-        if len(dims) > 1:
-            raise ValueError(
-                f"pq_topk: ragged '{emb_col}' dimensions "
-                f"{[(r['dim'], r['n']) for r in dims]}; embeddings "
-                "must share one dimension"
-            ) from None
+    except Exception as exc:
+        # run the ragged-dimension diagnostic scan ONLY when the failure
+        # looks like one (r15, VERDICT r14 item 8): an unrelated fit
+        # failure must not trigger a full corpus aggregation on its way
+        # out — at 100 TB that is a wasted full scan in an error path.
+        # Breeze/MLlib dimension mismatches surface as "requirement
+        # failed", "dimension"/"size (mis)match", or a slice falling
+        # outside a short row ("index out of bounds"/NULL struct field).
+        msg = str(exc).lower()
+        if any(
+            t in msg
+            for t in ("dimension", "size", "length", "requirement failed",
+                      "index", "bounds")
+        ):
+            dims = (
+                corpus.filter(F.col(emb_col).isNotNull())
+                .groupBy(F.size(F.col(emb_col)).alias("dim"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("dim")
+                .collect()
+            )
+            if len(dims) > 1:
+                raise ValueError(
+                    f"pq_topk: ragged '{emb_col}' dimensions "
+                    f"{[(r['dim'], r['n']) for r in dims]}; embeddings "
+                    "must share one dimension"
+                ) from None
         raise
 
     def _encode(batch: "pd.Series") -> "pd.Series":

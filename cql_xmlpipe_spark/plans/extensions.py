@@ -271,23 +271,24 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     decays — e.g. ≈ 0.99979 at J = 0.8)."""
     d = load_table(spark, "documents", sf_dir)
     # tokenize the corpus ONCE for both sides (r14) — same sharing device
-    # as minhash_recall_sampled; the projection rides the harness's
-    # clearCache between queries
+    # as minhash_recall_sampled
     s_sets = DD.shingle_hash_sets(d).persist()
-    lsh = DD.minhash_lsh_pairs_collapsed(
+    lsh_full = DD.minhash_lsh_pairs_collapsed(
         d, threshold=0.35, staged=(s_sets, None)
-    ).select("id_a", "id_b")
-    exact = DD.ngram_jaccard_pairs_collapsed(
+    )
+    exact_full = DD.ngram_jaccard_pairs_collapsed(
         d.withColumn("_blk", F.lit(1)), block_col="_blk", threshold=0.35, k=3,
         hash_sets=s_sets,
-    ).select("id_a", "id_b")
+    )
+    lsh = lsh_full.select("id_a", "id_b")
+    exact = exact_full.select("id_a", "id_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_found = (
         lsh.join(exact, ["id_a", "id_b"])
         .agg(F.count(F.lit(1)).alias("n_found"))
     )
-    return (
+    result = (
         n_exact.crossJoin(F.broadcast(n_lsh))
         .crossJoin(F.broadcast(n_found))
         # NULL (not 0/0's engine-dependent NULL/NaN/inf) on a pair-free
@@ -297,6 +298,16 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall",
             F.when(F.col("n_exact") > 0, F.col("n_found") / F.col("n_exact")),
         )
+    )
+    # r15 (VERDICT r14 item 8 / ADVICE): the shared staging and both
+    # collapsed pipelines' persists ride the result's cleanup hook — a
+    # long-lived session (CLI/library use) must not depend on the bench
+    # harness's clearCache to release the full-corpus projections
+    return DD._track_cached(
+        result,
+        s_sets,
+        *getattr(lsh_full, "_xmlpipe_cached", []),
+        *getattr(exact_full, "_xmlpipe_cached", []),
     )
 
 

@@ -100,6 +100,13 @@ def xmlpipe_orders_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a deterministic key hash needs no sort and is retry-safe by
     # construction (guide §2.5). Measured 2.0 -> 1.3 s on the lineitem
     # twin; output hash-identical (order-insensitive contract).
+    # SPREAD-KEY CONTRACT (r15, VERDICT r14 #6): the hash spread is only
+    # skew-free when the key tuple is (near-)row-unique — o_orderkey is
+    # the orders PRIMARY key, so every row hashes independently and no
+    # hot partition can form. A caller spreading on a repeated/skewed
+    # key must add columns until the tuple is row-unique (see the
+    # lineitem export: (l_orderkey, l_linenumber)) or fall back to
+    # keyless repartition(n) and pay its sort.
     return xml_documents(
         o.repartition(sc_parallelism(spark), F.col("o_orderkey")), ["o_orderkey"]
     )
@@ -179,9 +186,17 @@ def xmlpipe_lineitem_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashBase-consumption subtlety of ``Query.java:206-218`` on real data)."""
     l = load_table(spark, "lineitem", sf_dir)
     # see xmlpipe_orders_export: hash-partitioned spread (no
-    # sort-before-repartition), measured 2.0 -> 1.3 s here
+    # sort-before-repartition), measured 2.0 -> 1.3 s there. Spread on
+    # the ROW-UNIQUE (l_orderkey, l_linenumber) tuple, not l_orderkey
+    # alone (r15): l_orderkey repeats up to 7× in TPC-H — harmless — but
+    # the spread-key contract (see orders export) wants a key a skewed
+    # document table cannot funnel into hot partitions; the composite
+    # tuple is the table's primary key, so the spread is skew-free by
+    # construction at any data distribution. Same rows, same hash.
     return xml_documents(
-        l.repartition(sc_parallelism(spark), F.col("l_orderkey")),
+        l.repartition(
+            sc_parallelism(spark), F.col("l_orderkey"), F.col("l_linenumber")
+        ),
         ["l_orderkey", "l_linenumber"],
     )
 

@@ -76,6 +76,16 @@ def _stage_dir(sf_dir: str) -> str:
     return d
 
 
+#: staged-dir -> probed parquet schema. The stage dir is content-addressed
+#: (its tag hashes the resolved source file LIST, see _stage_dir), so a
+#: rewritten source table mints a new key and can never serve a stale
+#: schema. Schema METADATA only — never data or results; it removes the
+#: per-stream-start footer probe that every streaming gate paid (r15,
+#: guide §1.2 "don't recompute": five gates × three bench passes probed
+#: the same immutable file list fifteen times).
+_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -86,7 +96,9 @@ def stream_events(
     TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds), probe the
     batch reader's schema for the same file — a footer-only read — and
     normalize ``ts`` to a µs TimestampType either way, identical to
-    ``sources/registry.load_table``.
+    ``sources/registry.load_table``. The probe is memoized per staged
+    dir (content-addressed over the file list), so a session running
+    many streams over one source reads the footer once.
     """
     # vanilla-session safety: without this runtime conf a NANOS file is
     # unreadable at all — don't depend on the session factory having set it
@@ -95,7 +107,10 @@ def stream_events(
     except Exception:  # pragma: no cover - conf locked on exotic sessions
         pass
     d = _stage_dir(sf_dir)
-    probed = spark.read.parquet(d).schema
+    probed = _SCHEMA_CACHE.get(d)
+    if probed is None:
+        probed = spark.read.parquet(d).schema
+        _SCHEMA_CACHE[d] = probed
     reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -363,11 +363,14 @@ def test_bench_line_fits_driver_tail_window():
     # (the full-suite total is ~90 s; all-queries-at-100 s is already
     # a 6000 s phantom run)
     timings = {n: 99.999 for n in bench.HEADLINE}
-    line = bench.format_bench_line(timings, 0.1)
+    line = bench.format_bench_line(timings, 0.1, cpus=32)
     assert len(line) <= 1980, len(line)
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(bench.HEADLINE)
     assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+    # r15: the effective parallelism is echoed so the driver's scaling
+    # harness can verify $SPARK_GRAFT_CPUS was honored
+    assert parsed["cpus"] == 32
 
     # headroom probe: the degrade ladder must keep the full per-query
     # map parseable all the way to the 65-query CURATION CAP (names
@@ -380,7 +383,7 @@ def test_bench_line_fits_driver_tail_window():
     extra = 65 - len(bench.HEADLINE)
     big = {n: 12.345 for n in bench.HEADLINE}
     big.update({f"extra_round_query_{i:02d}": 12.345 for i in range(extra)})
-    line2 = bench.format_bench_line(big, 0.1)
+    line2 = bench.format_bench_line(big, 0.1, cpus=32)
     assert len(line2) <= 1980, len(line2)
     assert len(json.loads(line2)["queries"]) == 65
 
