@@ -6103,7 +6103,6 @@ def _semdedup_core(e: DataFrame, n_clusters: int, tau: float) -> DataFrame:
     init); the decade measurements (scripts/measure_r12b.py) run it at
     K ∝ N — the paper's operating point, where cluster size and hence
     the per-cluster pair bill stay constant as the corpus grows."""
-    from cql_xmlpipe_spark.functions.vectors import dot as vdot
     from cql_xmlpipe_spark.functions.vectors import norm, sqdist
 
     # the input frame is scanned once per Lloyd round plus once for the
@@ -6141,44 +6140,68 @@ def _semdedup_core(e: DataFrame, n_clusters: int, tau: float) -> DataFrame:
         )["cid"].alias("cluster_id"),
         "embedding",
     ).persist()
-    # per-vector norms are computed ONCE here, not per pair: the pair
-    # filter below then costs a single dot fold per candidate instead of
-    # three (dot + both norms) — same doubles, the oracle divides the
-    # same per-vector nrm values
+    # per-vector norms are computed ONCE here, not per pair — and in
+    # Spark (the left-to-right fold that bit-matches the oracle), so the
+    # numpy stage below divides the exact same per-vector doubles
     el = asg.withColumn("nrm", norm(F.col("embedding"))).filter(F.col("nrm") > 0)
-    # SALT the within-cluster pair join: cluster_id alone has only K
-    # distinct keys, so at the gate's pinned K=8 the heavy pair stage
-    # would run on ≤8 tasks no matter how many cores exist. The b side
-    # gets a deterministic bucket (xxhash64(id) mod S), the a side
-    # replicates S× — every pair still forms exactly once (the b row's
-    # bucket decides), parallelism becomes K×S. Production K ∝ N makes
-    # this a no-op-ish safety; at low K it is the difference between 8
-    # and 64 active tasks.
-    n_salt = 8
-    a = el.select(
-        "cluster_id",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
-    )
-    b = el.select(
-        "cluster_id",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).cast("int").alias("salt"),
-    )
-    pruned = (
-        a.join(b, ["cluster_id", "salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            vdot(F.col("emb_a"), F.col("emb_b"))
-            / (F.col("nrm_a") * F.col("nrm_b"))
-            >= F.lit(tau)
+    # Within-cluster pair stage as ONE Arrow-batched numpy block per
+    # cluster (r15, guide §4.2 — the pq_topk ADC lesson applied here):
+    # the r14 salted self-join shipped every member 9× (8 salt copies +
+    # probe side) through an exchange and evaluated an INTERPRETED
+    # 64-term Column fold per candidate pair (the unrolled-expression
+    # experiment proved the fold was already the best *Column* form —
+    # the win is leaving Column expressions entirely). Now each cluster
+    # crosses the Arrow boundary once as (id, emb, nrm) and a single
+    # float64 matmul scores all pairs. Decision-exact, measured: numpy's
+    # pairwise dot summation and the fold differ only in addition order
+    # (~1e-16 relative); the smallest |cos − τ| margin over ALL
+    # within-cluster pairs is 0.05 at every SF (planted twins sit at
+    # ≈1.0, unrelated pairs ≤0.9), and the output matched the fold
+    # row-for-row at sf0.001/0.01/0.1 (scripts/measure_r15_semdedup.py).
+    # kept_by = min qualifying lower id: ids are sorted ascending, so
+    # the FIRST qualifying row per column is the minimum — argmax on the
+    # boolean mask, no per-pair rows ever materialize.
+    # Scale shape: one shuffle of (cluster, id, emb, nrm) — 1× the rows
+    # the salted join shuffled 9× — and per-task memory is the cluster's
+    # member block plus a column-blocked g×blk cosine tile (blk sized to
+    # ~8M doubles), bounded at the paper's K ∝ N operating point where
+    # cluster size stays ~constant.
+    import numpy as np
+    import pandas as pd
+
+    def _prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        g = len(ids)
+        if g < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "kept_by": pd.Series(dtype="int64")}
+            )
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        row_idx = np.arange(g)
+        blk = max(128, min(4096, (8 << 20) // g))
+        out_v, out_k = [], []
+        for j0 in range(0, g, blk):
+            j1 = min(j0 + blk, g)
+            cos = (V @ V[j0:j1].T) / np.outer(nr, nr[j0:j1])
+            mask = cos >= tau
+            # a pair is (lower id, higher id): keep rows strictly above
+            # the column's global position only
+            mask &= row_idx[:, None] < np.arange(j0, j1)[None, :]
+            sel = np.flatnonzero(mask.any(axis=0))
+            first = mask.argmax(axis=0)
+            out_v.append(ids[j0 + sel])
+            out_k.append(ids[first[sel]])
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_v), "kept_by": np.concatenate(out_k)}
         )
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("kept_by"))
+
+    pruned = (
+        el.select("cluster_id", "vec_id", "embedding", "nrm")
+        .groupBy("cluster_id")
+        .applyInPandas(_prune_cluster, "vec_id long, kept_by long")
     )
     out = (
         asg.select("vec_id", "cluster_id")

@@ -63,3 +63,21 @@ def test_semdedup_invariants(spark):
         if sum(x * y for x, y in zip(a, b)) / (na * nb) >= _SEMDEDUP_TAU:
             best = o["vec_id"] if best is None else min(best, o["vec_id"])
     assert best == row["kept_by"]
+
+
+def test_semdedup_pair_stage_is_one_arrow_block(spark):
+    """r15 plan pin: the within-cluster pair stage is ONE Arrow-batched
+    numpy block per cluster (FlatMapGroupsInPandas), not a salted
+    self-join of the member table — the join shipped every member 9×
+    and paid an interpreted 64-term Column fold per candidate pair. A
+    reappearing self-join on cluster_id (two scans of the assignment
+    feeding one join) or a second Python node is a regression."""
+    from cql_xmlpipe_spark.operators.dedup import unpersist_intermediates
+    from cql_xmlpipe_spark.plans.extensions import semdedup_prune
+
+    out = semdedup_prune(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # the old salted join's marker: an explode of the salt sequence
+    assert "sequence(0" not in plan and "salt" not in plan
+    unpersist_intermediates(out)
