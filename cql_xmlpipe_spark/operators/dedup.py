@@ -396,6 +396,7 @@ def _collapse_prelude(
     k: int,
     max_pairs: int | None = None,
     staged: tuple[DataFrame, DataFrame] | None = None,
+    mem: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared exact-duplicate collapse staging for the two collapsed
     operators: returns ``(mem, sets, rep_pairs)`` where ``mem`` is
@@ -412,6 +413,16 @@ def _collapse_prelude(
     r14: a dead 'cache' flowing through the tracking API invites a
     caller to assume it is pinned).
 
+    ``mem`` lets a caller hand in an already-persisted (id, rep)
+    membership map over ``df`` (r15: the recall gates' exact-PPJoin and
+    LSH sides each collapsed the same corpus — one sha256 window now
+    serves both, see :func:`minhash_recall_sampled`). The map must be
+    exactly the (sha256(text), min-id) collapse of ``df``; ownership of
+    its persist stays with the caller, though it is returned (and so
+    tracked/unpersisted) like an own map — unpersisting a shared cache
+    twice is a no-op, but a guard REFUSAL also unpersists it, so don't
+    reuse the map after catching :class:`PairOutputBudgetExceeded`.
+
     ``max_pairs`` runs the guard's two stages IN COST ORDER before any
     LSH work: stage-1 (here) prices the exact-clone output from the
     eligible collapse-group sizes — the cheap arithmetic that needs no
@@ -424,10 +435,11 @@ def _collapse_prelude(
     # so they collapse into one exchange; the hash projection is also
     # scanned once, not twice, dropping its persist). Output identical:
     # min over the whole frame == the group's min.
-    th = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th"))
-    mem = th.select(
-        F.col(id_col), F.min(id_col).over(W.partitionBy("_th")).alias("rep")
-    ).persist()
+    if mem is None:
+        th = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th"))
+        mem = th.select(
+            F.col(id_col), F.min(id_col).over(W.partitionBy("_th")).alias("rep")
+        ).persist()
     # a representative is the row whose id IS the group min — no distinct
     # pass needed (each rep appears exactly once as its own member)
     rep_ids = mem.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col))
@@ -486,6 +498,7 @@ def minhash_lsh_pairs_collapsed(
     k: int = 3,
     max_pairs: int | None = None,
     staged: tuple[DataFrame, DataFrame] | None = None,
+    mem: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with exact-duplicate collapse — the
     production staging every large-corpus dedup runs (exact-dedup first,
@@ -534,7 +547,7 @@ def minhash_lsh_pairs_collapsed(
     arithmetic stage (see :func:`_collapse_prelude`). None (default)
     skips both stages."""
     mem, sets, rep_pairs = _collapse_prelude(
-        df, text_col, id_col, threshold, k, max_pairs, staged=staged
+        df, text_col, id_col, threshold, k, max_pairs, staged=staged, mem=mem
     )
     eligible = sets.select(F.col(id_col).alias("rep"))
     em = mem.join(eligible, "rep")
@@ -1614,13 +1627,28 @@ def minhash_recall_sampled(
     # staging; signatures still run over reps only) and the PPJoin builds
     # its sorted base from it, instead of each re-tokenizing the stratum
     s_sets = shingle_hash_sets(stratum, text_col, id_col, k).persist()
+    # ... and collapse it ONCE (r15): both sides' membership maps are the
+    # same sha256 min-id window — the PPJoin side's block key is the
+    # constant _blk, so its (block, text) groups ARE the text groups and
+    # one map serves both (one window exchange + one hash scan removed)
+    s_mem = (
+        stratum.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("_th")
+        )
+        .select(
+            F.col(id_col),
+            F.min(id_col).over(W.partitionBy("_th")).alias("rep"),
+        )
+        .persist()
+    )
     lsh_full = minhash_lsh_pairs_collapsed(
-        stratum, text_col, id_col, threshold, k, staged=(s_sets, None)
+        stratum, text_col, id_col, threshold, k, staged=(s_sets, None),
+        mem=s_mem,
     )
     exact_full = ngram_jaccard_pairs_collapsed(
         stratum.withColumn("_blk", F.lit(1)),
         text_col, id_col, block_col="_blk", threshold=threshold, k=k,
-        hash_sets=s_sets,
+        hash_sets=s_sets, mem=s_mem,
     )
     lsh = lsh_full.select("id_a", "id_b")
     exact = exact_full.select("id_a", "id_b")
@@ -1628,6 +1656,7 @@ def minhash_recall_sampled(
     return _track_cached(
         result,
         s_sets,
+        s_mem,
         *getattr(lsh_full, "_xmlpipe_cached", []),
         *getattr(exact_full, "_xmlpipe_cached", []),
     )
@@ -2446,6 +2475,7 @@ def ngram_jaccard_pairs_collapsed(
     k: int = 3,
     verify: str = "arrays",
     hash_sets: DataFrame | None = None,
+    mem: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with exact-duplicate collapse — the
     same staging that made the minhash family volume-flat on clone-heavy
@@ -2470,17 +2500,26 @@ def ngram_jaccard_pairs_collapsed(
     # guide §2.4): min-id window over the (block, sha256) partitioning
     # replaces groupBy+join-back — identical output, one scan of the hash
     # projection, no distinct pass for the rep set (a rep is the row whose
-    # id equals the group min)
-    th = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        F.sha2(F.col(text_col), 256).alias("_th"),
-    )
-    mem = th.select(
-        F.col(id_col),
-        "block",
-        F.min(id_col).over(W.partitionBy("block", "_th")).alias("rep"),
-    ).persist()
+    # id equals the group min).
+    # ``mem`` (r15): caller-staged persisted (id, rep) map over df. Valid
+    # ONLY when the caller can vouch it equals the (block, sha256(text))
+    # collapse — e.g. when block_col is a constant literal, where the
+    # (block, text) groups ARE the text groups (the recall gates' case:
+    # their LSH side builds the same text-keyed map, so one sha256 window
+    # serves both sides). Ownership of the persist stays with the caller;
+    # it is tracked on the result like an own map (double-unpersist is a
+    # no-op).
+    if mem is None:
+        th = df.select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.sha2(F.col(text_col), 256).alias("_th"),
+        )
+        mem = th.select(
+            F.col(id_col),
+            "block",
+            F.min(id_col).over(W.partitionBy("block", "_th")).alias("rep"),
+        ).persist()
     rep_ids = mem.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col))
     # persist: rep_docs feeds the PPJoin AND the eligibility filter; the
     # within/cross/union branches of ONE action would otherwise recompute
@@ -2535,7 +2574,6 @@ def ngram_jaccard_pairs_collapsed(
     )
     return _track_cached(
         within.unionByName(cross),
-        th,
         mem,
         rep_docs,
         eligible,

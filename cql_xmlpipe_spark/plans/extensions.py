@@ -270,15 +270,25 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     only possible below J ≈ 0.85, where per-pair recall 1-(1-J⁴)¹⁶
     decays — e.g. ≈ 0.99979 at J = 0.8)."""
     d = load_table(spark, "documents", sf_dir)
-    # tokenize the corpus ONCE for both sides (r14) — same sharing device
-    # as minhash_recall_sampled
+    # tokenize the corpus ONCE for both sides (r14) and collapse it ONCE
+    # (r15) — same sharing devices as minhash_recall_sampled: the PPJoin
+    # side's block is the constant _blk, so one sha256 min-id window
+    # serves both sides' membership maps
     s_sets = DD.shingle_hash_sets(d).persist()
+    s_mem = (
+        d.select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("_th"))
+        .select(
+            F.col("doc_id"),
+            F.min("doc_id").over(Window.partitionBy("_th")).alias("rep"),
+        )
+        .persist()
+    )
     lsh_full = DD.minhash_lsh_pairs_collapsed(
-        d, threshold=0.35, staged=(s_sets, None)
+        d, threshold=0.35, staged=(s_sets, None), mem=s_mem
     )
     exact_full = DD.ngram_jaccard_pairs_collapsed(
         d.withColumn("_blk", F.lit(1)), block_col="_blk", threshold=0.35, k=3,
-        hash_sets=s_sets,
+        hash_sets=s_sets, mem=s_mem,
     )
     lsh = lsh_full.select("id_a", "id_b")
     exact = exact_full.select("id_a", "id_b")
@@ -306,6 +316,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD._track_cached(
         result,
         s_sets,
+        s_mem,
         *getattr(lsh_full, "_xmlpipe_cached", []),
         *getattr(exact_full, "_xmlpipe_cached", []),
     )

@@ -363,6 +363,48 @@ def test_collapsed_pairs_equal_uncollapsed_on_cloned_corpus(spark):
     assert fast == base
 
 
+def test_collapsed_ops_accept_shared_membership_map(spark):
+    """r15: both collapsed operators accept a caller-staged (id, rep)
+    membership map (the recall gates build ONE sha256 window for their
+    LSH and exact-PPJoin sides instead of two) — output must be
+    identical to the own-map path, for the LSH op on any corpus and for
+    the PPJoin op whenever its block is CONSTANT (the only contract
+    under which the caller may share a text-keyed map)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    cloned = d.unionByName(
+        d.select((F.col("doc_id") + off).alias("doc_id"), "text")
+    )
+    mem = (
+        cloned.select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("_th"))
+        .select(
+            F.col("doc_id"),
+            F.min("doc_id").over(W.partitionBy("_th")).alias("rep"),
+        )
+        .persist()
+    )
+    own_lsh = DD.minhash_lsh_pairs_collapsed(cloned, threshold=0.5)
+    shared_lsh = DD.minhash_lsh_pairs_collapsed(cloned, threshold=0.5, mem=mem)
+    assert sorted(map(tuple, own_lsh.collect())) == sorted(
+        map(tuple, shared_lsh.collect())
+    )
+    blk = cloned.withColumn("_blk", F.lit(1))
+    own_ng = DD.ngram_jaccard_pairs_collapsed(blk, block_col="_blk", threshold=0.5)
+    shared_ng = DD.ngram_jaccard_pairs_collapsed(
+        blk, block_col="_blk", threshold=0.5, mem=mem
+    )
+    assert sorted(map(tuple, own_ng.collect())) == sorted(
+        map(tuple, shared_ng.collect())
+    )
+    for frame in (own_lsh, shared_lsh, own_ng, shared_ng):
+        DD.unpersist_intermediates(frame)
+    mem.unpersist()
+
+
 def test_collapsed_cluster_assign_equal_uncollapsed(spark):
     """cluster_assign_collapsed ≡ connected_components(minhash_lsh_pairs)
     row-for-row on the cloned corpus (labels AND sizes)."""
