@@ -1187,6 +1187,16 @@ def connected_components(
     needs a per-round action by construction; this is the documented
     exception to the lazy-plan rule). Edges are persisted once up front —
     they feed every round — and unpersisted before return.
+
+    **Seed convergence check (r15):** quasi-clique components converge
+    in the seed itself, yet the loop paid a full round — build successor
+    labels, checkpoint-materialize them, then a second count job — just
+    to learn changed == 0. The fixpoint condition ("no vertex sees a
+    neighbor label below its own") is counted directly from the seed in
+    one aggregation-shaped action, so the common converged-at-seed case
+    runs seed + check and never materializes a second label table; a
+    non-converged corpus pays one extra aggregation pass (the same
+    join+agg a round runs) before the rounds proceed unchanged.
     """
     sym = (
         pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("w"))
@@ -1202,15 +1212,37 @@ def connected_components(
         .select(F.col("v"), F.least("v", "mw").alias("label"))
         .localCheckpoint(eager=True)
     )
+
+    def _nbr_min(lbl: DataFrame) -> DataFrame:
+        return (
+            sym.join(lbl.select(F.col("v").alias("w"), F.col("label")), "w")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+
     try:
+        # convergence CHECK before any propagation round (r15): near-dup
+        # graphs are unions of quasi-cliques whose components converge in
+        # the seed itself "regardless of corpus size" — yet the loop paid
+        # a full round (build new labels + checkpoint-materialize them +
+        # a second count job) just to learn changed == 0. The fixpoint
+        # condition is exactly "no vertex sees a neighbor label below its
+        # own", countable from the seed WITHOUT building or materializing
+        # a successor table: one aggregation-shaped action instead of a
+        # checkpoint + count pair. Converged-at-seed corpora (the common
+        # case at any scale) save a labels-table materialization per CC
+        # call; a non-converged corpus pays one extra aggregation pass
+        # before the rounds (bounded — the same join+agg a round runs).
+        converged = (
+            _nbr_min(labels)
+            .join(labels, "v")
+            .filter(F.col("nbr_label") < F.col("label"))
+            .count()
+        ) == 0
         for i in range(max_iter):
-            nbr_min = (
-                sym.join(
-                    labels.select(F.col("v").alias("w"), F.col("label")), "w"
-                )
-                .groupBy("v")
-                .agg(F.min("label").alias("nbr_label"))
-            )
+            if converged:
+                break
+            nbr_min = _nbr_min(labels)
             proposed = labels.join(nbr_min, "v", "left").select(
                 "v",
                 F.col("label").alias("old_label"),
@@ -1240,8 +1272,9 @@ def connected_components(
             changed = proposed.filter(F.col("label") != F.col("old_label")).count()
             labels = proposed.select("v", "label")
             if changed == 0:
+                converged = True
                 break
-        else:  # pragma: no cover - 2^(max_iter - jump_after) exceeds any real diameter
+        if not converged:  # pragma: no cover - 2^(max_iter - jump_after) exceeds any real diameter
             raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     finally:
         sym.unpersist()
@@ -2262,6 +2295,127 @@ def incremental_roster_update(
         _unpersist_quiet(*i_staged)
         raise
     out._xmlpipe_cached = [*getattr(out, "_xmlpipe_cached", []), *i_staged]
+    return out
+
+
+def incremental_roster_refresh(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    emit: str = "full",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """Standing rosters recomputed FROM RAW plus one ingest folded in —
+    the full refresh composition the incremental gates run (the oracle
+    pins the result against the from-scratch union fixpoint, so the
+    gates must derive standing from the corpus every time; a production
+    per-ingest caller with a standing table uses
+    :func:`incremental_roster_update` directly).
+
+    Output ≡ ``incremental_roster_update(corpus, increment,
+    minhash_groups_collapsed(corpus), ...)`` by construction — the same
+    operators compose, in the same places. What changes is the SCHEDULE
+    (r15, guide §2.6 "overlap independent jobs"): the standing
+    pipeline's eager CC fixpoint and the probe/batch pair production
+    are independent until the quotient assembly joins them, yet the
+    serial composition ran them back to back — and the quotient CC's
+    seed action then executed the entire un-materialized probe+batch
+    pipeline inline. Now the shared corpus staging materializes once up
+    front, and two driver threads overlap (FIFO scheduler back-fills
+    stage tails): one runs the standing rosters (CC fixpoint + roster
+    aggregation), the other signs the increment and materializes the
+    cross-probe and batch-internal pair lists. By assembly time both
+    inputs are cached, so the quotient seed pays only the union+agg.
+
+    Returns the same (cluster_id, cluster_size, members) contract as
+    :func:`incremental_roster_update` under both ``emit`` modes; all
+    persisted intermediates (both stagings, both pair lists, the
+    standing rosters and their caches) ride the result's cleanup hook.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if emit not in ("full", "delta"):
+        raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
+    c_staged = stage_corpus_lsh(corpus, text_col, id_col, k)
+    # materialize the shared corpus staging BEFORE forking: both threads
+    # consume it, and two jobs racing to fill the same cache would each
+    # recompute the tokenize+sign pass they are meant to share
+    c_staged[1].write.format("noop").mode("overwrite").save()
+    i_staged = _lsh_prep(increment, text_col, id_col, k)
+
+    def _standing() -> DataFrame:
+        s = minhash_groups_collapsed(
+            corpus, text_col, id_col, threshold, k, staged=c_staged
+        ).persist()
+        s.write.format("noop").mode("overwrite").save()
+        return s
+
+    def _pairs() -> tuple[DataFrame, DataFrame]:
+        # one materialization signs the batch for both consumers
+        i_staged[1].write.format("noop").mode("overwrite").save()
+        cross = incremental_probe_pairs(
+            corpus, increment, text_col, id_col, threshold, k,
+            max_pairs=max_pairs, corpus_staged=c_staged,
+            increment_staged=i_staged,
+        ).persist()
+        cross.write.format("noop").mode("overwrite").save()
+        try:
+            batch = minhash_lsh_pairs_collapsed(
+                increment, text_col, id_col, threshold, k,
+                max_pairs=max_pairs, staged=i_staged,
+            ).persist()
+            batch.write.format("noop").mode("overwrite").save()
+        except Exception:
+            unpersist_intermediates(cross)
+            _unpersist_quiet(cross)
+            raise
+        return cross, batch
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_standing = pool.submit(_standing)
+        f_pairs = pool.submit(_pairs)
+        try:
+            cross, batch = f_pairs.result()
+        except Exception:
+            # the guard (or any pair-side failure) must not leak the
+            # stagings or whatever the standing thread pinned
+            _unpersist_quiet(*i_staged, *c_staged)
+            try:
+                s = f_standing.result()
+                _unpersist_quiet(s, *getattr(s, "_xmlpipe_cached", []))
+            except Exception:  # pragma: no cover - double failure
+                pass
+            raise
+        try:
+            standing = f_standing.result()
+        except Exception:
+            for fr in (cross, batch):
+                unpersist_intermediates(fr)
+                _unpersist_quiet(fr)
+            _unpersist_quiet(*i_staged, *c_staged)
+            raise
+    try:
+        out = _roster_update_assemble(cross, batch, standing, id_col, emit)
+    except Exception:
+        for fr in (cross, batch):
+            _unpersist_quiet(fr)
+        _unpersist_quiet(
+            *i_staged, *c_staged, standing,
+            *getattr(standing, "_xmlpipe_cached", []),
+        )
+        raise
+    out._xmlpipe_cached = [
+        *getattr(out, "_xmlpipe_cached", []),
+        cross,
+        batch,
+        standing,
+        *getattr(standing, "_xmlpipe_cached", []),
+        *i_staged,
+        *c_staged,
+    ]
     return out
 
 

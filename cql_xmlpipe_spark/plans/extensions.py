@@ -1098,28 +1098,14 @@ def dedup_incremental_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     increment = d.filter(F.col("doc_id") % 5 == 0)
-    # sign the corpus ONCE (r14): the standing pipeline's representative
-    # slices and the probe's index both derive from this staging — shingle
-    # sets and band keys are per-text deterministic, so the composition's
-    # output is unchanged while the corpus is tokenized/signed once, not
-    # twice (operators/dedup.py::_collapse_prelude staged path)
-    c_staged = DD.stage_corpus_lsh(corpus)
-    standing = DD.minhash_groups_collapsed(
-        corpus, threshold=0.5, k=3, staged=c_staged
-    ).persist()
-    out = DD.incremental_roster_update(
-        corpus, increment, standing, threshold=0.5, k=3, emit="full",
-        corpus_staged=c_staged,
+    # one composition: shared corpus staging (r14), standing pipeline and
+    # probe/batch pair production OVERLAPPED on driver threads (r15 —
+    # they are independent until the quotient assembly; see
+    # operators/dedup.py::incremental_roster_refresh). Same operators,
+    # same output; all persists ride the result's cleanup hook.
+    return DD.incremental_roster_refresh(
+        corpus, increment, threshold=0.5, k=3, emit="full"
     )
-    # the standing pipeline's persisted intermediates (and the standing
-    # roster pin itself) ride the result's cleanup hook
-    out._xmlpipe_cached = [
-        *getattr(out, "_xmlpipe_cached", []),
-        standing,
-        *getattr(standing, "_xmlpipe_cached", []),
-        *c_staged,
-    ]
-    return out
 
 
 #: delta-emit oracle (round 12): the upsert rows a standing rosters
@@ -1197,23 +1183,10 @@ def dedup_incremental_rosters_delta(spark: SparkSession, sf_dir: str) -> DataFra
     d = load_table(spark, "documents", sf_dir)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     increment = d.filter(F.col("doc_id") % 5 == 0)
-    # one corpus staging shared by the standing pipeline and the probe —
-    # see dedup_incremental_rosters
-    c_staged = DD.stage_corpus_lsh(corpus)
-    standing = DD.minhash_groups_collapsed(
-        corpus, threshold=0.5, k=3, staged=c_staged
-    ).persist()
-    out = DD.incremental_roster_update(
-        corpus, increment, standing, threshold=0.5, k=3, emit="delta",
-        corpus_staged=c_staged,
+    # overlapped refresh composition — see dedup_incremental_rosters
+    return DD.incremental_roster_refresh(
+        corpus, increment, threshold=0.5, k=3, emit="delta"
     )
-    out._xmlpipe_cached = [
-        *getattr(out, "_xmlpipe_cached", []),
-        standing,
-        *getattr(standing, "_xmlpipe_cached", []),
-        *c_staged,
-    ]
-    return out
 
 
 @_q("dedup_minhash_groups", _GROUPS_ORACLE)

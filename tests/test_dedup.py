@@ -1191,6 +1191,52 @@ def test_incremental_roster_update_matches_full_recompute(spark):
     standing.unpersist()
 
 
+def test_incremental_roster_refresh_equals_serial_composition(spark):
+    """r15: the overlapped refresh composition (standing pipeline and
+    probe/batch pair production on concurrent driver threads) must equal
+    the serial standing-then-update composition row-for-row under both
+    emit modes — same operators, different schedule — and the pair
+    budget must refuse identically."""
+    fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, fam) for i in range(4)]
+    rows += [(10, "unique corpus text one about rivers and deltas flowing"),
+             (11, "unique corpus text two about mountains and valleys high")]
+    rows += [(20, fam), (21, "novel batch doc entirely fresh words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 20)
+    inc = df.filter(F.col("doc_id") >= 20)
+
+    for emit in ("full", "delta"):
+        standing = DD.minhash_groups_collapsed(
+            corpus, threshold=0.35, k=3
+        ).persist()
+        serial = DD.incremental_roster_update(
+            corpus, inc, standing, threshold=0.35, k=3, emit=emit
+        )
+        want = _roster_rows(serial)
+        DD.unpersist_intermediates(serial)
+        standing.unpersist()
+        refreshed = DD.incremental_roster_refresh(
+            corpus, inc, threshold=0.35, k=3, emit=emit
+        )
+        got = _roster_rows(refreshed)
+        DD.unpersist_intermediates(refreshed)
+        assert got == want, emit
+
+    # the two-stage pair budget rides through (refusal, not a launch)
+    import pytest as _pytest
+
+    hot = [(i, fam) for i in range(60)]
+    hot_corpus = spark.createDataFrame(hot, "doc_id long, text string")
+    hot_inc = spark.createDataFrame(
+        [(100 + i, fam) for i in range(60)], "doc_id long, text string"
+    )
+    with _pytest.raises(DD.PairOutputBudgetExceeded):
+        DD.incremental_roster_refresh(
+            hot_corpus, hot_inc, threshold=0.35, k=3, max_pairs=100
+        )
+
+
 def test_incremental_roster_update_iterates_across_ingests(spark):
     """The production loop: rosters updated by ingest #1 are the valid
     standing state for ingest #2 (corpus grows by the merged batch), and
