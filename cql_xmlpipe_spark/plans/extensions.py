@@ -2623,10 +2623,17 @@ def text_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     toks = TX.words(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    # persist the compact (doc_id, 8-byte hash) position stream (r15,
+    # guide §1.2): it feeds BOTH the duplicated-hash aggregate and the
+    # flagging join, and without the pin the tokenize+explode pass over
+    # the full text ran twice (one scan per join input — Spark shares no
+    # common subtrees across join sides). 16 bytes/position cached vs a
+    # second full tokenization of the corpus — the same trade the dedup
+    # staging makes; spills to disk past memory at scale.
     grams = base.select(
         "doc_id",
         F.explode(TX.ngrams(F.col("toks"), 8)).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    ).select("doc_id", F.xxhash64("gram").alias("h")).persist()
     dup_h = (
         grams.select("doc_id", "h")
         .distinct()
@@ -2636,7 +2643,7 @@ def text_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     flagged = grams.join(dup_h.withColumn("is_dup", F.lit(1)), "h", "left")
-    return flagged.groupBy("doc_id").agg(
+    out = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long")).alias("cross_dup_grams"),
     ).select(
@@ -2645,6 +2652,7 @@ def text_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_dup_grams",
         (F.col("cross_dup_grams").cast("double") / F.col("n_grams")).alias("cross_dup_frac"),
     )
+    return DD._track_cached(out, grams)
 
 
 _DUP_SPANS_ORACLE = """
@@ -2705,9 +2713,12 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     toks = TX.words(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    # persist the (doc_id, pos, hash) position stream — it feeds the
+    # duplicated-hash aggregate AND the semi-join back; same one-tokenize
+    # device as text_crossdoc_ngram_dup (r15, guide §1.2)
     grams = base.select(
         "doc_id", F.posexplode(TX.ngrams(F.col("toks"), 8)).alias("pos", "gram")
-    ).select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("h")).persist()
     dup_h = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2723,7 +2734,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
+    out = (
         isl.groupBy("doc_id", "island")
         .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
         .select(
@@ -2733,6 +2744,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_e") + 8 - F.col("_s")).cast("int").alias("span_tokens"),
         )
     )
+    return DD._track_cached(out, grams)
 
 
 _DUP_REMOVAL_ORACLE = """
