@@ -1688,6 +1688,7 @@ def minhash_recall_sampled(
     result = _recall_wilson_row(lsh, exact)
     return _track_cached(
         result,
+        *getattr(result, "_xmlpipe_cached", []),
         s_sets,
         s_mem,
         *getattr(lsh_full, "_xmlpipe_cached", []),
@@ -1704,7 +1705,15 @@ def _recall_wilson_row(lsh: DataFrame, exact: DataFrame) -> DataFrame:
     doubles cross-engine). Wilson, not Wald: recall sits near 1.0 where
     the Wald interval degenerates to zero width at any sample size.
     n_exact = 0 yields NULL estimate and bounds ("trivially no pairs in
-    the stratum")."""
+    the stratum").
+
+    Both pair frames are pinned here (r15): each is referenced twice in
+    the one-row plan (its own count AND the intersection count), and
+    un-pinned the candidate+verify subtree behind each executed twice
+    per action — the cache is two id columns per pair, the recompute is
+    the pair pipeline. The pins ride the returned row's cleanup hook."""
+    lsh = lsh.persist()
+    exact = exact.persist()
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_found = lsh.join(exact, ["id_a", "id_b"]).agg(
@@ -1720,7 +1729,7 @@ def _recall_wilson_row(lsh: DataFrame, exact: DataFrame) -> DataFrame:
         * F.sqrt(r * (F.lit(1.0) - r) / n + z2 / (F.lit(4.0) * n * n))
         / denom
     )
-    return (
+    return _track_cached(
         n_exact.crossJoin(F.broadcast(n_lsh))
         .crossJoin(F.broadcast(n_found))
         .withColumn(
@@ -1731,7 +1740,9 @@ def _recall_wilson_row(lsh: DataFrame, exact: DataFrame) -> DataFrame:
         )
         .withColumn(
             "ci95_hi", F.when(F.col("n_exact") > 0, center + half)
-        )
+        ),
+        lsh,
+        exact,
     )
 
 
@@ -1831,7 +1842,10 @@ def embedding_recall_sampled(
                 pass
         raise
     return _track_cached(
-        result, eligible, *getattr(lsh_full, "_xmlpipe_cached", [])
+        result,
+        *getattr(result, "_xmlpipe_cached", []),
+        eligible,
+        *getattr(lsh_full, "_xmlpipe_cached", []),
     )
 
 

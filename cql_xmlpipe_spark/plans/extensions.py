@@ -290,8 +290,12 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("_blk", F.lit(1)), block_col="_blk", threshold=0.35, k=3,
         hash_sets=s_sets, mem=s_mem,
     )
-    lsh = lsh_full.select("id_a", "id_b")
-    exact = exact_full.select("id_a", "id_b")
+    # pin the pair sets: each is referenced twice below (own count AND
+    # the intersection), and un-pinned the candidate+verify subtree
+    # behind each would execute twice per action (r15 — same device as
+    # _recall_wilson_row)
+    lsh = lsh_full.select("id_a", "id_b").persist()
+    exact = exact_full.select("id_a", "id_b").persist()
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_found = (
@@ -317,6 +321,8 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         s_sets,
         s_mem,
+        lsh,
+        exact,
         *getattr(lsh_full, "_xmlpipe_cached", []),
         *getattr(exact_full, "_xmlpipe_cached", []),
     )
